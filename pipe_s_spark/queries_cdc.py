@@ -1,0 +1,340 @@
+"""Oracle-checked query definitions for the CDC operator surface.
+
+Each query has a Spark implementation ``(spark, sf_dir) -> DataFrame``
+and a DuckDB-equivalent ANSI SQL string; the driver compares them at
+sf0.01 (row count + schema + value hash). Column aliases are kept
+identical on both sides by construction.
+
+The change stream itself is derived deterministically from the driver's
+``events`` table (see model.changelog_from_events / model.CHANGELOG_SQL)
+so the whole CDC surface is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipe_s_spark.model import CHANGELOG_SQL, changelog_from_events
+from pipe_s_spark.operators import (
+    catch_table_name,
+    check_consistency,
+    column_value,
+    compact_changelog,
+    filter_dml,
+    map_actions,
+    map_names,
+    marshal_json,
+    merge_apply,
+    unmarshal_json,
+    value_map,
+)
+from pipe_s_spark.sources import load_table
+
+
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changelog_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _with_changelog(sql: str) -> str:
+    return f"WITH changelog AS ({CHANGELOG_SQL})\n{sql}"
+
+
+# --- per-operator queries ------------------------------------------------
+
+
+def q_cdc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MysqlDMLFilter parity: table regex + op set."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(filter_dml(r"^sbtest[12]$", ["insert", "update"]))
+        .select("seq", "table_name", "op", "pk")
+    )
+
+
+SQL_CDC_FILTER = _with_changelog(
+    """
+SELECT seq, table_name, op, pk
+FROM changelog
+WHERE regexp_matches(table_name, '^sbtest[12]$')
+  AND op IN ('insert', 'update')
+"""
+)
+
+
+def q_cdc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter parity: JSON payload -> typed column via from_json."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("event_id"),
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+    )
+
+
+SQL_CDC_CONVERT = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_cdc_map_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBChangeMappingProcessor parity: db/table/column renames."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(
+            map_names(
+                db_map={"app": "app_dw"},
+                table_map={"sbtest1": "sbtest1_v2"},
+                column_map={"k": "kk"},
+            )
+        )
+        .select("seq", "db", "table_name", "kk")
+    )
+
+
+SQL_CDC_MAP_NAMES = _with_changelog(
+    """
+SELECT seq,
+       CASE db WHEN 'app' THEN 'app_dw' ELSE db END                      AS db,
+       CASE table_name WHEN 'sbtest1' THEN 'sbtest1_v2' ELSE table_name END AS table_name,
+       k                                                                 AS kk
+FROM changelog
+"""
+)
+
+
+def q_cdc_map_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Action remap (delete->insert); struct row-swap covered in unit tests."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(map_actions({"delete": "insert"}))
+        .select("seq", "op", "pk")
+    )
+
+
+SQL_CDC_MAP_ACTIONS = _with_changelog(
+    """
+SELECT seq,
+       CASE op WHEN 'delete' THEN 'insert' ELSE op END AS op,
+       pk
+FROM changelog
+"""
+)
+
+
+def q_cdc_catch_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBTableNameCatcher parity: sharded name -> logical name."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(catch_table_name(r"^(sbtest)\d+$"))
+        .select("seq", "table_name", "logical_table")
+    )
+
+
+SQL_CDC_CATCH_NAMES = _with_changelog(
+    """
+SELECT seq, table_name,
+       regexp_extract(table_name, '^(sbtest)[0-9]+$', 1) AS logical_table
+FROM changelog
+"""
+)
+
+
+def q_cdc_column_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnValueProcessor parity: lift the partition key."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(column_value(F.col("pk").cast("string"), "partition_key"))
+        .select("seq", "partition_key")
+    )
+
+
+SQL_CDC_COLUMN_VALUE = _with_changelog(
+    """
+SELECT seq, CAST(pk AS VARCHAR) AS partition_key
+FROM changelog
+"""
+)
+
+
+def q_cdc_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueMapper parity: logical table -> kafka topic."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(catch_table_name(r"^(sbtest)\d+$"))
+        .transform(value_map({"sbtest": "topic_sbtest"}, "logical_table", "topic", "topic_default"))
+        .select("seq", "topic")
+    )
+
+
+SQL_CDC_VALUE_MAP = _with_changelog(
+    """
+SELECT seq,
+       CASE regexp_extract(table_name, '^(sbtest)[0-9]+$', 1)
+           WHEN 'sbtest' THEN 'topic_sbtest'
+           ELSE 'topic_default'
+       END AS topic
+FROM changelog
+"""
+)
+
+
+def q_cdc_marshal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonMarshaller + DBChangeUnmarshaller parity: to_json -> from_json
+    roundtrip must be the identity on the payload."""
+    return (
+        changelog(spark, sf_dir)
+        .transform(marshal_json(["seq", "op", "pk", "k", "value"], "wire"))
+        .select("wire")
+        .transform(unmarshal_json("seq BIGINT, op STRING, pk BIGINT, k INT, value DOUBLE", "wire"))
+        .select("seq", "op", "pk", "k", "value")
+    )
+
+
+SQL_CDC_MARSHAL_ROUNDTRIP = _with_changelog(
+    """
+SELECT seq, op, pk, k, value FROM changelog
+"""
+)
+
+
+SQL_COMPACTED = """
+compacted_raw AS (
+    SELECT db, table_name, pk,
+           arg_min(op, seq)    AS first_op,
+           arg_max(op, seq)    AS last_op,
+           max(seq)            AS last_seq,
+           arg_max(k, seq)     AS k,
+           arg_max(value, seq) AS value,
+           arg_max(ts_ms, seq) AS ts_ms
+    FROM changelog
+    GROUP BY db, table_name, pk
+),
+compacted_all AS (
+    SELECT db, table_name, pk,
+           CASE
+               WHEN first_op = 'insert' AND last_op = 'delete' THEN NULL
+               WHEN first_op = 'insert' THEN 'insert'
+               WHEN last_op = 'delete' THEN 'delete'
+               ELSE 'update'
+           END AS net_op,
+           last_seq, k, value, ts_ms
+    FROM compacted_raw
+),
+compacted AS (
+    SELECT * FROM compacted_all WHERE net_op IS NOT NULL
+)"""
+
+
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: changelog compaction to net effect per key (§2.7)."""
+    return compact_changelog(changelog(spark, sf_dir)).select(
+        "db", "table_name", "pk", "net_op", "last_seq", "k", "value", "ts_ms"
+    )
+
+
+SQL_CDC_COMPACT = (
+    f"WITH changelog AS ({CHANGELOG_SQL}),\n{SQL_COMPACTED}\n"
+    "SELECT db, table_name, pk, net_op, last_seq, k, value, ts_ms FROM compacted"
+)
+
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship step 2: apply the compacted changelog to a base snapshot
+    (deterministically derived: every even pk pre-exists with zeros)."""
+    cl = changelog(spark, sf_dir)
+    base = (
+        cl.filter(F.col("pk") % 2 == 0)
+        .select("table_name", "pk")
+        .distinct()
+        .withColumn("k", F.lit(0).cast("int"))
+        .withColumn("value", F.lit(0.0))
+    )
+    compacted = compact_changelog(cl).drop("db")
+    return merge_apply(base, compacted, ("table_name", "pk"), ("k", "value")).select(
+        "table_name", "pk", "k", "value"
+    )
+
+
+SQL_CDC_MERGE_APPLY = (
+    f"WITH changelog AS ({CHANGELOG_SQL}),\n{SQL_COMPACTED},\n"
+    """
+base AS (
+    SELECT DISTINCT table_name, pk,
+           CAST(0 AS INTEGER) AS k, CAST(0.0 AS DOUBLE) AS value
+    FROM changelog WHERE pk % 2 = 0
+)
+SELECT b.table_name, b.pk, b.k, b.value
+FROM base b
+WHERE NOT EXISTS (
+    SELECT 1 FROM compacted c
+    WHERE c.table_name = b.table_name AND c.pk = b.pk
+)
+UNION ALL
+SELECT table_name, pk, k, value FROM compacted WHERE net_op <> 'delete'
+"""
+)
+
+
+def q_cdc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MysqlCheckOutput parity: diff a deterministically-corrupted copy
+    of orders against the source (row_miss + row_diff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.filter(~(F.col("o_orderkey") % 97 == 0)).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return check_consistency(
+        orders, tgt, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).select("o_orderkey", "diff_type")
+
+
+SQL_CDC_CHECK = """
+WITH tgt AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+)
+SELECT o.o_orderkey, 'row_miss' AS diff_type
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o.o_orderkey, 'row_diff' AS diff_type
+FROM orders o JOIN tgt t USING (o_orderkey)
+WHERE t.o_totalprice IS DISTINCT FROM o.o_totalprice
+   OR t.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+"""
+
+
+QUERIES = {
+    "cdc_filter": q_cdc_filter,
+    "cdc_convert": q_cdc_convert,
+    "cdc_map_names": q_cdc_map_names,
+    "cdc_map_actions": q_cdc_map_actions,
+    "cdc_catch_names": q_cdc_catch_names,
+    "cdc_column_value": q_cdc_column_value,
+    "cdc_value_map": q_cdc_value_map,
+    "cdc_marshal_roundtrip": q_cdc_marshal_roundtrip,
+    "cdc_compact": q_cdc_compact,
+    "cdc_merge_apply": q_cdc_merge_apply,
+    "cdc_check": q_cdc_check,
+}
+
+ORACLES = {
+    "cdc_filter": SQL_CDC_FILTER,
+    "cdc_convert": SQL_CDC_CONVERT,
+    "cdc_map_names": SQL_CDC_MAP_NAMES,
+    "cdc_map_actions": SQL_CDC_MAP_ACTIONS,
+    "cdc_catch_names": SQL_CDC_CATCH_NAMES,
+    "cdc_column_value": SQL_CDC_COLUMN_VALUE,
+    "cdc_value_map": SQL_CDC_VALUE_MAP,
+    "cdc_marshal_roundtrip": SQL_CDC_MARSHAL_ROUNDTRIP,
+    "cdc_compact": SQL_CDC_COMPACT,
+    "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+    "cdc_check": SQL_CDC_CHECK,
+}
