@@ -28,16 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    from pipe_s_spark import queries_cdc
+    from pipe_s_spark import queries_analytics, queries_cdc
 
     out.update(queries_cdc.QUERIES)
+    out.update(queries_analytics.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (same column aliases)."""
     out: dict[str, str] = {}
-    from pipe_s_spark import queries_cdc
+    from pipe_s_spark import queries_analytics, queries_cdc
 
     out.update(queries_cdc.ORACLES)
+    out.update(queries_analytics.ORACLES)
     return out

@@ -1,0 +1,638 @@
+"""Oracle-checked analytics surface: joins, aggregations, windows,
+sorts, set ops, scalar/JSON/date functions, event-time windows.
+
+The reference implements none of these (SURVEY.md §2.9) — its rebuilt
+engine covers them with Spark built-ins, exercised here over the
+TPC-H-ish testdata and checked against DuckDB.
+
+Plan-quality notes (verified via .explain("formatted")):
+- dimension joins (region/nation/customer/supplier) are broadcast —
+  no shuffle of the fact table;
+- aggregates are partial (map-side combine) before the key shuffle;
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema);
+- top-k uses TakeOrderedAndProject (no global sort materialization).
+
+Cross-engine float policy: see functions.exact — fixed-decimal inputs
+are aggregated as DECIMAL (exact, order-independent) and the result is
+cast back to double, giving bit-exact parity with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipe_s_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from pipe_s_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# --- TPC-H-style core ----------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy group-agg; partial agg + 6-group shuffle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=4).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: broadcast the filtered customer dim; top-10 revenue."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+       o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: five-way join; all dims broadcast, one fact shuffle."""
+    region, nation, customer, supplier, orders, li = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter-agg; predicates pushed to parquet."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"))
+    )
+
+
+SQL_Q6 = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    customer, orders, li, nation = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- grouping sets / windows / sorts / set ops ---------------------------
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region->nation hierarchy (customer counts)."""
+    region, nation, customer = _t(spark, sf_dir, "region", "nation", "customer")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+SQL_AGG_ROLLUP = f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS sum_acctbal
+FROM customer, nation, region
+WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status x priority."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+SQL_AGG_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (rank window)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk", "o_totalprice")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, rk, o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (cumulative frame window)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-gap analysis: days since a customer's previous order."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("int").alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders
+"""
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 lineitems — TakeOrderedAndProject, no full sort."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+SQL_TOPK_GLOBAL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers without orders (EXCEPT) vs with big orders (INTERSECT),
+    tagged and unioned."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    all_c = customer.select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    no_orders = all_c.exceptAll(with_orders).distinct().withColumn("tag", F.lit("no_orders"))
+    big_and_known = all_c.intersect(big).withColumn("tag", F.lit("big_spender"))
+    return no_orders.unionByName(big_and_known)
+
+
+SQL_SET_OPS = """
+SELECT c_custkey, 'no_orders' AS tag FROM (
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'big_spender' AS tag FROM (
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group + conditional counts."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --- scalar / JSON / date functions --------------------------------------
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar function coverage over part."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_type").cast("bigint").alias("type_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("bucket"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT p_partkey,
+       UPPER(p_brand)                       AS brand_upper,
+       LOWER(p_type)                        AS type_lower,
+       SUBSTR(p_name, 1, 12)                AS name_prefix,
+       CAST(LENGTH(p_type) AS BIGINT)       AS type_len,
+       CONCAT_WS('|', p_brand, p_type)      AS brand_type,
+       CAST(ABS(p_size - 25) AS BIGINT)     AS size_dist,
+       ROUND(p_retailprice * 1.1, 2)        AS marked_up,
+       CAST(p_partkey % 7 AS BIGINT)        AS bucket
+FROM part
+"""
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+    ).filter(F.col("k").isNotNull())
+
+
+SQL_JSON_FUNCS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + month bucketing of orders."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yy"),
+            F.month("o_orderdate").cast("int").alias("mm"),
+            F.quarter("o_orderdate").cast("int").alias("qq"),
+            "o_totalprice",
+        )
+        .groupBy("yy", "mm", "qq")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+    )
+
+
+SQL_DATE_FUNCS = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER)    AS yy,
+       CAST(month(o_orderdate) AS INTEGER)   AS mm,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qq,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- event-time windows --------------------------------------------------
+
+
+def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    windowed agg; same expression works under readStream+watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TIME_TUMBLING = f"""
+SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min size, 5 min slide) over event time."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"), "n")
+    )
+
+
+SQL_TIME_SLIDING = """
+WITH buckets AS (
+    -- integer ms arithmetic: nested floors (us->ms->5min grid) compose
+    -- exactly, matching Spark's window alignment
+    SELECT CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events
+),
+expanded AS (
+    SELECT ms - (ms % 300000) AS window_start_ms FROM buckets
+    UNION ALL
+    SELECT ms - (ms % 300000) - 300000 AS window_start_ms FROM buckets
+)
+SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms, COUNT(*) AS n
+FROM expanded
+GROUP BY 1
+"""
+
+
+def q_time_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's native
+    session_window; oracle reconstructs sessions via lag+cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_TIME_SESSION = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+sessioned AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM sessioned
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "q6_revenue_forecast": q_q6_revenue_forecast,
+    "q10_returned_items": q_q10_returned_items,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_total": q_window_running_total,
+    "window_lag_lead": q_window_lag_lead,
+    "topk_global": q_topk_global,
+    "set_ops": q_set_ops,
+    "distinct_agg": q_distinct_agg,
+    "scalar_funcs": q_scalar_funcs,
+    "json_funcs": q_json_funcs,
+    "date_funcs": q_date_funcs,
+    "pivot_event_types": q_pivot_event_types,
+    "time_tumbling": q_time_tumbling,
+    "time_sliding": q_time_sliding,
+    "time_session": q_time_session,
+}
+
+ORACLES = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_local_supplier": SQL_Q5,
+    "q6_revenue_forecast": SQL_Q6,
+    "q10_returned_items": SQL_Q10,
+    "agg_rollup": SQL_AGG_ROLLUP,
+    "agg_cube": SQL_AGG_CUBE,
+    "window_topk_per_group": SQL_WINDOW_TOPK,
+    "window_running_total": SQL_WINDOW_RUNNING,
+    "window_lag_lead": SQL_WINDOW_LAG,
+    "topk_global": SQL_TOPK_GLOBAL,
+    "set_ops": SQL_SET_OPS,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
+    "json_funcs": SQL_JSON_FUNCS,
+    "date_funcs": SQL_DATE_FUNCS,
+    "pivot_event_types": SQL_PIVOT,
+    "time_tumbling": SQL_TIME_TUMBLING,
+    "time_sliding": SQL_TIME_SLIDING,
+    "time_session": SQL_TIME_SESSION,
+}
