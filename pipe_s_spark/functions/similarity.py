@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)``: JVM-side expression — zip_with product, sequential
+  fold — no Python. Results are rounded to 6 decimals wherever they
+  cross an oracle boundary (double summation order differs between
+  engines by design; the rounding absorbs last-ulp drift).
+- Brute-force top-k: broadcast the (small) query set against the corpus
+  — a map-side cross product, no shuffle of the corpus; ranking via a
+  per-query window. This is the correctness baseline.
+- LSH-bucketed ANN (random hyperplanes, Charikar'02): deterministic
+  pseudo-random planes derived from md5 so signatures are
+  oracle-reproducible; candidates are pairs sharing a bucket —
+  an equi-join, which is the 100 TB-scalable path (the cross product
+  never materializes).
+- A Pandas-UDF batch kernel (numpy matmul) is provided for wide
+  corpora where the expression fold dominates; same semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (null-safe on zero norm)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB rendering of :func:`cosine` over DOUBLE[] expressions."""
+    prod = f"list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {b}[i] * {b}[i])))"
+    return f"({prod} / ({na} * {nb}))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast cross
+    product + per-query rank window). Rounded cosine + id tie-break
+    keeps ordering deterministic."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+#: Number of hyperplanes for the LSH bucket signature.
+LSH_PLANES = 8
+
+
+def _plane_weight(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random weight in [-0.5, 0.5): hex of
+    md5('p{plane}d{dim}') scaled. Reproducible in ANSI SQL."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"p{plane}d"), dim_idx.cast("string"))), 1, 4), 16, 10
+    ).cast("double")
+    return h / F.lit(65536.0) - F.lit(0.5)
+
+
+def lsh_bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
+    """Random-hyperplane signature: bit p = (dot(vec, plane_p) > 0).
+
+    Expressed as a fold over the vector indices so the identical
+    formula renders in SQL for the oracle."""
+    def _dot_with_plane(p: int) -> Column:
+        def mult(x: Column, i: Column) -> Column:
+            return x * _plane_weight(p, i)
+
+        return F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), mult),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = []
+    for p in range(planes):
+        d = _dot_with_plane(p)
+        bits.append(F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_sql(vec: str, dim: int = 64, planes: int = LSH_PLANES) -> str:
+    terms = []
+    for p in range(planes):
+        w = f"(CAST(CAST('0x' || substr(md5('p{p}d' || CAST(i AS VARCHAR)), 1, 4) AS INTEGER) AS DOUBLE) / 65536.0 - 0.5)"
+        d = f"list_sum(list_transform(generate_series(1, {dim}), i -> {vec}[i] * {w}))"
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+def threshold_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked numpy matmul.
+
+    The smaller side (here: the whole corpus at test scale; at 100 TB, a
+    centroid/LSH-pruned candidate set) is broadcast as a normalized
+    float64 matrix; each Arrow batch of the distributed side multiplies
+    against it — O(rows_per_batch x corpus x dim) FLOPs in BLAS instead
+    of per-pair Catalyst expression folds (~60x faster at sf0.1).
+    Emits ordered pairs (id1 < id2) once.
+    """
+    import numpy as np
+
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            bids = b[id_col].to_numpy()
+            bm = np.stack(b[vec_col].to_numpy()).astype("float64")
+            bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bn @ mn.T
+            rows, cols = np.where(sims.round(round_to) >= threshold)
+            keep = bids[rows] < ids[cols]
+            yield pd.DataFrame(
+                {
+                    "id1": bids[rows][keep],
+                    "id2": ids[cols][keep],
+                    "cos_sim": sims[rows, cols][keep].round(round_to),
+                }
+            )
+
+    return corpus.mapInPandas(kernel, schema="id1 long, id2 long, cos_sim double")
+
+
+def cosine_batch_kernel(
+    query_matrix: "pd.DataFrame",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+):
+    """mapInPandas kernel factory: numpy-matmul scoring of each corpus
+    partition against a driver-broadcast query matrix — the wide-corpus
+    fast path (Arrow batches in, top-k rows out)."""
+    import numpy as np
+
+    qids = query_matrix[id_col].to_numpy()
+    qm = np.stack(query_matrix[vec_col].to_numpy())
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cm = np.stack(pdf[vec_col].to_numpy())
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ qn.T  # corpus x queries
+            for qi, qid in enumerate(qids):
+                order = sims[:, qi].argsort()[::-1][: k + 1]
+                out = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": pdf[id_col].to_numpy()[order],
+                        "cos_sim": sims[order, qi].round(6),
+                    }
+                )
+                yield out[out["neighbor_id"] != qid].head(k)
+
+    return kernel

@@ -1,0 +1,381 @@
+"""Oracle-checked queries for the training-data-pipeline extensions:
+text analysis, deduplication (exact / normalized / Jaccard / MinHash-LSH
+/ SimHash), and embedding similarity search.
+
+All signatures are md5-derived so the DuckDB oracle reproduces them
+bit-for-bit; cosine values are rounded to 6 decimals to absorb
+summation-order ulps (see functions.similarity docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipe_s_spark.functions import dedup as D
+from pipe_s_spark.functions import similarity as S
+from pipe_s_spark.functions import text as X
+from pipe_s_spark.sources import load_table
+
+#: DuckDB fragment: whitespace tokens of lowered text, empties removed.
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(X.with_text_stats()).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_bpe_tokens", "n_stopwords", "quality", "lang_pred"
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{X.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(X.EN_STOPWORDS)})\\b')) AS BIGINT) AS n_stopwords,
+       {X.quality_score_sql('text')} AS quality,
+       CASE WHEN CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(X.EN_STOPWORDS)})\\b')) AS DOUBLE)
+                 / GREATEST(CAST(len({TOKS_SQL}) AS DOUBLE), 1.0) > 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+SQL_TEXT_LANG_SUMMARY = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id, {X.fingerprint_sql('text')} AS fp
+FROM documents
+"""
+
+
+# --- dedup ---------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the text digest, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(D.normalize_text("text")).alias("digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+SQL_DEDUP_NORMALIZED = f"""
+SELECT md5({D.NORMALIZE_SQL.format(expr='text')}) AS digest,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+SQL_SHINGLES = f"""
+tok AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+sh_raw AS (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL
+)"""
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via a shingle inverted index
+    (no cross join; scales as shingle-collision volume)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.15)
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.15
+"""
+
+_MINHASH_N = 16
+_MINHASH_BANDS = 4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard (= matching
+    signature fraction). Banding turns near-dup search into an
+    equi-join — the path that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N)
+    bands = D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_N)
+    )
+    return (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1", "d2", F.round(matches / F.lit(float(_MINHASH_N)), 6).alias("est_jaccard")
+        )
+    )
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n           ".join(
+        f"MIN(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_MINHASH_N)
+    )
+    return f"sig AS (\n    SELECT doc_id, {aggs}\n    FROM sh GROUP BY doc_id\n)"
+
+
+def _bands_sql() -> str:
+    rows = _MINHASH_N // _MINHASH_BANDS
+    parts = []
+    for bnd in range(_MINHASH_BANDS):
+        cols = " || '|' || ".join(f"h{i}" for i in range(bnd * rows, (bnd + 1) * rows))
+        parts.append(f"SELECT doc_id, {bnd} AS band_id, {cols} AS band_sig FROM sig")
+    return "bands AS (\n" + "\nUNION ALL\n".join(parts) + "\n)"
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {SQL_SHINGLES},
+{_minhash_sig_sql()},
+{_bands_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+       ROUND(({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_N))})
+             / {float(_MINHASH_N)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = d1
+JOIN sig sb ON sb.doc_id = d2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (bit-majority voting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(docs, "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS h FROM toks
+),
+voted AS (
+    SELECT doc_id, {votes}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vecs (id<10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+
+
+SQL_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: all (a<b) with cosine >= 0.45, via the
+    blocked numpy kernel (Arrow batches x broadcast matrix)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.threshold_pairs_blocked(emb, threshold=0.45)
+
+
+SQL_SIM_THRESHOLD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+"""
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: candidates share a bucket (equi-join,
+    the 100 TB path); verify candidates with exact cosine >= 0.3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        S.as_double_array("embedding").alias("v"),
+    ).withColumn("bucket", S.lsh_bucket(F.col("v")))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(S.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+SQL_SIM_LSH = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+       ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.3
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_summary": q_text_lang_summary,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_threshold_pairs": q_sim_threshold_pairs,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+}
+
+ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "sim_cosine_topk": SQL_SIM_TOPK,
+    "sim_threshold_pairs": SQL_SIM_THRESHOLD,
+    "sim_lsh_buckets": SQL_SIM_LSH,
+}
