@@ -1,0 +1,139 @@
+"""Streaming merge-apply integrity test — the Spark restatement of the
+reference's randomized kill-and-restart data-integrity loop
+(integration_test/dbsync/data_integrity_test_linux.sh): stream a
+changelog in small triggers, stop the query mid-stream, restart from
+the checkpoint, then diff the final target against the single-shot
+batch answer. Golden result: empty diff."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipe_s_spark.model import changelog_from_events
+from pipe_s_spark.operators import check_consistency, compact_changelog, merge_apply
+from pipe_s_spark.sources import load_table
+from pipe_s_spark.streaming import (
+    MergeApplyTarget,
+    run_merge_apply_stream,
+    stream_changelog_json,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _well_formed(rows):
+    """Enforce the CDC state machine (insert only when absent,
+    update/delete only when present) — the invariant real binlog
+    streams satisfy and the reference's inDB inference relies on
+    (batchmessage.go:25-57). Ill-formed synthetic ops are remapped."""
+    exists: set = set()
+    out = []
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        key = (r["table_name"], r["pk"])
+        if key not in exists:
+            r = {**r, "op": "insert"}
+            exists.add(key)
+        elif r["op"] == "insert":
+            r = {**r, "op": "update"}
+        if r["op"] == "delete":
+            exists.discard(key)
+        out.append(r)
+    return out
+
+
+@pytest.fixture()
+def changelog_files(spark, tmp_path) -> str:
+    """Split the (sanitized) deterministic changelog into 8 JSON files
+    (the 'binlog segments' of the simulation)."""
+    cl = changelog_from_events(load_table(spark, SF, "events")).orderBy("seq")
+    rows = _well_formed([r.asDict() for r in cl.collect()])
+    d = tmp_path / "changelog"
+    d.mkdir()
+    n = 8
+    per = (len(rows) + n - 1) // n
+    for i in range(n):
+        with open(d / f"part-{i:03d}.json", "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def expected_final_state(spark, changelog_dir: str):
+    from pipe_s_spark.streaming.merge_apply import FLAT_CHANGELOG_SCHEMA
+
+    cl = spark.read.schema(FLAT_CHANGELOG_SCHEMA).json(changelog_dir)
+    compacted = compact_changelog(cl, key_cols=("table_name", "pk"), payload_cols=("k", "value"))
+    empty = compacted.filter(F.lit(False)).select("table_name", "pk", "k", "value")
+    return merge_apply(empty, compacted, ("table_name", "pk"), ("k", "value"))
+
+
+def test_stream_apply_with_restart_matches_batch(spark, changelog_files, tmp_path):
+    target = MergeApplyTarget(str(tmp_path / "target"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process a few triggers, then "crash" (stop the query)
+    changes = stream_changelog_json(spark, changelog_files, max_files_per_trigger=1)
+    q = run_merge_apply_stream(changes, target, ckpt, available_now=False)
+    import time
+
+    deadline = time.time() + 60
+    while len(q.recentProgress) < 3 and time.time() < deadline:
+        time.sleep(0.2)  # let ~3 micro-batches commit, then "crash"
+    q.stop()
+    q.awaitTermination(30)
+    assert os.path.isdir(target.path), "target should exist after first phase"
+
+    # phase 2: restart from checkpoint, drain the rest
+    changes2 = stream_changelog_json(spark, changelog_files, max_files_per_trigger=1)
+    q2 = run_merge_apply_stream(changes2, target, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    # golden check: target == single-shot batch compaction+apply
+    got = spark.read.parquet(target.path)
+    want = expected_final_state(spark, changelog_files)
+    diff = check_consistency(want, got, ["table_name", "pk"], ["k", "value"])
+    rev = check_consistency(got, want, ["table_name", "pk"], ["k", "value"])
+    assert diff.count() == 0 and rev.count() == 0, (
+        f"integrity diff: {diff.collect()[:5]} / {rev.collect()[:5]}"
+    )
+
+
+def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
+    """Watermarked tumbling-window aggregation driven to completion via
+    a file stream + memory sink (the streaming counterpart of the
+    oracle-checked time_tumbling query)."""
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    # stream with the RAW file schema (ts is INT64 nanos under
+    # nanosAsLong); convert to timestamp inside the streaming plan
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(str(d))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS c FROM win_out").collect()[0]["c"]
+    # append mode only emits windows below the watermark; the final
+    # (max-ts) window is withheld, so expect batch count minus those
+    ev = load_table(spark, SF, "events")
+    batch = ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type").count()
+    assert 0 < got <= batch.count()
