@@ -1,0 +1,186 @@
+"""Declarative JSON pipeline runner.
+
+Parity: the reference's whole front-end is a JSON config naming an
+Input, a Processor chain, and an Output, instantiated by a constructor
+registry (/root/reference/pkg/builder/componentbuilder.go:47-62,170-234)
+and run by the Task (pkg/task/task.go:119-165). Here the registry maps
+type names to DataFrame-transform factories; "building the pipeline"
+composes a lazy logical plan, so the human-ordered processor chain is
+re-optimized by Catalyst (filter pushdown etc.) rather than executed
+literally in config order — the optimizer the reference never had.
+
+Spec shape (mirrors examples/configsamples/*.json):
+
+{
+  "Input":      {"Type": "parquet", "Config": {"sfDir": "...", "table": "events"}},
+  "Processors": [{"Type": "changelog-from-events"},
+                 {"Type": "dml-filter", "Config": {"tableRegex": "^sbtest[12]$"}},
+                 {"Type": "map-names", "Config": {"dbMap": {"app": "dw"}}}],
+  "Output":     {"Type": "parquet", "Config": {"path": "/tmp/out"}}
+}
+
+Unknown types raise — same behavior as componentbuilder_test.go:10-50.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pipe_s_spark.model import changelog_from_events
+from pipe_s_spark.operators import (
+    catch_table_name,
+    column_value,
+    compact_changelog,
+    filter_dml,
+    map_actions,
+    map_names,
+    marshal_json,
+    unmarshal_json,
+    value_map,
+)
+from pipe_s_spark.sources import load_table
+
+Transform = Callable[[DataFrame], DataFrame]
+Factory = Callable[[Mapping[str, Any]], Transform]
+
+
+class PipelineSpecError(ValueError):
+    pass
+
+
+_PROCESSORS: dict[str, Factory] = {}
+
+
+def register_processor(name: str) -> Callable[[Factory], Factory]:
+    """Decorator-registry — parity with RegisterComponent
+    (componentbuilder.go:42-44); user code can add custom processors."""
+
+    def deco(f: Factory) -> Factory:
+        _PROCESSORS[name] = f
+        return f
+
+    return deco
+
+
+@register_processor("dml-filter")
+def _p_filter(cfg: Mapping[str, Any]) -> Transform:
+    return filter_dml(
+        table_regex=cfg.get("tableRegex"),
+        ops=cfg.get("ops"),
+        table_col=cfg.get("tableCol", "table_name"),
+        op_col=cfg.get("opCol", "op"),
+    )
+
+
+@register_processor("changelog-from-events")
+def _p_changelog(cfg: Mapping[str, Any]) -> Transform:
+    return changelog_from_events
+
+
+@register_processor("map-names")
+def _p_map_names(cfg: Mapping[str, Any]) -> Transform:
+    return map_names(
+        db_map=cfg.get("dbMap"),
+        table_map=cfg.get("tableMap"),
+        column_map=cfg.get("columnMap"),
+    )
+
+
+@register_processor("map-actions")
+def _p_map_actions(cfg: Mapping[str, Any]) -> Transform:
+    return map_actions(cfg["actionMap"])
+
+
+@register_processor("catch-table-name")
+def _p_catch(cfg: Mapping[str, Any]) -> Transform:
+    return catch_table_name(cfg["pattern"], out_col=cfg.get("outCol", "logical_table"))
+
+
+@register_processor("column-value")
+def _p_colval(cfg: Mapping[str, Any]) -> Transform:
+    return column_value(cfg["column"], cfg.get("outCol", "partition_key"))
+
+
+@register_processor("value-map")
+def _p_valmap(cfg: Mapping[str, Any]) -> Transform:
+    return value_map(cfg["mapping"], cfg["inCol"], cfg["outCol"], cfg.get("default"))
+
+
+@register_processor("json-marshal")
+def _p_marshal(cfg: Mapping[str, Any]) -> Transform:
+    return marshal_json(cfg.get("columns"), cfg.get("outCol", "value"))
+
+
+@register_processor("json-unmarshal")
+def _p_unmarshal(cfg: Mapping[str, Any]) -> Transform:
+    return unmarshal_json(cfg["schema"], cfg.get("inCol", "value"))
+
+
+@register_processor("compact")
+def _p_compact(cfg: Mapping[str, Any]) -> Transform:
+    def t(df: DataFrame) -> DataFrame:
+        return compact_changelog(
+            df,
+            key_cols=cfg.get("keyCols", ("db", "table_name", "pk")),
+            seq_col=cfg.get("seqCol", "seq"),
+            op_col=cfg.get("opCol", "op"),
+            payload_cols=cfg.get("payloadCols"),
+        )
+
+    return t
+
+
+def _build_input(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
+    typ = spec.get("Type")
+    cfg = spec.get("Config", {})
+    if typ == "parquet":
+        if "sfDir" in cfg and "table" in cfg:
+            return load_table(spark, cfg["sfDir"], cfg["table"])
+        return spark.read.parquet(cfg["path"])
+    if typ == "json":
+        schema = cfg.get("schema")
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.json(cfg["path"])
+    if typ == "json-stream":
+        return (
+            spark.readStream.schema(cfg["schema"])
+            .option("maxFilesPerTrigger", cfg.get("maxFilesPerTrigger", 1))
+            .json(cfg["path"])
+        )
+    raise PipelineSpecError(f"unknown input type: {typ!r}")
+
+
+def build_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
+    """Compose Input + Processors into one lazy DataFrame plan."""
+    df = _build_input(spark, spec.get("Input", {}))
+    for p in spec.get("Processors", []):
+        typ = p.get("Type")
+        if typ not in _PROCESSORS:
+            raise PipelineSpecError(f"unknown processor type: {typ!r}")
+        df = df.transform(_PROCESSORS[typ](p.get("Config", {})))
+    return df
+
+
+def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | None:
+    """Build and execute: terminal Output writes/inspects the frame.
+    Returns the DataFrame for 'return' outputs, else None."""
+    df = build_pipeline(spark, spec)
+    out = spec.get("Output", {"Type": "return"})
+    typ = out.get("Type")
+    cfg = out.get("Config", {})
+    if typ == "return":
+        return df
+    if typ == "parquet":
+        df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
+        return None
+    if typ == "noop":  # parity: DummyOutput (throughput measurement)
+        df.write.format("noop").mode("overwrite").save()
+        return None
+    if typ == "console":  # parity: LogOutput
+        df.show(int(cfg.get("numRows", 20)), truncate=False)
+        return None
+    raise PipelineSpecError(f"unknown output type: {typ!r}")

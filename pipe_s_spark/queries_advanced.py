@@ -1,0 +1,199 @@
+"""Oracle-checked advanced operators: as-of join, range join, exact
+percentiles, statistical aggregates, sampling-free distinct sketch
+parity checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipe_s_spark.operators.joins import asof_join, range_join_explode, range_join_uniform
+from pipe_s_spark.sources import load_table
+
+
+def q_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    purchases = base.join(
+        ev.filter(F.col("event_type") == "purchase").select("event_id"), "event_id"
+    )
+    clicks = base.join(
+        ev.filter(F.col("event_type") == "click").select("event_id"), "event_id"
+    ).withColumnRenamed("event_id", "click_id")
+    out = asof_join(
+        purchases,
+        clicks.select("user_id", F.col("ts_ms").alias("click_ts"), "click_id"),
+        on=["user_id"],
+        left_ts="ts_ms",
+        right_ts="click_ts",
+        right_value_cols=["click_id"],
+    )
+    return out.select("event_id", "user_id", "ts_ms", F.col("click_id_asof").alias("last_click_id"))
+
+
+SQL_ASOF = """
+WITH base AS (
+    SELECT event_id, user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+           event_type
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+tagged AS (
+    SELECT event_id, user_id, ts_ms,
+           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+           CASE WHEN event_type = 'click' THEN event_id END AS click_id
+    FROM base
+),
+filled AS (
+    SELECT event_id, user_id, ts_ms, side,
+           last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+    FROM tagged
+)
+SELECT event_id, user_id, ts_ms, last_click_id
+FROM filled WHERE side = 1
+"""
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform range join: parts into $100 retail-price bands
+    (arithmetic bucketing replaces the nested-loop range predicate)."""
+    part = load_table(spark, sf_dir, "part")
+    banded = range_join_uniform(part, "p_retailprice", 100.0, 25)
+    return (
+        banded.filter(F.col("band_id").isNotNull())
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_RANGE_BANDS = """
+WITH bands AS (
+    SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+    FROM (SELECT unnest(generate_series(0, 24)) AS i)
+)
+SELECT b.band_id, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+def q_range_join_explode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General range join via interval explosion: lineitem quantities
+    against non-uniform quantity tiers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 51.0)],
+        "tier_id int, lo double, hi double",
+    )
+    joined = range_join_explode(
+        li.select("l_quantity"), tiers, "l_quantity", "lo", "hi", bucket_width=10.0
+    )
+    return joined.groupBy("tier_id").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+SQL_RANGE_EXPLODE = """
+WITH tiers AS (
+    SELECT * FROM (VALUES (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 51.0))
+    AS t(tier_id, lo, hi)
+)
+SELECT t.tier_id, COUNT(*) AS n_items
+FROM lineitem l JOIN tiers t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+GROUP BY t.tier_id
+"""
+
+
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order value per status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (rounded: engines use different but
+    numerically-close accumulation algorithms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 10).alias("cov_disc_tax"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 4)        AS sd_price,
+       ROUND(var_samp(l_quantity), 6)                AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 8)   AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 10)      AS cov_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+SQL_WINDOW_DIST = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 8) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+QUERIES = {
+    "asof_join_purchase_click": q_asof_join_purchase_click,
+    "range_join_price_bands": q_range_join_price_bands,
+    "range_join_explode_quantity": q_range_join_explode_quantity,
+    "percentiles_exact": q_percentiles_exact,
+    "stats_agg": q_stats_agg,
+    "window_dist_funcs": q_window_dist_funcs,
+}
+
+ORACLES = {
+    "asof_join_purchase_click": SQL_ASOF,
+    "range_join_price_bands": SQL_RANGE_BANDS,
+    "range_join_explode_quantity": SQL_RANGE_EXPLODE,
+    "percentiles_exact": SQL_PERCENTILES,
+    "stats_agg": SQL_STATS,
+    "window_dist_funcs": SQL_WINDOW_DIST,
+}

@@ -1,0 +1,115 @@
+"""Tests for the JSON pipeline runner, metrics listener, and multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipe_s_spark.functions.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+    synthesize_assets,
+)
+from pipe_s_spark.plans import PipelineSpecError, build_pipeline, run_pipeline
+from pipe_s_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_runner_composes_filter_pipeline(spark):
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [
+            {"Type": "changelog-from-events"},
+            {"Type": "dml-filter", "Config": {"tableRegex": "^sbtest1$", "ops": ["insert", "update"]}},
+            {"Type": "map-names", "Config": {"dbMap": {"app": "dw"}}},
+            {"Type": "catch-table-name", "Config": {"pattern": "^(sbtest)\\d+$"}},
+        ],
+    }
+    df = run_pipeline(spark, spec)
+    rows = df.collect()
+    assert rows and all(r.db == "dw" and r.table_name == "sbtest1" for r in rows)
+    assert all(r.logical_table == "sbtest" for r in rows)
+
+
+def test_runner_compact_and_parquet_output(spark, tmp_path):
+    out = str(tmp_path / "net")
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [
+            {"Type": "changelog-from-events"},
+            {"Type": "compact", "Config": {"keyCols": ["table_name", "pk"], "payloadCols": ["k", "value"]}},
+        ],
+        "Output": {"Type": "parquet", "Config": {"path": out}},
+    }
+    assert run_pipeline(spark, spec) is None
+    written = spark.read.parquet(out)
+    assert written.count() > 0 and "net_op" in written.columns
+
+
+def test_runner_unknown_type_raises(spark):
+    with pytest.raises(PipelineSpecError, match="unknown processor"):
+        build_pipeline(
+            spark,
+            {
+                "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+                "Processors": [{"Type": "nope"}],
+            },
+        )
+    with pytest.raises(PipelineSpecError, match="unknown input"):
+        build_pipeline(spark, {"Input": {"Type": "mysql-binlog"}})
+
+
+def test_multimodal_image_features(spark):
+    docs = load_table(spark, SF, "documents")
+    assets = synthesize_assets(docs)
+    feats = extract_image_features(assets)
+    rows = feats.collect()
+    n_images = assets.filter(F.col("modality") == "image").count()
+    assert len(rows) == n_images > 0
+    r = rows[0]
+    assert 64 <= r.width < 256 and len(r.features) == 16
+    # determinism: same input -> same features
+    again = {x.asset_id: x.features for x in extract_image_features(assets).collect()}
+    assert again[r.asset_id] == r.features
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = load_table(spark, SF, "documents")
+    assets = synthesize_assets(docs)
+    frames = sample_video_frames(assets, n_frames=4)
+    n_videos = assets.filter(F.col("modality") == "video").count()
+    got = frames.groupBy("asset_id").count().collect()
+    assert len(got) == n_videos and all(r["count"] == 4 for r in got)
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    import shutil
+    import time
+
+    from pipe_s_spark.metrics import attach_metrics
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    listener = attach_metrics(spark)
+    try:
+        q = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(str(d))
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(60)
+        deadline = time.time() + 10
+        while listener.snapshot.batches == 0 and time.time() < deadline:
+            time.sleep(0.2)
+        assert listener.snapshot.batches >= 1
+        assert listener.snapshot.rows_total == 1000  # sf0.001 events
+    finally:
+        spark.streams.removeListener(listener)
