@@ -32,7 +32,13 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once with the cheapest query
+    # warm the JVM, codegen, and parquet footers so per-query timings
+    # measure the queries, not session startup
+    from pipe_s_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()

@@ -1,0 +1,137 @@
+"""JDBC upsert sink: the reference's MySQL batch writer re-expressed.
+
+Parity targets:
+- single-row idempotent DML (`/root/reference/pkg/utils/mysql.go:197-218`):
+  ``INSERT IGNORE`` / full-row ``UPDATE ... WHERE pk`` / ``DELETE WHERE pk``
+- multi-row flush (`pkg/output/mysql/batch/tableprocessor.go:198-271`):
+  multi-VALUES insert, multi-statement update transaction, ``DELETE ...
+  WHERE (pk) IN (...)``
+- per-key routing for ordered apply (`batch/batchoutput.go:164-190`):
+  here ``repartition(n, keys)`` + per-partition executors
+
+SQL generation is dialect-parameterized and unit-tested; the executor
+needs a live DB + JDBC driver (absent in this environment), so
+``jdbc_upsert_writer`` returns a ``foreachPartition`` closure whose DB
+calls go through a pluggable ``execute`` callable (tests inject a
+recorder; production injects a DB-API/JDBC connection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+from dataclasses import dataclass
+
+
+def _q(ident: str) -> str:
+    return f"`{ident}`"
+
+
+def _fmt(v: object) -> str:
+    """Literal formatting for interpolated batches (the reference uses
+    interpolateParams=true client-side interpolation, utils/mysql.go:27).
+    Production JDBC path should prefer prepared-statement batching."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"'{s}'"
+
+
+@dataclass
+class UpsertStatements:
+    inserts: list[str]
+    updates: list[str]
+    deletes: list[str]
+
+    def all(self) -> list[str]:
+        return self.inserts + self.updates + self.deletes
+
+
+def build_upsert_statements(
+    table: str,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    rows: Iterable[dict],
+    net_op_col: str = "net_op",
+    max_rows_per_stmt: int = 1000,
+    dialect: str = "mysql",
+) -> UpsertStatements:
+    """Group compacted rows by net op and render batched SQL.
+
+    mysql dialect: INSERT IGNORE + per-row UPDATE + DELETE..IN, matching
+    the reference byte-for-byte in shape; 'ansi' renders MERGE-less
+    standard statements (INSERT ON CONFLICT for postgres-alikes).
+    """
+    keys = list(key_cols)
+    cols = keys + list(payload_cols)
+    ins_rows: list[str] = []
+    upd_stmts: list[str] = []
+    del_keys: list[str] = []
+
+    for r in rows:
+        op = r[net_op_col]
+        if op == "insert":
+            ins_rows.append("(" + ", ".join(_fmt(r[c]) for c in cols) + ")")
+        elif op == "update":
+            sets = ", ".join(f"{_q(c)} = {_fmt(r[c])}" for c in payload_cols)
+            where = " AND ".join(f"{_q(k)} = {_fmt(r[k])}" for k in keys)
+            upd_stmts.append(f"UPDATE {_q(table)} SET {sets} WHERE {where};")
+        elif op == "delete":
+            del_keys.append("(" + ", ".join(_fmt(r[k]) for k in keys) + ")")
+
+    inserts = []
+    head = (
+        f"INSERT IGNORE INTO {_q(table)} ({', '.join(_q(c) for c in cols)}) VALUES "
+        if dialect == "mysql"
+        else f"INSERT INTO {_q(table)} ({', '.join(_q(c) for c in cols)}) VALUES "
+    )
+    for i in range(0, len(ins_rows), max_rows_per_stmt):
+        stmt = head + ", ".join(ins_rows[i : i + max_rows_per_stmt])
+        if dialect != "mysql":
+            stmt += f" ON CONFLICT ({', '.join(_q(k) for k in keys)}) DO NOTHING"
+        inserts.append(stmt + ";")
+
+    updates = []
+    for i in range(0, len(upd_stmts), max_rows_per_stmt):
+        updates.append("BEGIN;\n" + "\n".join(upd_stmts[i : i + max_rows_per_stmt]) + "\nCOMMIT;")
+
+    deletes = []
+    key_tuple = "(" + ", ".join(_q(k) for k in keys) + ")"
+    for i in range(0, len(del_keys), max_rows_per_stmt):
+        deletes.append(
+            f"DELETE FROM {_q(table)} WHERE {key_tuple} IN "
+            f"({', '.join(del_keys[i : i + max_rows_per_stmt])});"
+        )
+    return UpsertStatements(inserts, updates, deletes)
+
+
+def jdbc_upsert_writer(
+    table: str,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    execute: Callable[[str], None],
+    num_key_partitions: int = 8,
+):
+    """Return (df) -> None applying a compacted changelog DataFrame via
+    batched SQL, partition-parallel, hash-routed by key for per-key
+    serial order (parity: batchoutput.go:164-190). ``execute`` runs one
+    SQL string against the target (injected: DB-API cursor.execute in
+    production, a recorder in tests — no JDBC driver in this env)."""
+
+    def write(df) -> None:
+        routed = df.repartition(num_key_partitions, *key_cols)
+
+        def per_partition(rows) -> None:
+            batch = [r.asDict() for r in rows]
+            if not batch:
+                return
+            stmts = build_upsert_statements(table, key_cols, payload_cols, batch)
+            for s in stmts.all():
+                execute(s)
+
+        routed.foreachPartition(per_partition)
+
+    return write
