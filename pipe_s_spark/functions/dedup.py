@@ -43,21 +43,26 @@ NORMALIZE_SQL = (
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document (posexplode + window lead
-    keeps the formulation identical to the SQL oracle)."""
-    from pyspark.sql.window import Window
+    """Distinct k-token shingles per document.
 
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("ord", "tok")
+    Computed as a pure array expression (transform over an index
+    sequence), so shingling is a narrow map — no shuffle, no window —
+    and the only exchange in a dedup plan is the one the downstream
+    groupBy/join needs anyway. (An earlier window-lead formulation cost
+    two extra per-doc sorts; results are identical.)"""
+    c = tokens(text_col)
+    idx = F.when(F.size(c) >= k, F.sequence(F.lit(0), F.size(c) - k)).otherwise(
+        F.array().cast("array<int>")
     )
-    w = Window.partitionBy(id_col).orderBy("ord")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    sh = toks.select(
-        F.col(id_col),
-        F.concat_ws(" ", *parts).alias("shingle"),
-        *[F.lead("tok", i).over(w).alias(f"_l{i}") for i in range(1, k)],
-    ).filter(F.col(f"_l{k-1}").isNotNull())
-    return sh.select(id_col, "shingle").distinct()
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(c, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
 
 
 def minhash_signature(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:

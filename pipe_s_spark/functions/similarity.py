@@ -87,33 +87,27 @@ def brute_force_topk(
 LSH_PLANES = 8
 
 
-def _plane_weight(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random weight in [-0.5, 0.5): hex of
-    md5('p{plane}d{dim}') scaled. Reproducible in ANSI SQL."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"p{plane}d"), dim_idx.cast("string"))), 1, 4), 16, 10
-    ).cast("double")
-    return h / F.lit(65536.0) - F.lit(0.5)
+def plane_weight_value(plane: int, dim_idx: int) -> float:
+    """Deterministic pseudo-random weight in [-0.5, 0.5): first 4 hex
+    chars of md5('p{plane}d{dim}') scaled. Computed once driver-side --
+    the planes are constants, so hashing per-row in the engine (or the
+    oracle) would be pure waste; both sides inline the same literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}d{dim_idx}".encode()).hexdigest()[:4], 16)
+    return h / 65536.0 - 0.5
 
 
-def lsh_bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
-    """Random-hyperplane signature: bit p = (dot(vec, plane_p) > 0).
-
-    Expressed as a fold over the vector indices so the identical
-    formula renders in SQL for the oracle."""
-    def _dot_with_plane(p: int) -> Column:
-        def mult(x: Column, i: Column) -> Column:
-            return x * _plane_weight(p, i)
-
-        return F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), mult),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+def lsh_bucket(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:
+    """Random-hyperplane signature: bit p = (dot(vec, plane_p) > 0),
+    with the plane matrix inlined as array literals (narrow map, no
+    per-row hashing)."""
     bits = []
     for p in range(planes):
-        d = _dot_with_plane(p)
+        w = F.array(*[F.lit(plane_weight_value(p, i)) for i in range(1, dim + 1)])
+        d = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
         bits.append(F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -122,10 +116,14 @@ def lsh_bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
 
 
 def lsh_bucket_sql(vec: str, dim: int = 64, planes: int = LSH_PLANES) -> str:
+    """DuckDB rendering with the identical literal plane matrix."""
     terms = []
     for p in range(planes):
-        w = f"(CAST(CAST('0x' || substr(md5('p{p}d' || CAST(i AS VARCHAR)), 1, 4) AS INTEGER) AS DOUBLE) / 65536.0 - 0.5)"
-        d = f"list_sum(list_transform(generate_series(1, {dim}), i -> {vec}[i] * {w}))"
+        ws = ", ".join(repr(plane_weight_value(p, i)) for i in range(1, dim + 1))
+        d = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i] * (ARRAY[{ws}]::DOUBLE[])[i]))"
+        )
         terms.append(f"(CASE WHEN {d} > 0 THEN {2**p} ELSE 0 END)")
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
 
