@@ -134,40 +134,69 @@ def threshold_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via blocked numpy matmul.
+    """All-pairs cosine >= threshold via a distributed block-matrix join.
 
-    The smaller side (here: the whole corpus at test scale; at 100 TB, a
-    centroid/LSH-pruned candidate set) is broadcast as a normalized
-    float64 matrix; each Arrow batch of the distributed side multiplies
-    against it — O(rows_per_batch x corpus x dim) FLOPs in BLAS instead
-    of per-pair Catalyst expression folds (~60x faster at sf0.1).
-    Emits ordered pairs (id1 < id2) once.
+    Exact (full recall — the oracle is brute-force all-pairs), with NO
+    driver-side collect: rows are assigned to ``num_blocks`` hash blocks,
+    each row is replicated to every block-pair it participates in
+    (B copies), and each (ba, bb) group computes its pairs with one
+    numpy matmul inside ``applyInPandas``. A pair is emitted only by the
+    group matching its (min-block, max-block), so nothing double-counts.
+
+    Scale: total FLOPs stay O(n^2 * dim) (all-pairs is exact by
+    contract), but per-task memory is bounded by 2n/B rows — at 100 TB,
+    pick B ~ n/50k so each block fits an executor; the matmul is chunked
+    so the sims matrix never exceeds chunk x (2n/B). Replication traffic
+    is n*B rows, one shuffle. For approximate near-dup at scale, use
+    the LSH-bucket path instead (``lsh_bucket`` + exact verify).
     """
     import numpy as np
 
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)], "ba int, bb int"
+    )
+    e = corpus.select(id_col, vec_col).withColumn(
+        "blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks))
+    )
+    rep = e.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")),
+    )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            bids = b[id_col].to_numpy()
-            bm = np.stack(b[vec_col].to_numpy()).astype("float64")
-            bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bn @ mn.T
-            rows, cols = np.where(sims.round(round_to) >= threshold)
-            keep = bids[rows] < ids[cols]
-            yield pd.DataFrame(
-                {
-                    "id1": bids[rows][keep],
-                    "id2": ids[cols][keep],
-                    "cos_sim": sims[rows, cols][keep].round(round_to),
-                }
+    def pairs_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        ids = pdf[id_col].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        outs = []
+        chunk = 2048  # bounds the sims matrix at chunk x group_rows
+        for lo in range(0, len(ids), chunk):
+            sims = mn[lo : lo + chunk] @ mn.T
+            r, c = np.where(sims.round(round_to) >= threshold)
+            r_g = r + lo
+            keep = (
+                (ids[r_g] < ids[c])
+                & (np.minimum(blks[r_g], blks[c]) == ba)
+                & (np.maximum(blks[r_g], blks[c]) == bb)
             )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id1": ids[r_g][keep],
+                        "id2": ids[c][keep],
+                        "cos_sim": sims[r, c][keep].round(round_to),
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else pd.DataFrame(columns=["id1", "id2", "cos_sim"])
 
-    return corpus.mapInPandas(kernel, schema="id1 long, id2 long, cos_sim double")
+    return rep.groupBy("ba", "bb").applyInPandas(
+        pairs_in_group, schema="id1 long, id2 long, cos_sim double"
+    )
 
 
 def cosine_batch_kernel(

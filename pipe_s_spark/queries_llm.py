@@ -51,14 +51,16 @@ def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        # rounded to 6 decimals like every other float in the suite —
+        # the harness hashes full-precision doubles otherwise
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
     )
 
 
 SQL_TEXT_LANG_SUMMARY = """
 SELECT lang, source, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
 FROM documents
 GROUP BY lang, source
 """
@@ -126,11 +128,27 @@ sh AS (
 )"""
 
 
+#: Max document frequency for a shingle to stay in the jaccard index.
+#: A boilerplate 3-gram shared by 1M docs would otherwise create a
+#: quadratic collision group on one skewed join key; dropping
+#: stop-shingles from the representation (index AND sizes, both
+#: engines) bounds per-shingle join fan-out at DF_CAP^2.
+JACCARD_DF_CAP = 100
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a shingle inverted index
-    (no cross join; scales as shingle-collision volume)."""
+    (no cross join; collision volume bounded by the df-cap)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=3)
+    # df-cap via a window count — the shuffle on `shingle` is the same
+    # partitioning the self-join below needs, so Catalyst reuses it
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,10 +173,15 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_JACCARD = f"""
 WITH {SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= {JACCARD_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT d1, d2,

@@ -46,6 +46,14 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano timestamps."""
+    # Runtime-settable; must not depend on how the session was built —
+    # external harnesses construct vanilla sessions. events.parquet is
+    # INT64 TIMESTAMP(NANOS), which Spark rejects without nanosAsLong;
+    # UTC + non-ANSI match the DuckDB-oracle semantics the suite is
+    # verified under (Spark 4 defaults differ on both).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: nanos epochs (~1.7e18) overflow a
