@@ -134,16 +134,17 @@ def threshold_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 6,
-    num_blocks: int = 8,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via a distributed block-matrix join.
 
     Exact (full recall — the oracle is brute-force all-pairs), with NO
     driver-side collect: rows are assigned to ``num_blocks`` hash blocks,
-    each row is replicated to every block-pair it participates in
-    (B copies), and each (ba, bb) group computes its pairs with one
-    numpy matmul inside ``applyInPandas``. A pair is emitted only by the
-    group matching its (min-block, max-block), so nothing double-counts.
+    each row is replicated to every block-pair it participates in via a
+    NARROW explode (B copies, no join), and each (ba, bb) group computes
+    its pairs with one numpy matmul inside ``applyInPandas``. A pair is
+    emitted only by the group matching its (min-block, max-block), so
+    nothing double-counts.
 
     Scale: total FLOPs stay O(n^2 * dim) (all-pairs is exact by
     contract), but per-task memory is bounded by 2n/B rows — at 100 TB,
@@ -154,17 +155,24 @@ def threshold_pairs_blocked(
     """
     import numpy as np
 
-    spark = corpus.sparkSession
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)], "ba int, bb int"
-    )
     e = corpus.select(id_col, vec_col).withColumn(
         "blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks))
     )
-    rep = e.join(
-        F.broadcast(block_pairs),
-        (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")),
-    )
+    # row in block k participates in group (min(k,o), max(k,o)) for every
+    # block o — emitted as a narrow explode, one entry per group
+    other = F.sequence(F.lit(0), F.lit(num_blocks - 1))
+    rep = e.withColumn(
+        "bp",
+        F.explode(
+            F.transform(
+                other,
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("ba"),
+                    F.greatest(F.col("blk"), o).alias("bb"),
+                ),
+            )
+        ),
+    ).select(id_col, vec_col, "blk", F.col("bp.ba").alias("ba"), F.col("bp.bb").alias("bb"))
 
     def pairs_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = key

@@ -137,38 +137,12 @@ JACCARD_DF_CAP = 100
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs via a shingle inverted index
-    (no cross join; collision volume bounded by the df-cap)."""
+    """N-gram Jaccard near-dup pairs via a df-capped inverted posting
+    list (see functions.dedup.jaccard_pairs — no self-join, bounded
+    per-shingle fan-out)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=3)
-    # df-cap via a window count — the shuffle on `shingle` is the same
-    # partitioning the self-join below needs, so Catalyst reuses it
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= JACCARD_DF_CAP)
-        .drop("df")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.15)
-    )
+    return D.jaccard_pairs(sh, "doc_id", df_cap=JACCARD_DF_CAP, threshold=0.15)
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -233,16 +207,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     aggs = ",\n           ".join(
-        f"MIN(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_MINHASH_N)
+        "MIN(({a} * h + {b}) % {p}) AS h{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=D.MINHASH_PRIME, i=i
+        )
+        for i in range(_MINHASH_N)
     )
-    return f"sig AS (\n    SELECT doc_id, {aggs}\n    FROM sh GROUP BY doc_id\n)"
+    return (
+        "sigbase AS (\n"
+        "    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh\n"
+        "),\n"
+        f"sig AS (\n    SELECT doc_id, {aggs}\n    FROM sigbase GROUP BY doc_id\n)"
+    )
 
 
 def _bands_sql() -> str:
     rows = _MINHASH_N // _MINHASH_BANDS
     parts = []
     for bnd in range(_MINHASH_BANDS):
-        cols = " || '|' || ".join(f"h{i}" for i in range(bnd * rows, (bnd + 1) * rows))
+        cols = " || '|' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(bnd * rows, (bnd + 1) * rows)
+        )
         parts.append(f"SELECT doc_id, {bnd} AS band_id, {cols} AS band_sig FROM sig")
     return "bands AS (\n" + "\nUNION ALL\n".join(parts) + "\n)"
 
