@@ -1,5 +1,10 @@
 from pipe_s_spark.operators.filters import filter_dml
-from pipe_s_spark.operators.converter import apply_schema, fan_out_tables
+from pipe_s_spark.operators.converter import (
+    SchemaRegistry,
+    apply_ddl_events,
+    apply_schema,
+    fan_out_tables,
+)
 from pipe_s_spark.operators.mapping import map_actions, map_names
 from pipe_s_spark.operators.values import catch_table_name, column_value, value_map
 from pipe_s_spark.operators.jsonio import marshal_json, unmarshal_json
@@ -8,6 +13,8 @@ from pipe_s_spark.operators.checker import check_consistency
 
 __all__ = [
     "filter_dml",
+    "SchemaRegistry",
+    "apply_ddl_events",
     "apply_schema",
     "fan_out_tables",
     "map_actions",

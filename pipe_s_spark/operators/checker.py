@@ -32,11 +32,20 @@ def check_consistency(
     compare_cols: Sequence[str] | None = None,
     updated_at_col: str | None = None,
     skip_recent_seconds: int | None = None,
+    recheck_src: DataFrame | None = None,
 ) -> DataFrame:
     """Return a diff report DataFrame: key columns + ``diff_type``
     ('row_miss' | 'row_diff'). Empty result == consistent (the e2e
     integrity loop's golden output, integration_test/dbsync/
-    data_integrity_test_linux.sh:135-144)."""
+    data_integrity_test_linux.sh:135-144).
+
+    ``recheck_src``: a FRESH read of the source (parity with the
+    reference's second-pass recheck, checkoutput.go:349-412). Candidate
+    diffs whose source row changed — or vanished — between the snapshot
+    (``src``) and the recheck read are dropped from the report: they are
+    rows caught mid-update by the snapshot, not real inconsistencies.
+    An online check re-reads only candidate keys, so pass a keyed/pruned
+    re-read at scale."""
     keys = list(key_cols)
     if compare_cols is None:
         compare_cols = [c for c in src.columns if c not in keys and c in tgt.columns]
@@ -62,4 +71,25 @@ def check_consistency(
         .select(*keys)
         .withColumn("diff_type", F.lit("row_diff"))
     )
-    return misses.unionByName(diffs)
+    report = misses.unionByName(diffs)
+
+    if recheck_src is not None:
+        fresh = recheck_src.select(
+            keys
+            + [F.col(c).alias(f"__f_{c}") for c in compare_cols]
+            + [F.lit(1).alias("__f_present")]
+        )
+        snap = src.select(keys + list(compare_cols))
+        # a key is unstable if its source row changed or vanished
+        # between snapshot and recheck
+        src_changed = F.col("__f_present").isNull()
+        for c in compare_cols:
+            src_changed = src_changed | ~F.col(c).eqNullSafe(F.col(f"__f_{c}"))
+        unstable = (
+            snap.join(fresh, on=keys, how="left")
+            .filter(src_changed)
+            .select(*keys)
+            .distinct()
+        )
+        report = report.join(unstable, on=keys, how="left_anti")
+    return report

@@ -46,9 +46,91 @@ def apply_schema(
     return _apply
 
 
+class SchemaRegistry:
+    """Mutable per-table schema store with DDL invalidation.
+
+    Parity: ``SimpleSchemaStore`` (/root/reference/pkg/schema/simple.go:
+    72-166) caches table schemas and **invalidates on DDL events**
+    (simple.go:92-103, driven from the binlog reader's query-event path,
+    binloginput.go:477-502). Here the cache is a plain dict; the
+    streaming driver calls :func:`apply_ddl_events` per micro-batch
+    BEFORE fanning out, so an ALTER TABLE flowing through the changelog
+    re-types every subsequent batch — per-query Spark schemas are
+    static, so batch granularity is the Structured-Streaming-correct
+    invalidation point.
+    """
+
+    def __init__(self, schemas: Mapping[str, T.StructType] | None = None):
+        self._schemas: dict[str, T.StructType] = dict(schemas or {})
+        self.version = 0
+
+    def get(self, table: str) -> T.StructType | None:
+        return self._schemas.get(table)
+
+    def tables(self) -> list[str]:
+        return sorted(self._schemas)
+
+    def set(self, table: str, schema: T.StructType) -> None:
+        self._schemas[table] = schema
+        self.version += 1
+
+    def drop(self, table: str) -> None:
+        if self._schemas.pop(table, None) is not None:
+            self.version += 1
+
+    def snapshot(self) -> dict[str, T.StructType]:
+        return dict(self._schemas)
+
+
+def apply_ddl_events(
+    registry: SchemaRegistry,
+    batch: DataFrame,
+    op_col: str = "op",
+    table_col: str = "table_name",
+    ddl_col: str = "new_row",
+) -> DataFrame:
+    """Consume DDL events from a batch, mutating ``registry``; return
+    the batch with DDL rows removed (only DML flows on to fan-out).
+
+    A DDL event is ``op == 'ddl'`` whose payload (``ddl_col``, JSON)
+    carries ``{"action": "alter"|"drop", "columns": {name: typeDDL}}``
+    — e.g. ``{"action": "alter", "columns": {"k": "int", "note":
+    "string"}}`` re-types the table to those columns. This mirrors the
+    reference's invalidate-then-rebuild (it re-SELECTs
+    INFORMATION_SCHEMA, simple.go:105-150; a self-contained stream
+    carries the new shape in-band instead).
+
+    DDL rows are driver-collected — they are rare control events
+    (one per ALTER), not data.
+    """
+    import json
+
+    ddl_rows = (
+        batch.filter(F.col(op_col) == "ddl")
+        .select(table_col, ddl_col)
+        .collect()
+    )
+    for r in ddl_rows:
+        spec = json.loads(r[ddl_col]) if r[ddl_col] else {}
+        table = r[table_col]
+        if spec.get("action") == "drop":
+            registry.drop(table)
+            continue
+        cols = spec.get("columns") or {}
+        registry.set(
+            table,
+            T.StructType([T.StructField(n, _parse_type(t), True) for n, t in cols.items()]),
+        )
+    return batch.filter(F.col(op_col) != "ddl")
+
+
+def _parse_type(type_ddl: str) -> T.DataType:
+    return T._parse_datatype_string(type_ddl)
+
+
 def fan_out_tables(
     df: DataFrame,
-    schemas: Mapping[str, T.StructType],
+    schemas: "Mapping[str, T.StructType] | SchemaRegistry",
     table_col: str = "table_name",
     json_cols: tuple[str, ...] = ("old_row", "new_row"),
 ) -> dict[str, DataFrame]:
@@ -59,6 +141,8 @@ def fan_out_tables(
     into the source, so at scale each branch reads only its partitions
     (partition the upstream store by table for full pruning).
     """
+    if isinstance(schemas, SchemaRegistry):
+        schemas = schemas.snapshot()
     out: dict[str, DataFrame] = {}
     for table, schema in schemas.items():
         branch = df.filter(F.col(table_col) == table)

@@ -41,6 +41,8 @@ def unmarshal_json(
         if flatten:
             keep = [c for c in df.columns if c not in (in_col, "__parsed")]
             return parsed.select(*keep, F.col("__parsed.*"))
-        return parsed.withColumnRenamed("__parsed", in_col)
+        # drop the raw string first — otherwise two columns share in_col's
+        # name and later references are ambiguous
+        return parsed.drop(in_col).withColumnRenamed("__parsed", in_col)
 
     return _apply

@@ -84,13 +84,20 @@ def map_actions(
             return df.withColumn(op_col, new_op)
         was_delete = F.col(op_col) == "delete"
         to_delete = new_op == "delete"
-        # payload follows the target op: deletes carry old_row, others new_row
+        changed = new_op != F.col(op_col)
+        # payload moves ONLY for remapped events (dbchange.go:239-269);
+        # pass-through events keep both pre- and post-images untouched
+        # (an update keeps OldRow AND NewRow)
         payload = F.when(was_delete, F.col(old_col)).otherwise(F.col(new_col))
         return df.select(
             *[c for c in df.columns if c not in (op_col, old_col, new_col)],
             new_op.alias(op_col),
-            F.when(to_delete, payload).alias(old_col),
-            F.when(~to_delete, payload).alias(new_col),
+            F.when(~changed, F.col(old_col))
+            .otherwise(F.when(to_delete, payload))
+            .alias(old_col),
+            F.when(~changed, F.col(new_col))
+            .otherwise(F.when(~to_delete, payload))
+            .alias(new_col),
         )
 
     return _apply

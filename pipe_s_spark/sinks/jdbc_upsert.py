@@ -22,21 +22,30 @@ from collections.abc import Callable, Iterable, Sequence
 from dataclasses import dataclass
 
 
-def _q(ident: str) -> str:
-    return f"`{ident}`"
+def _q(ident: str, dialect: str = "mysql") -> str:
+    if dialect == "mysql":
+        return "`" + ident.replace("`", "``") + "`"
+    return '"' + ident.replace('"', '""') + '"'
 
 
-def _fmt(v: object) -> str:
+def _fmt(v: object, dialect: str = "mysql") -> str:
     """Literal formatting for interpolated batches (the reference uses
     interpolateParams=true client-side interpolation, utils/mysql.go:27).
-    Production JDBC path should prefer prepared-statement batching."""
+
+    Escaping is dialect-aware: MySQL treats backslash as an escape in
+    string literals, so it must be doubled; ANSI dialects (Postgres with
+    standard_conforming_strings, etc.) treat backslash literally and
+    doubling would corrupt the value. Production JDBC paths should
+    prefer prepared-statement batching over interpolation."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    s = str(v).replace("'", "''")
+    if dialect == "mysql":
+        s = s.replace("\\", "\\\\")
     return f"'{s}'"
 
 
@@ -74,24 +83,25 @@ def build_upsert_statements(
     for r in rows:
         op = r[net_op_col]
         if op == "insert":
-            ins_rows.append("(" + ", ".join(_fmt(r[c]) for c in cols) + ")")
+            ins_rows.append("(" + ", ".join(_fmt(r[c], dialect) for c in cols) + ")")
         elif op == "update":
-            sets = ", ".join(f"{_q(c)} = {_fmt(r[c])}" for c in payload_cols)
-            where = " AND ".join(f"{_q(k)} = {_fmt(r[k])}" for k in keys)
-            upd_stmts.append(f"UPDATE {_q(table)} SET {sets} WHERE {where};")
+            sets = ", ".join(f"{_q(c, dialect)} = {_fmt(r[c], dialect)}" for c in payload_cols)
+            where = " AND ".join(f"{_q(k, dialect)} = {_fmt(r[k], dialect)}" for k in keys)
+            upd_stmts.append(f"UPDATE {_q(table, dialect)} SET {sets} WHERE {where};")
         elif op == "delete":
-            del_keys.append("(" + ", ".join(_fmt(r[k]) for k in keys) + ")")
+            del_keys.append("(" + ", ".join(_fmt(r[k], dialect) for k in keys) + ")")
 
     inserts = []
+    collist = ", ".join(_q(c, dialect) for c in cols)
     head = (
-        f"INSERT IGNORE INTO {_q(table)} ({', '.join(_q(c) for c in cols)}) VALUES "
+        f"INSERT IGNORE INTO {_q(table, dialect)} ({collist}) VALUES "
         if dialect == "mysql"
-        else f"INSERT INTO {_q(table)} ({', '.join(_q(c) for c in cols)}) VALUES "
+        else f"INSERT INTO {_q(table, dialect)} ({collist}) VALUES "
     )
     for i in range(0, len(ins_rows), max_rows_per_stmt):
         stmt = head + ", ".join(ins_rows[i : i + max_rows_per_stmt])
         if dialect != "mysql":
-            stmt += f" ON CONFLICT ({', '.join(_q(k) for k in keys)}) DO NOTHING"
+            stmt += f" ON CONFLICT ({', '.join(_q(k, dialect) for k in keys)}) DO NOTHING"
         inserts.append(stmt + ";")
 
     updates = []
@@ -99,10 +109,10 @@ def build_upsert_statements(
         updates.append("BEGIN;\n" + "\n".join(upd_stmts[i : i + max_rows_per_stmt]) + "\nCOMMIT;")
 
     deletes = []
-    key_tuple = "(" + ", ".join(_q(k) for k in keys) + ")"
+    key_tuple = "(" + ", ".join(_q(k, dialect) for k in keys) + ")"
     for i in range(0, len(del_keys), max_rows_per_stmt):
         deletes.append(
-            f"DELETE FROM {_q(table)} WHERE {key_tuple} IN "
+            f"DELETE FROM {_q(table, dialect)} WHERE {key_tuple} IN "
             f"({', '.join(del_keys[i : i + max_rows_per_stmt])});"
         )
     return UpsertStatements(inserts, updates, deletes)

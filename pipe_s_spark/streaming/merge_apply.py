@@ -67,13 +67,23 @@ def stream_changelog_json(
 
 
 class MergeApplyTarget:
-    """Parquet-directory upsert target with epoch-atomic swap.
+    """Key-hash-bucketed parquet upsert target: the Delta-MERGE-shaped
+    alternative when no transactional table format is available.
 
-    Write protocol per epoch: read current -> merge -> write to
-    ``<path>.epoch-<n>`` -> atomic rename over ``<path>``. A replayed
-    epoch (crash between commit points) recomputes the same merge from
-    the same inputs — idempotent, so effects are exactly-once, matching
-    the reference's idempotent-SQL story (utils/mysql.go:197-218).
+    Layout: ``<path>/bucket=K/`` with ``K = pmod(hash(key_cols), N)``.
+    Per epoch only buckets containing touched keys are read, merged and
+    swapped — untouched bucket directories are not rewritten (at 100 TB
+    a micro-batch touches a small key set, so the rewrite is
+    O(touched-buckets), not O(table)). On a cluster the same foreachBatch
+    body targets Delta MERGE or JDBC upsert unchanged.
+
+    Crash safety: each touched bucket is swapped by rename via an
+    ``.old-<epoch>`` sibling; ``_recover`` runs before every read and
+    rolls a half-finished swap back (bucket dir missing + .old present)
+    or forward (both present -> drop .old). A replayed epoch then
+    recomputes the same merge from the same inputs — merge_apply is an
+    idempotent upsert, so effects stay exactly-once, matching the
+    reference's idempotent-SQL story (utils/mysql.go:197-218).
     """
 
     def __init__(
@@ -83,19 +93,59 @@ class MergeApplyTarget:
         payload_cols: Sequence[str] = ("k", "value"),
         seq_col: str = "seq",
         op_col: str = "op",
+        num_buckets: int = 16,
     ):
         self.path = path
         self.key_cols = list(key_cols)
         self.payload_cols = list(payload_cols)
         self.seq_col = seq_col
         self.op_col = op_col
+        self.num_buckets = num_buckets
 
-    def read_current(self, spark: SparkSession) -> DataFrame:
+    def _bucket(self, df: DataFrame):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
+
+    def _bucket_dir(self, k: int) -> str:
+        return os.path.join(self.path, f"bucket={k}")
+
+    def _recover(self) -> None:
+        """Roll dangling bucket swaps back or forward (ADVICE: a crash
+        between the two renames must not read as an empty bucket)."""
+        if not os.path.isdir(self.path):
+            return
+        for entry in os.listdir(self.path):
+            # ".old-<epoch>-bucket=K": dot-prefixed so Spark's partition
+            # discovery ignores it even if a crash leaves it behind
+            if not entry.startswith(".old-") or "-bucket=" not in entry:
+                continue
+            bucket_name = "bucket=" + entry.split("-bucket=", 1)[1]
+            live = os.path.join(self.path, bucket_name)
+            old = os.path.join(self.path, entry)
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)  # swap completed
+            else:
+                os.rename(old, live)  # swap half-done: roll back
+
+    def read_current(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        self._recover()
         cols = self.key_cols + self.payload_cols
-        if os.path.isdir(self.path):
-            return spark.read.parquet(self.path).select(*cols)
-        fields = [f for f in FLAT_CHANGELOG_SCHEMA.fields if f.name in cols]
-        return spark.createDataFrame([], T.StructType(fields))
+        import glob as _glob
+
+        has_data = os.path.isdir(self.path) and bool(
+            _glob.glob(os.path.join(self.path, "bucket=*", "*.parquet"))
+        )
+        if not has_data:
+            fields = [f for f in FLAT_CHANGELOG_SCHEMA.fields if f.name in cols]
+            return spark.createDataFrame([], T.StructType(fields))
+        df = spark.read.option("basePath", self.path).parquet(self.path)
+        if buckets is not None:
+            # partition pruning: only the touched bucket dirs are scanned
+            df = df.filter(F.col("bucket").isin(list(buckets)))
+        return df.select(*cols)
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -105,17 +155,37 @@ class MergeApplyTarget:
             seq_col=self.seq_col,
             op_col=self.op_col,
             payload_cols=self.payload_cols,
-        )
-        merged = merge_apply(
-            self.read_current(spark), compacted, self.key_cols, self.payload_cols
-        )
-        tmp = f"{self.path}.epoch-{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{epoch_id}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        ).cache()
+        try:
+            # touched buckets: bounded driver-side metadata (<= num_buckets)
+            touched = sorted(
+                r["b"] for r in compacted.select(self._bucket(compacted).alias("b")).distinct().collect()
+            )
+            if not touched:
+                return
+            merged = merge_apply(
+                self.read_current(spark, buckets=touched),
+                compacted,
+                self.key_cols,
+                self.payload_cols,
+            )
+            merged = merged.withColumn("bucket", self._bucket(merged))
+            stage = f"{self.path}.stage-{epoch_id}"
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+            os.makedirs(self.path, exist_ok=True)
+            for k in touched:
+                staged = os.path.join(stage, f"bucket={k}")
+                if not os.path.isdir(staged):
+                    os.makedirs(staged)  # bucket fully deleted -> empty dir
+                live = self._bucket_dir(k)
+                old = os.path.join(self.path, f".old-{epoch_id}-bucket={k}")
+                if os.path.isdir(live):
+                    os.rename(live, old)
+                os.rename(staged, live)
+                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            compacted.unpersist()
 
 
 def run_merge_apply_stream(

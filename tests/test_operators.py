@@ -59,6 +59,36 @@ def test_map_actions_insert_to_delete_moves_new_to_old(spark):
     assert r.op == "delete" and r.new_row is None and r.old_row.id == 7
 
 
+def test_map_actions_passthrough_update_keeps_both_images(spark):
+    """Events whose op is NOT remapped keep old_row AND new_row — an
+    update's pre-image must survive (dbchange.go: updates carry both)."""
+    df = spark.createDataFrame(
+        [("update", (1, "before"), (1, "after")), ("delete", (2, "gone"), None)],
+        "op string, old_row struct<id:long,v:string>, new_row struct<id:long,v:string>",
+    )
+    rows = {r.op: r for r in df.transform(map_actions({"insert": "update"})).collect()}
+    upd = rows["update"]
+    assert upd.old_row.v == "before" and upd.new_row.v == "after"
+    assert rows["delete"].old_row.v == "gone" and rows["delete"].new_row is None
+
+
+def test_unmarshal_no_flatten_single_column(spark):
+    from pipe_s_spark.operators.jsonio import marshal_json, unmarshal_json
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    wire = df.transform(marshal_json(["id", "s"], out_col="value"))
+    back = wire.transform(unmarshal_json("id long, s string", in_col="value", flatten=False))
+    assert back.columns.count("value") == 1
+    assert back.select("value.s").collect()[0][0] == "a"
+
+
+def test_upsert_fmt_dialect_escaping():
+    from pipe_s_spark.sinks.jdbc_upsert import _fmt
+
+    assert _fmt("a\\b'c", "mysql") == "'a\\\\b''c'"
+    assert _fmt("a\\b'c", "ansi") == "'a\\b''c'"
+
+
 def test_map_names_and_value_map(spark):
     df = spark.createDataFrame([("app", "sbtest3", 5)], "db string, table_name string, k int")
     out = (
@@ -137,6 +167,91 @@ def test_compaction_delete_insert_becomes_update(spark):
     )
     r = compact_changelog(cl, key_cols=("pk",), payload_cols=("payload",)).collect()[0]
     assert r.net_op == "update" and r.payload == 42
+
+
+def test_schema_registry_ddl_mid_stream(spark):
+    """ALTER-shaped event mid-stream re-types subsequent fan-out
+    (simple.go:92-103 invalidation parity)."""
+    from pipe_s_spark.operators import SchemaRegistry, apply_ddl_events, fan_out_tables
+    from pyspark.sql import types as T
+
+    reg = SchemaRegistry({"t1": T.StructType([T.StructField("k", T.IntegerType())])})
+    v0 = reg.version
+
+    batch1 = spark.createDataFrame(
+        [("insert", "t1", '{"k": 1}')], "op string, table_name string, new_row string"
+    )
+    out1 = fan_out_tables(apply_ddl_events(reg, batch1), reg, json_cols=("new_row",))
+    assert out1["t1"].select("new_row.k").collect()[0][0] == 1
+    assert reg.version == v0  # no DDL seen
+
+    batch2 = spark.createDataFrame(
+        [
+            ("ddl", "t1", '{"action": "alter", "columns": {"k": "int", "note": "string"}}'),
+            ("insert", "t1", '{"k": 2, "note": "hello"}'),
+        ],
+        "op string, table_name string, new_row string",
+    )
+    dml = apply_ddl_events(reg, batch2)
+    assert reg.version > v0
+    assert dml.filter(dml.op == "ddl").count() == 0  # control rows consumed
+    out2 = fan_out_tables(dml, reg, json_cols=("new_row",))
+    row = out2["t1"].select("new_row.k", "new_row.note").collect()[0]
+    assert (row[0], row[1]) == (2, "hello")
+
+    batch3 = spark.createDataFrame(
+        [("ddl", "t1", '{"action": "drop"}')], "op string, table_name string, new_row string"
+    )
+    apply_ddl_events(reg, batch3)
+    assert reg.get("t1") is None
+
+
+def test_checker_recheck_drops_concurrently_updated_rows(spark):
+    """checkoutput.go:349-412 parity: a diff candidate whose SOURCE row
+    changed between snapshot and recheck is a mid-update artifact, not
+    an inconsistency — it must leave the report."""
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "pk long, v double"
+    )
+    tgt = spark.createDataFrame([(1, 10.0), (2, 99.0)], "pk long, v double")
+    # fresh read: pk=2 changed since snapshot (concurrent update),
+    # pk=3 unchanged (still missing from target -> real miss)
+    fresh = spark.createDataFrame([(1, 10.0), (2, 21.0), (3, 30.0)], "pk long, v double")
+    rep = {
+        (r.pk, r.diff_type)
+        for r in check_consistency(snap, tgt, ["pk"], ["v"], recheck_src=fresh).collect()
+    }
+    assert rep == {(3, "row_miss")}  # pk=2's diff dropped, pk=1 consistent
+
+    # a vanished source row (deleted concurrently) is dropped too
+    fresh2 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "pk long, v double")
+    rep2 = {
+        (r.pk, r.diff_type)
+        for r in check_consistency(snap, tgt, ["pk"], ["v"], recheck_src=fresh2).collect()
+    }
+    assert rep2 == {(2, "row_diff")}  # pk=3 vanished at source -> dropped
+
+
+def test_kafka_frame_decode(spark):
+    """decode_changelog_frame against the connector's exact output
+    shape (key/value binary + coordinates)."""
+    import json as _json
+
+    from pipe_s_spark.sources import decode_changelog_frame
+
+    ev = {
+        "id": "e1", "seq": 7, "db": "app", "table_name": "sbtest1",
+        "db_time": 1, "event_time": 2, "op": "insert",
+        "old_row": None, "new_row": '{"k": 5}', "extra": {"gtid": "x"},
+    }
+    frame = spark.createDataFrame(
+        [("k1".encode(), _json.dumps(ev).encode(), "cdc", 0, 42)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    out = decode_changelog_frame(frame).collect()[0]
+    assert (out.topic, out.partition, out.offset) == ("cdc", 0, 42)
+    assert (out.seq, out.op, out.table_name) == (7, "insert", "sbtest1")
+    assert out.extra["gtid"] == "x"
 
 
 def test_checker_classifies_miss_and_diff(spark):

@@ -33,7 +33,8 @@ def test_upsert_sql_batching_and_ansi_dialect():
     s = build_upsert_statements("t", ["pk"], ["k"], rows, max_rows_per_stmt=1000)
     assert len(s.inserts) == 3  # 1000 + 1000 + 500
     s2 = build_upsert_statements("t", ["pk"], ["k"], rows[:5], dialect="ansi")
-    assert "ON CONFLICT (`pk`) DO NOTHING" in s2.inserts[0]
+    assert 'ON CONFLICT ("pk") DO NOTHING' in s2.inserts[0]
+    assert s2.inserts[0].startswith('INSERT INTO "t" ("pk", "k")')
 
 
 def test_jdbc_writer_routes_and_executes(spark, tmp_path):

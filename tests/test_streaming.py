@@ -102,6 +102,68 @@ def test_stream_apply_with_restart_matches_batch(spark, changelog_files, tmp_pat
     )
 
 
+def _mk_changes(spark, rows):
+    from pipe_s_spark.streaming.merge_apply import FLAT_CHANGELOG_SCHEMA
+
+    data = [
+        {"id": f"e{seq}", "seq": seq, "db": "d", "table_name": t, "op": op,
+         "pk": pk, "k": k, "value": v, "ts_ms": seq}
+        for seq, t, op, pk, k, v in rows
+    ]
+    return spark.createDataFrame(data, FLAT_CHANGELOG_SCHEMA)
+
+
+def _snapshot_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = f.read()
+    return out
+
+
+def test_merge_target_rewrites_only_touched_buckets(spark, tmp_path):
+    """Epoch N+1 must leave bucket dirs it didn't touch byte-identical
+    (the partitioned-target contract: O(touched), not O(table))."""
+    t = MergeApplyTarget(str(tmp_path / "t"), num_buckets=4)
+    t.apply_batch(
+        _mk_changes(spark, [(i, "t1", "insert", i, 1, float(i)) for i in range(20)]), 0
+    )
+    # find the bucket of pk=0 so the second batch touches exactly it
+    from pyspark.sql import functions as F
+
+    b0 = (
+        _mk_changes(spark, [(100, "t1", "update", 0, 1, 99.0)])
+        .select(F.pmod(F.hash("table_name", "pk"), F.lit(4)).alias("b"))
+        .collect()[0]["b"]
+    )
+    before = {
+        k: v for k, v in _snapshot_files(t.path).items() if not k.startswith(f"bucket={b0}/")
+    }
+    t.apply_batch(_mk_changes(spark, [(100, "t1", "update", 0, 1, 99.0)]), 1)
+    after = {
+        k: v for k, v in _snapshot_files(t.path).items() if not k.startswith(f"bucket={b0}/")
+    }
+    assert before == after, "untouched bucket files changed across epoch"
+    got = {(r["pk"]): r["value"] for r in t.read_current(spark).collect()}
+    assert got[0] == 99.0 and got[5] == 5.0 and len(got) == 20
+
+
+def test_merge_target_recovers_dangling_swap(spark, tmp_path):
+    """A crash between the two swap renames must not read as an empty
+    bucket: read_current rolls the .old dir back."""
+    t = MergeApplyTarget(str(tmp_path / "t"), num_buckets=2)
+    t.apply_batch(
+        _mk_changes(spark, [(i, "t1", "insert", i, 1, float(i)) for i in range(10)]), 0
+    )
+    n_before = t.read_current(spark).count()
+    live = os.path.join(t.path, "bucket=0")
+    os.rename(live, os.path.join(t.path, ".old-7-bucket=0"))  # simulated half-swap
+    assert t.read_current(spark).count() == n_before
+    assert os.path.isdir(live) and not os.path.isdir(os.path.join(t.path, ".old-7-bucket=0"))
+
+
 def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
     """Watermarked tumbling-window aggregation driven to completion via
     a file stream + memory sink (the streaming counterpart of the
