@@ -157,7 +157,11 @@ def _build_input(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
 def build_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
     """Compose Input + Processors into one lazy DataFrame plan."""
     df = _build_input(spark, spec.get("Input", {}))
-    for p in spec.get("Processors", []):
+    return _apply_processors(df, spec.get("Processors", []))
+
+
+def _apply_processors(df: DataFrame, procs) -> DataFrame:
+    for p in procs or []:
         typ = p.get("Type")
         if typ not in _PROCESSORS:
             raise PipelineSpecError(f"unknown processor type: {typ!r}")
@@ -165,11 +169,7 @@ def build_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
     return df
 
 
-def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | None:
-    """Build and execute: terminal Output writes/inspects the frame.
-    Returns the DataFrame for 'return' outputs, else None."""
-    df = build_pipeline(spark, spec)
-    out = spec.get("Output", {"Type": "return"})
+def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     typ = out.get("Type")
     cfg = out.get("Config", {})
     if typ == "return":
@@ -183,4 +183,37 @@ def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | No
     if typ == "console":  # parity: LogOutput
         df.show(int(cfg.get("numRows", 20)), truncate=False)
         return None
+    if typ == "fork":
+        # parity: ForkPipeline (examples/configsamples/fork_pipeline.json)
+        # — one source fanned into N nested sub-pipelines, each with its
+        # own Processors chain and Output. The shared prefix is cached
+        # so each branch reads the source once, not N times (the
+        # reference hands the same message to every fork branch;
+        # persisting the prefix is the DataFrame equivalent).
+        branches = out.get("Outputs", [])
+        if not branches:
+            raise PipelineSpecError("fork output needs a non-empty 'Outputs' list")
+        cache = len(branches) > 1 and not df.isStreaming
+        if cache:
+            df.persist()
+        try:
+            results = [
+                _write_output(
+                    _apply_processors(df, b.get("Processors")),
+                    b.get("Output", {"Type": "return"}),
+                )
+                for b in branches
+            ]
+        finally:
+            if cache:
+                df.unpersist()
+        returned = [r for r in results if r is not None]
+        return returned[0] if len(returned) == 1 else None
     raise PipelineSpecError(f"unknown output type: {typ!r}")
+
+
+def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | None:
+    """Build and execute: terminal Output writes/inspects the frame.
+    Returns the DataFrame for 'return' outputs, else None."""
+    df = build_pipeline(spark, spec)
+    return _write_output(df, spec.get("Output", {"Type": "return"}))

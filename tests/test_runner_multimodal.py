@@ -48,6 +48,48 @@ def test_runner_compact_and_parquet_output(spark, tmp_path):
     assert written.count() > 0 and "net_op" in written.columns
 
 
+def test_runner_fork_output(spark, tmp_path):
+    """ForkPipeline parity (fork_pipeline.json): one source, two nested
+    sub-pipelines with their own processors and sinks."""
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [{"Type": "changelog-from-events"}],
+        "Output": {
+            "Type": "fork",
+            "Outputs": [
+                {
+                    "Processors": [
+                        {"Type": "dml-filter", "Config": {"tableRegex": "^sbtest1$"}}
+                    ],
+                    "Output": {"Type": "parquet", "Config": {"path": p1}},
+                },
+                {
+                    "Processors": [
+                        {"Type": "compact", "Config": {"keyCols": ["table_name", "pk"],
+                                                       "payloadCols": ["k", "value"]}}
+                    ],
+                    "Output": {"Type": "parquet", "Config": {"path": p2}},
+                },
+            ],
+        },
+    }
+    assert run_pipeline(spark, spec) is None
+    f1 = spark.read.parquet(p1)
+    f2 = spark.read.parquet(p2)
+    assert f1.count() > 0 and f1.filter(f1.table_name != "sbtest1").count() == 0
+    assert f2.count() > 0 and "net_op" in f2.columns
+
+    with pytest.raises(PipelineSpecError, match="non-empty"):
+        run_pipeline(
+            spark,
+            {
+                "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+                "Output": {"Type": "fork", "Outputs": []},
+            },
+        )
+
+
 def test_runner_unknown_type_raises(spark):
     with pytest.raises(PipelineSpecError, match="unknown processor"):
         build_pipeline(
