@@ -39,6 +39,12 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # warm the Python UDF workers too (one per core) so the first
+    # mapInPandas query measures the operator, not worker fork+import
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()

@@ -128,6 +128,108 @@ def lsh_bucket_sql(vec: str, dim: int = 64, planes: int = LSH_PLANES) -> str:
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
 
 
+#: Number of IVF cells (coarse-quantizer partitions).
+IVF_CELLS = 8
+
+
+def ivf_centroid(cell: int, dim: int = 64) -> list[float]:
+    """Deterministic unit-norm pseudo-random centroid for IVF cell
+    ``cell`` (md5-derived like :func:`plane_weight_value`, then
+    normalized so dot(v, c) ranks cells by cosine). A production IVF
+    trains centroids with k-means on a sample; the deterministic
+    variant keeps the oracle bit-reproducible while exercising the
+    identical query plan (assign -> probe -> cell equi-join)."""
+    import hashlib
+    import math
+
+    raw = [
+        int(hashlib.md5(f"c{cell}d{i}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+        for i in range(1, dim + 1)
+    ]
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+def ivf_cell_dots(vec: Column, n_cells: int = IVF_CELLS, dim: int = 64) -> Column:
+    """array of dot(vec, centroid_c) for every cell — a NARROW map-side
+    expression (no shuffle, no UDF); the literal centroid matrix is
+    folded into codegen."""
+    return F.array(
+        *[
+            dot(vec, F.array(*[F.lit(w) for w in ivf_centroid(c, dim)]))
+            for c in range(n_cells)
+        ]
+    )
+
+
+def ivf_assign(vec: Column, n_cells: int = IVF_CELLS, dim: int = 64) -> Column:
+    """IVF cell id = argmax_c dot(vec, centroid_c); first index wins
+    ties (matches the oracle's ORDER BY d DESC, cell ASC)."""
+    d = ivf_cell_dots(vec, n_cells, dim)
+    return (F.array_position(d, F.array_max(d)) - 1).cast("int")
+
+
+def ivf_probes(vec: Column, nprobe: int, n_cells: int = IVF_CELLS, dim: int = 64) -> Column:
+    """Top-``nprobe`` cells for a query vector, as an int array ordered
+    by descending dot (ties -> smaller cell id), computed narrowly."""
+    d = ivf_cell_dots(vec, n_cells, dim)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda i: F.struct(
+                (-F.element_at(d, i + 1)).alias("nd"), i.cast("int").alias("i")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = IVF_CELLS,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus rows to their nearest
+    centroid cell (narrow expression — at 100 TB this is a pure map over
+    the scan), explode each query to its ``nprobe`` best cells, equi-join
+    on cell id, exact-rank candidates per query. The corpus is shuffled
+    once by cell (or not at all if the table is already written
+    partitioned by cell — the intended layout at scale); the cross
+    product never materializes, and recall is tunable via nprobe."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cell", ivf_assign(F.col("cv"), n_cells))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(ivf_probes(F.col("qv"), nprobe, n_cells)))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_cells_values_sql(n_cells: int = IVF_CELLS, dim: int = 64) -> str:
+    """DuckDB VALUES table of the identical literal centroid matrix."""
+    rows = ", ".join(
+        f"({c}, ARRAY[{', '.join(repr(w) for w in ivf_centroid(c, dim))}]::DOUBLE[])"
+        for c in range(n_cells)
+    )
+    return f"(VALUES {rows}) AS cells(cell, cv)"
+
+
 def threshold_pairs_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",

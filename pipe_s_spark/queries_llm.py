@@ -152,7 +152,7 @@ shc AS (
         SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
     ) WHERE df <= {JACCARD_DF_CAP}
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
     FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -359,6 +359,53 @@ WHERE ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.3
 """
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: narrow argmax-centroid assignment, query
+    probes its nprobe best cells, candidates via cell equi-join, exact
+    re-rank. The scale path where even LSH bucket joins are too wide:
+    the corpus is partitioned by cell once and probes touch nprobe/IVF
+    of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+
+
+SQL_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
@@ -371,6 +418,7 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLES = {
@@ -385,4 +433,5 @@ ORACLES = {
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,
+    "sim_ivf_topk": SQL_SIM_IVF,
 }

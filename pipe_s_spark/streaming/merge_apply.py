@@ -34,6 +34,19 @@ from pyspark.sql import types as T
 
 from pipe_s_spark.operators.compaction import compact_changelog, merge_apply
 
+
+def _trace(target_path: str, msg: str) -> None:
+    """Append a debug trace line when PIPE_S_TRACE is set (commit-protocol
+    forensics; no-op in production)."""
+    import threading
+    import time as _t
+
+    if not os.environ.get("PIPE_S_TRACE"):
+        return
+    line = f"{_t.monotonic():.3f} pid={os.getpid()} tid={threading.get_ident()} {msg}\n"
+    with open(os.environ["PIPE_S_TRACE"], "a") as f:
+        f.write(line)
+
 #: Flat changelog schema for JSON file streams (model.changelog_from_events
 #: shape). Heterogeneous streams would carry JSON payloads instead.
 FLAT_CHANGELOG_SCHEMA = T.StructType(
@@ -77,13 +90,32 @@ class MergeApplyTarget:
     O(touched-buckets), not O(table)). On a cluster the same foreachBatch
     body targets Delta MERGE or JDBC upsert unchanged.
 
-    Crash safety: each touched bucket is swapped by rename via an
-    ``.old-<epoch>`` sibling; ``_recover`` runs before every read and
-    rolls a half-finished swap back (bucket dir missing + .old present)
-    or forward (both present -> drop .old). A replayed epoch then
-    recomputes the same merge from the same inputs — merge_apply is an
-    idempotent upsert, so effects stay exactly-once, matching the
-    reference's idempotent-SQL story (utils/mysql.go:197-218).
+    One logical stream (checkpoint) owns a target: epoch ids must be
+    monotonic across restarts, which Structured Streaming guarantees
+    per checkpoint — the epoch fence relies on it.
+
+    Commit protocol (the poor man's transaction log):
+
+    - the expensive merge WRITE goes to a ``.stage-<epoch>`` sibling,
+      outside any lock;
+    - [fence check -> bucket swap -> fence write] runs under a file
+      lock (flock), so a zombie writer — e.g. a foreachBatch callback
+      orphaned by a killed query thread — re-reads the fence atomically
+      with the swap and aborts instead of clobbering state a newer
+      incarnation already advanced past (the role a transactional
+      format's writer-epoch check plays);
+    - replaced bucket dirs move to ``.trash-<epoch>`` and the fence is
+      written only after ALL buckets swapped. ``_recover`` (also under
+      the lock) therefore has one rule: a trash dir with epoch > fence
+      is a half-finished swap — roll every bucket in it back; epoch <=
+      fence means committed — purge it. Replayed epochs (<= fence) are
+      skipped outright: idempotence by fencing, matching the
+      reference's idempotent-SQL story (utils/mysql.go:197-218).
+
+    Known limit without a transactional format: a reader holding a
+    lazy plan over files that a concurrent swap trashes can fail and
+    needs a retry; Delta/Iceberg versioned files are the real fix on a
+    cluster (the foreachBatch body is sink-agnostic for that swap).
     """
 
     def __init__(
@@ -110,28 +142,69 @@ class MergeApplyTarget:
     def _bucket_dir(self, k: int) -> str:
         return os.path.join(self.path, f"bucket={k}")
 
-    def _recover(self) -> None:
-        """Roll dangling bucket swaps back or forward (ADVICE: a crash
-        between the two renames must not read as an empty bucket)."""
+    def _fence_path(self) -> str:
+        return os.path.join(self.path, "._last_epoch")
+
+    def _read_fence(self) -> int:
+        try:
+            with open(self._fence_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _write_fence(self, epoch_id: int) -> None:
+        tmp = self._fence_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, self._fence_path())
+
+    def _lock(self):
+        """flock-based mutex serializing swap/recover across threads
+        AND processes sharing the target directory."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, "._lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return held()
+
+    def _recover_locked(self) -> None:
+        """Roll half-finished swaps back (caller holds the lock). The
+        fence is written only after a complete swap, so epoch > fence
+        in a trash dir == crash mid-swap -> restore every bucket from
+        trash; epoch <= fence == committed -> purge leftovers."""
         if not os.path.isdir(self.path):
             return
+        fence = self._read_fence()
         for entry in os.listdir(self.path):
-            # ".old-<epoch>-bucket=K": dot-prefixed so Spark's partition
-            # discovery ignores it even if a crash leaves it behind
-            if not entry.startswith(".old-") or "-bucket=" not in entry:
+            if not entry.startswith(".trash-"):
                 continue
-            bucket_name = "bucket=" + entry.split("-bucket=", 1)[1]
-            live = os.path.join(self.path, bucket_name)
-            old = os.path.join(self.path, entry)
-            if os.path.isdir(live):
-                shutil.rmtree(old, ignore_errors=True)  # swap completed
-            else:
-                os.rename(old, live)  # swap half-done: roll back
+            trash = os.path.join(self.path, entry)
+            try:
+                epoch = int(entry.split("-", 1)[1])
+            except ValueError:
+                continue
+            if epoch > fence:
+                for b in os.listdir(trash):  # "bucket=K"
+                    live = os.path.join(self.path, b)
+                    if os.path.isdir(live):
+                        shutil.rmtree(live)
+                    os.rename(os.path.join(trash, b), live)
+            shutil.rmtree(trash, ignore_errors=True)
 
     def read_current(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
         from pyspark.sql import functions as F
 
-        self._recover()
+        with self._lock():
+            self._recover_locked()
         cols = self.key_cols + self.payload_cols
         import glob as _glob
 
@@ -148,6 +221,16 @@ class MergeApplyTarget:
         return df.select(*cols)
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        # Epoch fence (zombie-writer protection): the fence records the
+        # last fully-applied epoch. A replayed epoch (crash after swap,
+        # before the stream commit) is a no-op — idempotence by skip —
+        # and a zombie writer from a dead query (e.g. a stop() that
+        # killed the JVM thread mid-callback) cannot clobber state a
+        # newer incarnation has already advanced past. Same role as a
+        # transactional table format's writer-epoch check.
+        if epoch_id <= self._read_fence():
+            _trace(self.path, f"epoch={epoch_id} SKIP fence={self._read_fence()}")
+            return
         spark = batch.sparkSession
         compacted = compact_changelog(
             batch,
@@ -163,6 +246,15 @@ class MergeApplyTarget:
             )
             if not touched:
                 return
+            if os.environ.get("PIPE_S_TRACE"):
+                rows = batch.count()
+                agg = batch.agg(
+                    {"seq": "min"}
+                ).collect()[0][0] if "seq" in batch.columns else None
+                _trace(
+                    self.path,
+                    f"epoch={epoch_id} START rows={rows} min_seq={agg} touched={touched}",
+                )
             merged = merge_apply(
                 self.read_current(spark, buckets=touched),
                 compacted,
@@ -170,19 +262,36 @@ class MergeApplyTarget:
                 self.payload_cols,
             )
             merged = merged.withColumn("bucket", self._bucket(merged))
-            stage = f"{self.path}.stage-{epoch_id}"
+            # stage dir is unique PER ATTEMPT, not per epoch: a zombie
+            # writer and a live replay of the same epoch would otherwise
+            # overwrite one stage dir concurrently and the lock winner
+            # could swap in the mixed/partial result (observed as lost
+            # rows in the kill-restart integrity test)
+            import uuid
+
+            stage = f"{self.path}.stage-{epoch_id}-{uuid.uuid4().hex[:8]}"
             merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-            os.makedirs(self.path, exist_ok=True)
-            for k in touched:
-                staged = os.path.join(stage, f"bucket={k}")
-                if not os.path.isdir(staged):
-                    os.makedirs(staged)  # bucket fully deleted -> empty dir
-                live = self._bucket_dir(k)
-                old = os.path.join(self.path, f".old-{epoch_id}-bucket={k}")
-                if os.path.isdir(live):
-                    os.rename(live, old)
-                os.rename(staged, live)
-                shutil.rmtree(old, ignore_errors=True)
+            with self._lock():
+                if epoch_id <= self._read_fence():
+                    # a newer incarnation advanced while we computed
+                    # (or a concurrent replay of this epoch won): abort
+                    _trace(self.path, f"epoch={epoch_id} ABORT fence={self._read_fence()}")
+                    shutil.rmtree(stage, ignore_errors=True)
+                    return
+                self._recover_locked()
+                trash = os.path.join(self.path, f".trash-{epoch_id}")
+                os.makedirs(trash, exist_ok=True)
+                for k in touched:
+                    staged = os.path.join(stage, f"bucket={k}")
+                    if not os.path.isdir(staged):
+                        os.makedirs(staged)  # bucket fully deleted -> empty
+                    live = self._bucket_dir(k)
+                    if os.path.isdir(live):
+                        os.rename(live, os.path.join(trash, f"bucket={k}"))
+                    os.rename(staged, live)
+                self._write_fence(epoch_id)  # commit point
+                _trace(self.path, f"epoch={epoch_id} COMMIT")
+                shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)
         finally:
             compacted.unpersist()

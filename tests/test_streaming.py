@@ -138,30 +138,45 @@ def test_merge_target_rewrites_only_touched_buckets(spark, tmp_path):
         .select(F.pmod(F.hash("table_name", "pk"), F.lit(4)).alias("b"))
         .collect()[0]["b"]
     )
-    before = {
-        k: v for k, v in _snapshot_files(t.path).items() if not k.startswith(f"bucket={b0}/")
-    }
+    def untouched(files):
+        return {
+            k: v
+            for k, v in files.items()
+            if k.startswith("bucket=") and not k.startswith(f"bucket={b0}/")
+        }
+
+    before = untouched(_snapshot_files(t.path))
     t.apply_batch(_mk_changes(spark, [(100, "t1", "update", 0, 1, 99.0)]), 1)
-    after = {
-        k: v for k, v in _snapshot_files(t.path).items() if not k.startswith(f"bucket={b0}/")
-    }
+    after = untouched(_snapshot_files(t.path))
     assert before == after, "untouched bucket files changed across epoch"
     got = {(r["pk"]): r["value"] for r in t.read_current(spark).collect()}
     assert got[0] == 99.0 and got[5] == 5.0 and len(got) == 20
 
 
 def test_merge_target_recovers_dangling_swap(spark, tmp_path):
-    """A crash between the two swap renames must not read as an empty
-    bucket: read_current rolls the .old dir back."""
+    """A crash mid-swap (trash dir with epoch beyond the fence) must
+    roll back to the fenced state, not read as an empty/partial bucket;
+    a committed trash dir (epoch <= fence) is just purged."""
     t = MergeApplyTarget(str(tmp_path / "t"), num_buckets=2)
     t.apply_batch(
         _mk_changes(spark, [(i, "t1", "insert", i, 1, float(i)) for i in range(10)]), 0
     )
     n_before = t.read_current(spark).count()
+    # simulate a crash mid-swap of (uncommitted) epoch 7: bucket=0 was
+    # moved to trash and a bogus half-written replacement took its place
     live = os.path.join(t.path, "bucket=0")
-    os.rename(live, os.path.join(t.path, ".old-7-bucket=0"))  # simulated half-swap
+    trash = os.path.join(t.path, ".trash-7")
+    os.makedirs(trash)
+    os.rename(live, os.path.join(trash, "bucket=0"))
+    os.makedirs(live)  # partial new bucket (empty)
+    assert t.read_current(spark).count() == n_before  # rolled back
+    assert os.path.isdir(live) and not os.path.isdir(trash)
+    # committed leftover (epoch <= fence): purged, state untouched
+    done = os.path.join(t.path, ".trash-0")
+    os.makedirs(done)
+    os.makedirs(os.path.join(done, "bucket=1"))
     assert t.read_current(spark).count() == n_before
-    assert os.path.isdir(live) and not os.path.isdir(os.path.join(t.path, ".old-7-bucket=0"))
+    assert not os.path.isdir(done)
 
 
 def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
