@@ -120,6 +120,9 @@ def range_join_explode(
         ),
     )
     pt = left.withColumn("__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
-    return pt.join(iv, on="__bucket").filter(
+    # the interval side is small by contract — broadcast it explicitly
+    # (cost-based choice can pick BuildLeft on the POINT side when the
+    # fact table is still under the threshold, which inverts at scale)
+    return pt.join(F.broadcast(iv), on="__bucket").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     ).drop("__bucket")

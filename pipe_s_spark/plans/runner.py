@@ -183,6 +183,14 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     if typ == "console":  # parity: LogOutput
         df.show(int(cfg.get("numRows", 20)), truncate=False)
         return None
+    if typ == "debug":
+        # parity: DebugOutput (debug/output.go:18-25) — print only the
+        # rows matching a predicate (the reference hardcodes one id;
+        # a filter expression is the declarative generalization)
+        df.filter(cfg.get("where", "true")).show(
+            int(cfg.get("numRows", 20)), truncate=False
+        )
+        return None
     if typ == "fork":
         # parity: ForkPipeline (examples/configsamples/fork_pipeline.json)
         # — one source fanned into N nested sub-pipelines, each with its

@@ -591,6 +591,37 @@ GROUP BY user_id, sid
 """
 
 
+def q_time_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event-time rollup (the hypertable continuous-
+    aggregate shape): one pass produces per-(day,hour), per-day and
+    grand totals via ROLLUP grouping sets — partial aggregation
+    map-side, a single shuffle regardless of granularity count."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.withColumn("day", F.date_trunc("day", "ts")).withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    return (
+        g.rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+            F.unix_millis(F.col("hour").cast("timestamp")).alias("hour_ms"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TIME_ROLLUP = f"""
+SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+       CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -612,6 +643,7 @@ QUERIES = {
     "time_tumbling": q_time_tumbling,
     "time_sliding": q_time_sliding,
     "time_session": q_time_session,
+    "time_rollup_hour_day": q_time_rollup_hour_day,
 }
 
 ORACLES = {
@@ -635,4 +667,5 @@ ORACLES = {
     "time_tumbling": SQL_TIME_TUMBLING,
     "time_sliding": SQL_TIME_SLIDING,
     "time_session": SQL_TIME_SESSION,
+    "time_rollup_hour_day": SQL_TIME_ROLLUP,
 }

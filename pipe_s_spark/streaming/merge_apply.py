@@ -116,7 +116,24 @@ class MergeApplyTarget:
     lazy plan over files that a concurrent swap trashes can fail and
     needs a retry; Delta/Iceberg versioned files are the real fix on a
     cluster (the foreachBatch body is sink-agnostic for that swap).
+
+    Ordering: with ``lww=False`` (default) epochs are applied blindly
+    (batch-last-state wins), which requires the source to deliver
+    per-key-ordered data across epochs — true for binlog segments and
+    for Kafka with key-hash partitioning (the reference's own
+    assumption, batchoutput.go:164-190). With ``lww=True`` the target
+    stores the last applied sequence number and a tombstone flag per
+    key and merges by highest-seq-wins, making application
+    ORDER-INDEPENDENT: a micro-batch of older events replayed or
+    delivered late can never clobber newer state, and deletes are
+    remembered so a late pre-delete update cannot resurrect the row
+    (tombstones are retained; production would TTL-compact them the
+    way Kafka compacted topics / Cassandra do).
     """
+
+    #: internal LWW columns stored alongside payloads
+    _SEQ = "__seq"
+    _TOMB = "__tomb"
 
     def __init__(
         self,
@@ -126,6 +143,7 @@ class MergeApplyTarget:
         seq_col: str = "seq",
         op_col: str = "op",
         num_buckets: int = 16,
+        lww: bool = False,
     ):
         self.path = path
         self.key_cols = list(key_cols)
@@ -133,6 +151,7 @@ class MergeApplyTarget:
         self.seq_col = seq_col
         self.op_col = op_col
         self.num_buckets = num_buckets
+        self.lww = lww
 
     def _bucket(self, df: DataFrame):
         from pyspark.sql import functions as F
@@ -200,12 +219,22 @@ class MergeApplyTarget:
                     os.rename(os.path.join(trash, b), live)
             shutil.rmtree(trash, ignore_errors=True)
 
-    def read_current(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> DataFrame:
+    def read_current(
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        internal: bool = False,
+    ) -> DataFrame:
+        """Current target state. ``internal=True`` (LWW mode only)
+        exposes the stored seq/tombstone columns and tombstone rows —
+        the merge's view; the public view hides both."""
         from pyspark.sql import functions as F
 
         with self._lock():
             self._recover_locked()
         cols = self.key_cols + self.payload_cols
+        if self.lww and internal:
+            cols = cols + [self._SEQ, self._TOMB]
         import glob as _glob
 
         has_data = os.path.isdir(self.path) and bool(
@@ -213,12 +242,45 @@ class MergeApplyTarget:
         )
         if not has_data:
             fields = [f for f in FLAT_CHANGELOG_SCHEMA.fields if f.name in cols]
+            if self.lww and internal:
+                fields += [
+                    T.StructField(self._SEQ, T.LongType()),
+                    T.StructField(self._TOMB, T.BooleanType()),
+                ]
             return spark.createDataFrame([], T.StructType(fields))
         df = spark.read.option("basePath", self.path).parquet(self.path)
         if buckets is not None:
             # partition pruning: only the touched bucket dirs are scanned
             df = df.filter(F.col("bucket").isin(list(buckets)))
+        if self.lww and not internal:
+            df = df.filter(~F.col(self._TOMB))
         return df.select(*cols)
+
+    def _merge_lww(self, base: DataFrame, compacted: DataFrame) -> DataFrame:
+        """Highest-seq-wins merge: union stored state with the incoming
+        net effects and keep, per key, the row with the larger seq
+        (ties -> incoming, i.e. an exact replay is idempotent). One
+        shuffle on the key, same as the blind merge."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        keys = self.key_cols
+        pays = self.payload_cols
+        inc = compacted.select(
+            *keys,
+            *pays,
+            F.col("last_seq").alias(self._SEQ),
+            (F.col("net_op") == "delete").alias(self._TOMB),
+            F.lit(1).alias("__pri"),
+        )
+        cur = base.select(*keys, *pays, self._SEQ, self._TOMB, F.lit(0).alias("__pri"))
+        w = Window.partitionBy(*keys).orderBy(F.desc(self._SEQ), F.desc("__pri"))
+        return (
+            cur.unionByName(inc)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__pri")
+        )
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         # Epoch fence (zombie-writer protection): the fence records the
@@ -255,12 +317,17 @@ class MergeApplyTarget:
                     self.path,
                     f"epoch={epoch_id} START rows={rows} min_seq={agg} touched={touched}",
                 )
-            merged = merge_apply(
-                self.read_current(spark, buckets=touched),
-                compacted,
-                self.key_cols,
-                self.payload_cols,
-            )
+            if self.lww:
+                merged = self._merge_lww(
+                    self.read_current(spark, buckets=touched, internal=True), compacted
+                )
+            else:
+                merged = merge_apply(
+                    self.read_current(spark, buckets=touched),
+                    compacted,
+                    self.key_cols,
+                    self.payload_cols,
+                )
             merged = merged.withColumn("bucket", self._bucket(merged))
             # stage dir is unique PER ATTEMPT, not per epoch: a zombie
             # writer and a live replay of the same epoch would otherwise

@@ -90,6 +90,18 @@ def test_runner_fork_output(spark, tmp_path):
         )
 
 
+def test_runner_debug_output(spark, capfd):
+    """debug output prints only rows matching the predicate."""
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [{"Type": "changelog-from-events"}],
+        "Output": {"Type": "debug", "Config": {"where": "table_name = 'sbtest1'", "numRows": 5}},
+    }
+    assert run_pipeline(spark, spec) is None
+    out = capfd.readouterr().out
+    assert "sbtest1" in out and "sbtest2" not in out
+
+
 def test_runner_unknown_type_raises(spark):
     with pytest.raises(PipelineSpecError, match="unknown processor"):
         build_pipeline(

@@ -55,10 +55,13 @@ def changelog_files(spark, tmp_path) -> str:
     d.mkdir()
     n = 8
     per = (len(rows) + n - 1) // n
-    for i in range(n):
-        with open(d / f"part-{i:03d}.json", "w") as f:
+    base = 1_600_000_000  # strictly increasing mtimes: the file source
+    for i in range(n):  # orders by mod time, and segments must arrive
+        p = d / f"part-{i:03d}.json"  # in binlog order (ties break
+        with open(p, "w") as f:  # arbitrarily and reorder applies)
             for r in rows[i * per : (i + 1) * per]:
                 f.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i, base + i))
     return str(d)
 
 
@@ -177,6 +180,47 @@ def test_merge_target_recovers_dangling_swap(spark, tmp_path):
     os.makedirs(os.path.join(done, "bucket=1"))
     assert t.read_current(spark).count() == n_before
     assert not os.path.isdir(done)
+
+
+def test_merge_target_lww_out_of_order_epochs(spark, tmp_path):
+    """LWW mode converges regardless of epoch arrival order: a late
+    batch of OLDER events must not clobber newer state, and a deleted
+    key must not be resurrected by a pre-delete update."""
+    t = MergeApplyTarget(str(tmp_path / "t"), num_buckets=2, lww=True)
+    # epoch 0 carries the NEWER half of the changelog (seqs 100..):
+    # pk=1 updated at seq 100; pk=2 deleted at seq 110; pk=3 inserted
+    t.apply_batch(
+        _mk_changes(
+            spark,
+            [
+                (100, "t1", "update", 1, 1, 100.0),
+                (110, "t1", "delete", 2, 1, 0.0),
+                (120, "t1", "insert", 3, 1, 120.0),
+            ],
+        ),
+        0,
+    )
+    # epoch 1 delivers OLDER events (seqs < 100) late: the original
+    # inserts for pk=1/2 and an update for pk=2
+    t.apply_batch(
+        _mk_changes(
+            spark,
+            [
+                (10, "t1", "insert", 1, 1, 10.0),
+                (11, "t1", "insert", 2, 1, 11.0),
+                (50, "t1", "update", 2, 1, 50.0),
+            ],
+        ),
+        1,
+    )
+    got = {r["pk"]: r["value"] for r in t.read_current(spark).collect()}
+    assert got == {1: 100.0, 3: 120.0}, got  # pk=2 stays deleted (tombstone)
+    # exact replay of epoch-1 data in a fresh epoch is still a no-op
+    t.apply_batch(
+        _mk_changes(spark, [(50, "t1", "update", 2, 1, 50.0)]), 2
+    )
+    got = {r["pk"]: r["value"] for r in t.read_current(spark).collect()}
+    assert got == {1: 100.0, 3: 120.0}, got
 
 
 def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
