@@ -10,8 +10,11 @@ from pipe_s_spark.operators.values import catch_table_name, column_value, value_
 from pipe_s_spark.operators.jsonio import marshal_json, unmarshal_json
 from pipe_s_spark.operators.compaction import compact_changelog, merge_apply
 from pipe_s_spark.operators.checker import check_consistency
+from pipe_s_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
+    "salted_agg",
+    "salted_join",
     "filter_dml",
     "SchemaRegistry",
     "apply_ddl_events",

@@ -259,3 +259,41 @@ def test_checker_classifies_miss_and_diff(spark):
     tgt = spark.createDataFrame([(1, "a"), (3, "X")], "id long, v string")
     out = {(r.id, r.diff_type) for r in check_consistency(src, tgt, ["id"], ["v"]).collect()}
     assert out == {(2, "row_miss"), (3, "row_diff")}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pipe_s_spark.operators import salted_join
+
+    # heavy-hitter key 1 (900 of 1000 rows), plus normal keys
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i % 50, i) for i in range(1000)], "k int, v int"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(50)], "k int, name string")
+    got = salted_join(left, right, on=["k"], n_salts=8)
+    want = left.join(right, on="k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from pyspark.sql import functions as F
+
+    from pipe_s_spark.operators import salted_agg
+
+    df = spark.createDataFrame(
+        [(1 if i < 900 else i % 50, i, float(i)) for i in range(1000)],
+        "k int, a int, b double",
+    )
+    got = salted_agg(
+        df, ["k"], sum_cols=["a"], min_cols=["b"], max_cols=["b"],
+        count_alias="n", n_salts=8,
+    )
+    want = df.groupBy("k").agg(
+        F.sum("a").alias("sum_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
