@@ -223,6 +223,45 @@ def test_merge_target_lww_out_of_order_epochs(spark, tmp_path):
     assert got == {1: 100.0, 3: 120.0}, got
 
 
+def test_kafka_roundtrip_e2e_matches_batch(spark, tmp_path):
+    """The reference's second e2e suite (integration_test/kafka/
+    {db_kafka,kafka_db,db_check}.json): source changelog -> Kafka frame
+    shaping -> topic -> frame decode -> merge-apply -> checker, golden
+    result = empty diff. The 'topic' is a directory of JSON-value files
+    (no broker in env) with NO cross-file ordering — exactly Kafka's
+    cross-partition contract — so the target runs in LWW mode, which
+    must converge regardless of delivery order."""
+    from pipe_s_spark.operators import check_consistency
+    from pipe_s_spark.sinks import kafka_sink_frame
+    from pipe_s_spark.sources import decode_changelog_frame
+    from pipe_s_spark.streaming.merge_apply import FLAT_CHANGELOG_SCHEMA
+
+    cl = changelog_from_events(load_table(spark, SF, "events"))
+    rows = _well_formed([r.asDict() for r in cl.orderBy("seq").collect()])
+    cl = spark.createDataFrame(rows, FLAT_CHANGELOG_SCHEMA)
+
+    # db -> kafka: shape wire frames, land values on the "topic"
+    topic_dir = str(tmp_path / "topic")
+    shaped = kafka_sink_frame(cl, key_col="pk", topic="cdc")
+    assert shaped.columns == ["key", "value", "topic"]
+    shaped.select("value").write.text(topic_dir)
+
+    # kafka -> db: stream the topic, decode frames, LWW merge-apply
+    target = MergeApplyTarget(str(tmp_path / "target"), lww=True)
+    frames = spark.readStream.text(topic_dir)
+    decoded = decode_changelog_frame(frames, schema=FLAT_CHANGELOG_SCHEMA)
+    q = run_merge_apply_stream(decoded, target, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    # db_check: empty diff vs the single-shot batch answer
+    compacted = compact_changelog(cl, key_cols=("table_name", "pk"), payload_cols=("k", "value"))
+    empty = compacted.filter(F.lit(False)).select("table_name", "pk", "k", "value")
+    want = merge_apply(empty, compacted, ("table_name", "pk"), ("k", "value"))
+    got = target.read_current(spark)
+    assert check_consistency(want, got, ["table_name", "pk"], ["k", "value"]).count() == 0
+    assert check_consistency(got, want, ["table_name", "pk"], ["k", "value"]).count() == 0
+
+
 def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
     """Watermarked tumbling-window aggregation driven to completion via
     a file stream + memory sink (the streaming counterpart of the
