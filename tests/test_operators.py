@@ -297,3 +297,25 @@ def test_salted_agg_matches_plain_agg(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w
+
+
+def test_udx_geometric_mean_and_tokenize_udtf(spark):
+    """Vectorized UDAF + Python UDTF extension surface (the Spark
+    restatement of the reference's Processor registry)."""
+    from pipe_s_spark.functions.udx import register_udx
+
+    register_udx(spark)
+    df = spark.createDataFrame([(1, 2.0), (1, 8.0), (2, 3.0)], "g int, v double")
+    df.createOrReplaceTempView("udx_t")
+    gm = {
+        r.g: r.gm
+        for r in spark.sql(
+            "SELECT g, geometric_mean(v) AS gm FROM udx_t GROUP BY g"
+        ).collect()
+    }
+    assert abs(gm[1] - 4.0) < 1e-9 and abs(gm[2] - 3.0) < 1e-9
+    toks = spark.sql(
+        "SELECT t.ord, t.token FROM (SELECT 'Hello World foo' AS text) d, "
+        "LATERAL tokenize_docs(d.text) t"
+    ).collect()
+    assert [(r.ord, r.token) for r in toks] == [(0, "hello"), (1, "world"), (2, "foo")]
