@@ -406,6 +406,75 @@ FROM (
 """
 
 
+# --- multimodal (oracle-checked via the deterministic fake codecs) -------
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-asset decode pipeline, end-to-end oracle-checked: binary
+    assets synthesized from documents, mapInPandas decode kernel
+    (deterministic sha256 fake standing in for PIL/torchvision), scalar
+    outputs + a float64 checksum over the 16-dim feature vector. The
+    plumbing (blob-free pruning, Arrow batch bounds, kernel schema) is
+    the production path; only the codec body is the documented fake."""
+    from pipe_s_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_assets(docs)
+    feats = M.extract_image_features(assets)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+    )
+
+
+def _mm_byte(i: int) -> str:
+    """DuckDB: i-th byte (0-based) of the sha256 hex digest of the fake
+    asset content (= repeat(md5(text), 8) as utf-8)."""
+    return f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INTEGER)"
+
+
+SQL_MULTIMODAL_IMAGE = f"""
+WITH assets AS (
+    SELECT doc_id AS asset_id, sha256(repeat(md5(text), 8)) AS h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id,
+       CAST(64 + {_mm_byte(0)} % 192 AS INTEGER) AS width,
+       CAST(64 + {_mm_byte(1)} % 192 AS INTEGER) AS height,
+       3 AS n_channels,
+       ROUND(list_sum(list_transform(generate_series(0, 15),
+             i -> CAST(CAST(CAST(('0x' || substr(h, 2*i+1, 2)) AS INTEGER) / 255.0 - 0.5 AS REAL) AS DOUBLE))), 6) AS feat_sum
+FROM assets
+"""
+
+
+def q_multimodal_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline (one row -> N frames through
+    mapInPandas), oracle-checked on per-frame md5 digests."""
+    from pipe_s_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_assets(docs)
+    frames = M.sample_video_frames(assets, n_frames=4)
+    return frames.select("asset_id", "frame_idx", F.md5("frame_bytes").alias("digest"))
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH assets AS (
+    SELECT doc_id AS asset_id, repeat(md5(text), 8) AS content
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substr(content, i * 64 + 1, 64)) AS digest
+FROM assets, generate_series(0, 3) AS t(i)
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
@@ -419,6 +488,8 @@ QUERIES = {
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frame_digests": q_multimodal_frame_digests,
 }
 
 ORACLES = {
@@ -434,4 +505,6 @@ ORACLES = {
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,
     "sim_ivf_topk": SQL_SIM_IVF,
+    "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
+    "multimodal_frame_digests": SQL_MULTIMODAL_FRAMES,
 }
