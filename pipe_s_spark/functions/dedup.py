@@ -225,3 +225,58 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, simhash bigint"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    resolution step of near-dup dedup (candidate pairs -> groups, keep
+    one doc per group).
+
+    Iterative min-label propagation: every vertex starts as its own
+    label; each round a vertex adopts the minimum label among itself
+    and its neighbors, until a fixpoint. Rounds needed = graph diameter
+    (near-dup clusters are shallow; ``max_iter`` guards pathology).
+    Each round is one shuffle (join on vertex) + one aggregation;
+    ``localCheckpoint`` truncates the lineage so plans stay flat at any
+    iteration count — the standard Spark formulation of label
+    propagation (GraphFrames' connectedComponents does the same shape).
+
+    Returns (vertex, component) with component = min vertex id reachable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # materialize once: every round joins against the edge list, and
+        # without this the (possibly expensive) upstream candidate
+        # pipeline would re-execute per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
+    for _ in range(max_iter):
+        nb_min = (
+            und.join(labels, und["b"] == labels["v"])
+            .select(F.col("a").alias("v"), F.col("label").alias("nb"))
+            .groupBy("v")
+            .agg(F.min("nb").alias("nb"))
+        )
+        new = (
+            labels.join(nb_min, on="v", how="left")
+            .select("v", F.least(F.col("label"), F.coalesce("nb", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v"), F.col("label").alias("component"))

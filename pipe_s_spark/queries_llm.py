@@ -231,21 +231,58 @@ def _bands_sql() -> str:
     return "bands AS (\n" + "\nUNION ALL\n".join(parts) + "\n)"
 
 
-SQL_DEDUP_MINHASH = f"""
-WITH {SQL_SHINGLES},
+_MINHASH_SIMS_CTES = f"""{SQL_SHINGLES},
 {_minhash_sig_sql()},
 {_bands_sql()},
 cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sims AS (
+    SELECT d1, d2,
+           ROUND(({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_N))})
+                 / {float(_MINHASH_N)}, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = d1
+    JOIN sig sb ON sb.doc_id = d2
+)"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_MINHASH_SIMS_CTES}
+SELECT d1, d2, est_jaccard FROM sims
+"""
+
+
+#: Min estimated jaccard for a candidate pair to become a cluster edge.
+CLUSTER_EDGE_MIN = 0.5
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash candidate pairs above
+    CLUSTER_EDGE_MIN become edges; connected components (iterative
+    min-label propagation, see functions.dedup.connected_components)
+    assign each clustered doc its canonical group = min doc_id. The
+    oracle replays the same graph via a recursive CTE."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_EDGE_MIN
+    )
+    return D.connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "component"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_SIMS_CTES},
+edges AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 )
-SELECT d1, d2,
-       ROUND(({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_N))})
-             / {float(_MINHASH_N)}, 6) AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = d1
-JOIN sig sb ON sb.doc_id = d2
+SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
 """
 
 
@@ -483,6 +520,7 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
@@ -500,6 +538,7 @@ ORACLES = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
