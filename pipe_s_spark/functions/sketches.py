@@ -1,0 +1,103 @@
+"""Deterministic distinct-count sketches (KMV / bottom-k).
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in at 100 TB, but
+its register layout is engine-private, so an HLL estimate can never be
+verified against another engine. The K-Minimum-Values sketch gives the
+same O(k) memory / one-pass profile with a *deterministic* definition:
+
+    normalize md5(value) into [0,1); keep the k smallest distinct
+    hashes; estimate distinct = (k-1) / kth_smallest.
+
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream".) Deterministic hashing means the DuckDB oracle reproduces the
+estimate bit-for-bit — the sketch itself is oracle-checkable, which is
+the point of carrying it alongside the HLL built-in.
+
+Scale shape: distinct on (group, hash) — one shuffle with map-side
+combine — then per-group bottom-k via a rank window over at most the
+distinct values, then one aggregation row per group. Mergeability (the
+sketch property): the union of two KMV sketches is the bottom-k of the
+merged hash sets, which is exactly what re-running this plan over a
+union computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hashes are md5 truncated to 15 hex digits (60 bits), normalized.
+_KMV_DENOM = float(16**15)
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Deterministic uniform hash of a value into [0, 1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`kmv_hash` (identical md5 + scaling)."""
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" AS DOUBLE) / {_KMV_DENOM!r}"
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV estimate of ``count(distinct value_col)``.
+
+    Columns out: group cols, ``n_hashes`` (min(k, true distinct) —
+    sketch fill), ``est_distinct`` (rounded to 4; exact count when the
+    group has fewer than k distinct values, per KMV convention).
+    """
+    from pyspark.sql.window import Window
+
+    groups = group_cols or []
+    hashed = df.select(*groups, kmv_hash(value_col).alias("__h")).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("__h")
+    bottom = hashed.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    return bottom.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                (F.lit(float(k - 1))) / F.max("__h")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_estimate_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`kmv_distinct_estimate`."""
+    groups = group_cols or []
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    ggrp = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT {gsel} {kmv_hash_sql(value_expr)} AS h FROM {table}
+),
+bottom AS (
+    SELECT * FROM (
+        SELECT {gsel} h, ROW_NUMBER() OVER ({gby} ORDER BY h) AS rk FROM hashed
+    ) WHERE rk <= {k}
+)
+SELECT {gsel} COUNT(*) AS n_hashes,
+       ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(k - 1)!r} / MAX(h) END, 4) AS est_distinct
+FROM bottom {ggrp}
+"""

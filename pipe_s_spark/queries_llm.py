@@ -443,6 +443,25 @@ FROM (
 """
 
 
+# --- sketches ------------------------------------------------------------
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch: per-event-type approximate distinct users,
+    deterministic (md5-based) so the estimate itself oracle-checks —
+    the verifiable sibling of approx_count_distinct (HLL) at 100 TB."""
+    from pipe_s_spark.functions.sketches import kmv_distinct_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, "user_id", ["event_type"], k=64)
+
+
+def _sql_sketch_kmv() -> str:
+    from pipe_s_spark.functions.sketches import kmv_distinct_estimate_sql
+
+    return kmv_distinct_estimate_sql("events", "user_id", ["event_type"], k=64)
+
+
 # --- multimodal (oracle-checked via the deterministic fake codecs) -------
 
 
@@ -528,6 +547,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_digests": q_multimodal_frame_digests,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
 }
 
 ORACLES = {
@@ -546,4 +566,5 @@ ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_frame_digests": SQL_MULTIMODAL_FRAMES,
+    "sketch_kmv_distinct": _sql_sketch_kmv(),
 }

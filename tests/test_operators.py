@@ -319,3 +319,17 @@ def test_udx_geometric_mean_and_tokenize_udtf(spark):
         "LATERAL tokenize_docs(d.text) t"
     ).collect()
     assert [(r.ord, r.token) for r in toks] == [(0, "hello"), (1, "world"), (2, "foo")]
+
+
+def test_kmv_sketch_estimate_accuracy(spark):
+    """KMV bottom-k estimate lands near the true distinct count
+    (k=64 -> ~1/8 relative std error) and is exact under-fill."""
+    from pipe_s_spark.functions.sketches import kmv_distinct_estimate
+
+    df = spark.createDataFrame([(i % 1000,) for i in range(5000)], "v long")
+    est = kmv_distinct_estimate(df, "v", k=64).collect()[0]
+    assert est["n_hashes"] == 64
+    assert abs(est["est_distinct"] - 1000) / 1000 < 0.30
+    small = spark.createDataFrame([(i % 10,) for i in range(100)], "v long")
+    est2 = kmv_distinct_estimate(small, "v", k=64).collect()[0]
+    assert est2["n_hashes"] == 10 and est2["est_distinct"] == 10.0
