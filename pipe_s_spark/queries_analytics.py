@@ -495,6 +495,34 @@ GROUP BY user_id
 """
 
 
+def q_unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long melt): per-lineitem charge components as
+    (metric, amount) rows — the inverse of pivot, a narrow map-side
+    expansion (no shuffle until the downstream agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select("l_orderkey", "l_linenumber", "l_discount", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_discount", "l_tax"],
+        "metric",
+        "amount",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("amount").alias("total"),
+    )
+
+
+SQL_UNPIVOT = f"""
+WITH melted AS (
+    SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, COUNT(*) AS n, {dsum_sql('amount')} AS total
+FROM melted GROUP BY metric
+"""
+
+
 # --- event-time windows --------------------------------------------------
 
 
@@ -644,6 +672,7 @@ QUERIES = {
     "time_sliding": q_time_sliding,
     "time_session": q_time_session,
     "time_rollup_hour_day": q_time_rollup_hour_day,
+    "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
 }
 
 ORACLES = {
@@ -668,4 +697,5 @@ ORACLES = {
     "time_sliding": SQL_TIME_SLIDING,
     "time_session": SQL_TIME_SESSION,
     "time_rollup_hour_day": SQL_TIME_ROLLUP,
+    "unpivot_lineitem_charges": SQL_UNPIVOT,
 }

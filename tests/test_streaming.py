@@ -262,6 +262,65 @@ def test_kafka_roundtrip_e2e_matches_batch(spark, tmp_path):
     assert check_consistency(got, want, ["table_name", "pk"], ["k", "value"]).count() == 0
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases joined to the clicks
+    that preceded them within 30 minutes per user — both sides are
+    streams (state-store buffered, watermark bounds the buffer), result
+    checked against the equivalent batch interval join."""
+    import shutil
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+
+    def side(event_type, alias_prefix):
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(str(d))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias_prefix}_user"),
+                F.col("ts").alias(f"{alias_prefix}_ts"),
+                F.col("event_id").alias(f"{alias_prefix}_id"),
+            )
+            .withWatermark(f"{alias_prefix}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS c FROM ssj_out").collect()[0]["c"]
+
+    ev = load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+    ).count()
+    assert got == want and want > 0
+
+
 def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
     """Watermarked tumbling-window aggregation driven to completion via
     a file stream + memory sink (the streaming counterpart of the
