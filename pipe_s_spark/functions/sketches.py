@@ -63,8 +63,23 @@ def kmv_distinct_estimate(
 
     groups = group_cols or []
     hashed = df.select(*groups, kmv_hash(value_col).alias("__h")).distinct()
+    # two-level bottom-k: rank within (group, salt) first so no single
+    # task ever sorts a whole group's distinct hashes (a hot group at
+    # 100 TB), then re-rank the <= k*n_salts survivors per group. The
+    # bottom-k of per-salt bottom-k's IS the global bottom-k, so the
+    # result (and the single-level oracle SQL) is unchanged.
+    n_salts = 16
+    salted = hashed.withColumn(
+        "__salt", F.pmod(F.hash("__h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*[F.col(g) for g in groups], "__salt").orderBy("__h")
+    pre = (
+        salted.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("__h")
-    bottom = hashed.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    bottom = pre.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     return bottom.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_hashes"),
         F.round(
