@@ -523,6 +523,43 @@ FROM melted GROUP BY metric
 """
 
 
+def q_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations' high-balance customer counts vs
+    high-balance supplier counts — either side may be absent, both
+    sides survive (shuffle join on the key; no broadcast for outer
+    completeness)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+SQL_FULL_OUTER = """
+WITH cust AS (
+    SELECT c_nationkey, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+),
+supp AS (
+    SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+FROM cust FULL OUTER JOIN supp ON c_nationkey = s_nationkey
+"""
+
+
 # --- event-time windows --------------------------------------------------
 
 
@@ -673,6 +710,7 @@ QUERIES = {
     "time_session": q_time_session,
     "time_rollup_hour_day": q_time_rollup_hour_day,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
+    "full_outer_balances": q_full_outer_balances,
 }
 
 ORACLES = {
@@ -698,4 +736,5 @@ ORACLES = {
     "time_session": SQL_TIME_SESSION,
     "time_rollup_hour_day": SQL_TIME_ROLLUP,
     "unpivot_lineitem_charges": SQL_UNPIVOT,
+    "full_outer_balances": SQL_FULL_OUTER,
 }

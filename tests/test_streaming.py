@@ -223,6 +223,39 @@ def test_merge_target_lww_out_of_order_epochs(spark, tmp_path):
     assert got == {1: 100.0, 3: 120.0}, got
 
 
+def test_lww_stream_converges_under_reversed_delivery(spark, tmp_path):
+    """Adversarial delivery order: changelog segments arrive NEWEST
+    FIRST (decreasing mtimes steer the file source), which corrupts a
+    blind last-state merge — the LWW target must still converge to the
+    seq-ordered batch answer."""
+    cl = changelog_from_events(load_table(spark, SF, "events")).orderBy("seq")
+    rows = _well_formed([r.asDict() for r in cl.collect()])
+    d = tmp_path / "rev"
+    d.mkdir()
+    n = 8
+    per = (len(rows) + n - 1) // n
+    base = 1_600_000_000
+    for i in range(n):
+        p = d / f"part-{i:03d}.json"
+        with open(p, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base - i, base - i))  # decreasing: newest segment first
+
+    target = MergeApplyTarget(str(tmp_path / "target"), lww=True)
+    changes = stream_changelog_json(spark, str(d), max_files_per_trigger=1)
+    q = run_merge_apply_stream(changes, target, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    want = expected_final_state(spark, str(d))
+    got = target.read_current(spark)
+    diff = check_consistency(want, got, ["table_name", "pk"], ["k", "value"])
+    rev = check_consistency(got, want, ["table_name", "pk"], ["k", "value"])
+    assert diff.count() == 0 and rev.count() == 0, (
+        f"integrity diff under reversed delivery: {diff.collect()[:5]} / {rev.collect()[:5]}"
+    )
+
+
 def test_kafka_roundtrip_e2e_matches_batch(spark, tmp_path):
     """The reference's second e2e suite (integration_test/kafka/
     {db_kafka,kafka_db,db_check}.json): source changelog -> Kafka frame
