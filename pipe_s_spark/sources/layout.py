@@ -1,0 +1,53 @@
+"""Storage layout for scale: time-partitioned and bucketed writes.
+
+At 100 TB the scan is the query: layout decides whether a filter reads
+one directory or the whole table, and whether a join shuffles at all.
+
+- ``write_time_partitioned``: hive-style ``date=YYYY-MM-DD/`` layout;
+  any event-time predicate then prunes at the FILE INDEX level
+  (``PartitionFilters`` in the scan node — zero IO for excluded days).
+  This is the hypertable/chunking idea expressed as directory layout.
+- ``write_bucketed``: ``bucketBy(key)`` table layout; two tables
+  bucketed on the same key join WITHOUT a shuffle on either side (no
+  Exchange in the plan) — the persistent form of co-partitioning, worth
+  it for fact tables joined repeatedly on the same key.
+
+Both are thin wrappers; the tests assert the resulting plans (pruned
+partitions, absent exchanges), which is the actual contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    granularity: str = "day",
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by the date of ``ts_col`` (hive layout,
+    one directory per period)."""
+    part = F.date_format(F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd")
+    df.withColumn("p_date", part).write.mode(mode).partitionBy("p_date").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (requires a catalog/warehouse;
+    on a cluster this is the layout for repeatedly-joined fact tables)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
