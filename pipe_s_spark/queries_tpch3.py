@@ -43,22 +43,22 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, supplier, nation, region, li = _t(
         spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
     )
+    from pyspark.sql.window import Window
+
     offers = (
         li.filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost"))
     )
-    min_cost = offers.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
     eligible = part.filter((F.col("p_size") < 15) & (F.col("p_type").isin("STANDARD", "ECONOMY")))
+    # correlated scalar MIN as a window over the offer relation: one
+    # lineitem scan + one agg total (a self-join formulation re-executes
+    # the whole offers subtree — Spark shares no common subplans, and
+    # the near-identical branches diverge enough to defeat ReuseExchange)
     return (
         offers.join(F.broadcast(eligible), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        .withColumn("min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
