@@ -104,3 +104,37 @@ def merge_apply(
     untouched = base.join(compacted.select(*keys), on=keys, how="left_anti")
     upserts = compacted.filter(F.col(net_op_col) != "delete").select(*keys, *payload_cols)
     return untouched.select(*keys, *payload_cols).unionByName(upserts)
+
+
+def validate_changelog(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("db", "table_name", "pk"),
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Flag per-key op sequences that violate the CDC state machine —
+    the check the reference enforces by erroring (update-after-delete,
+    batchmessage.go:49-52; insert-on-present / update-on-absent are the
+    implicit inDB contract, batchmessage.go:25-57). ``compact_changelog``
+    resolves these tolerantly; this operator surfaces them instead, as
+    a data-quality report (one row per violating transition).
+
+    One window over the key (same shuffle the compaction needs):
+    violation iff op follows an incompatible predecessor state.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    prev = F.lag(op_col).over(w)
+    violation = (
+        F.when((prev == "delete") & (F.col(op_col) == "update"), "update_after_delete")
+        .when((prev == "delete") & (F.col(op_col) == "delete"), "double_delete")
+        .when(prev.isNull() & (F.col(op_col) != "insert"), "first_op_not_insert")
+        .when((prev != "delete") & prev.isNotNull() & (F.col(op_col) == "insert"), "insert_on_present")
+    )
+    return (
+        df.withColumn("violation", violation)
+        .filter(F.col("violation").isNotNull())
+        .select(*keys, seq_col, op_col, "violation")
+    )

@@ -311,8 +311,39 @@ WHERE t.o_totalprice IS DISTINCT FROM o.o_totalprice
 """
 
 
+def q_cdc_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog state-machine audit: every transition the reference
+    hard-errors on (update-after-delete, batchmessage.go:49-52) or that
+    breaks the implicit inDB contract, as a data-quality report."""
+    from pipe_s_spark.operators.compaction import validate_changelog
+
+    return validate_changelog(
+        changelog(spark, sf_dir), key_cols=("table_name", "pk")
+    ).select("table_name", "pk", "seq", "op", "violation")
+
+
+SQL_CDC_VALIDATE = _with_changelog(
+    """
+SELECT table_name, pk, seq, op, violation FROM (
+    SELECT table_name, pk, seq, op,
+           CASE WHEN prev = 'delete' AND op = 'update' THEN 'update_after_delete'
+                WHEN prev = 'delete' AND op = 'delete' THEN 'double_delete'
+                WHEN prev IS NULL AND op <> 'insert' THEN 'first_op_not_insert'
+                WHEN prev IS NOT NULL AND prev <> 'delete' AND op = 'insert' THEN 'insert_on_present'
+           END AS violation
+    FROM (
+        SELECT table_name, pk, seq, op,
+               LAG(op) OVER (PARTITION BY table_name, pk ORDER BY seq) AS prev
+        FROM changelog
+    )
+) WHERE violation IS NOT NULL
+"""
+)
+
+
 QUERIES = {
     "cdc_filter": q_cdc_filter,
+    "cdc_validate": q_cdc_validate,
     "cdc_convert": q_cdc_convert,
     "cdc_map_names": q_cdc_map_names,
     "cdc_map_actions": q_cdc_map_actions,
@@ -327,6 +358,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_filter": SQL_CDC_FILTER,
+    "cdc_validate": SQL_CDC_VALIDATE,
     "cdc_convert": SQL_CDC_CONVERT,
     "cdc_map_names": SQL_CDC_MAP_NAMES,
     "cdc_map_actions": SQL_CDC_MAP_ACTIONS,

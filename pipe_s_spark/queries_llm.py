@@ -77,6 +77,49 @@ FROM documents
 """
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: per-doc keep/drop decision with the first
+    failing rule as the reason — the actual filter step a training-data
+    pipeline runs on top of the raw stats (narrow expressions, no
+    shuffle; the decision column is what a 100 TB filter pushes into its
+    scan)."""
+    docs = load_table(spark, sf_dir, "documents").transform(X.with_text_stats())
+    too_short = F.col("n_tokens") < 10
+    low_stop = (F.col("n_stopwords").cast("double") / F.col("n_tokens")) < 0.01
+    long_tok = (F.col("n_chars_calc").cast("double") / F.col("n_tokens")) > 12.0
+    reason = (
+        F.when(too_short, "too_short")
+        .when(low_stop, "low_stopword_ratio")
+        .when(long_tok, "long_tokens")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("decision"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+SQL_TEXT_QUALITY_FILTER = f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(X.EN_STOPWORDS)})\\b')) AS BIGINT) AS n_stopwords
+    FROM documents
+),
+d AS (
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN CAST(n_stopwords AS DOUBLE) / n_tokens < 0.01 THEN 'low_stopword_ratio'
+                WHEN CAST(n_chars_calc AS DOUBLE) / n_tokens > 12.0 THEN 'long_tokens'
+                ELSE 'keep' END AS decision
+    FROM s
+)
+SELECT doc_id, decision, decision = 'keep' AS keep FROM d
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -535,6 +578,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
     "text_fingerprint": q_text_fingerprint,
+    "text_quality_filter": q_text_quality_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -554,6 +598,7 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,

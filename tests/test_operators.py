@@ -333,3 +333,30 @@ def test_kmv_sketch_estimate_accuracy(spark):
     small = spark.createDataFrame([(i % 10,) for i in range(100)], "v long")
     est2 = kmv_distinct_estimate(small, "v", k=64).collect()[0]
     assert est2["n_hashes"] == 10 and est2["est_distinct"] == 10.0
+
+
+def test_validate_changelog_flags_state_machine_violations(spark):
+    """The CDC transitions the reference hard-errors on (plus the inDB
+    contract) surface as a data-quality report."""
+    from pipe_s_spark.operators.compaction import validate_changelog
+
+    rows = [
+        # pk=1: clean insert -> update -> delete
+        (1, 1, "insert"), (2, 1, "update"), (3, 1, "delete"),
+        # pk=2: starts with update (first_op_not_insert)
+        (4, 2, "update"),
+        # pk=3: insert -> delete -> update (update_after_delete)
+        (5, 3, "insert"), (6, 3, "delete"), (7, 3, "update"),
+        # pk=4: insert -> insert (insert_on_present)
+        (8, 4, "insert"), (9, 4, "insert"),
+    ]
+    df = spark.createDataFrame(
+        [("d", "t", pk, seq, op) for seq, pk, op in rows],
+        "db string, table_name string, pk long, seq long, op string",
+    )
+    out = {(r.pk, r.violation) for r in validate_changelog(df).collect()}
+    assert out == {
+        (2, "first_op_not_insert"),
+        (3, "update_after_delete"),
+        (4, "insert_on_present"),
+    }
