@@ -523,6 +523,34 @@ FROM melted GROUP BY metric
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user event-value sum over the
+    trailing 10 minutes (range frame on epoch seconds — peers by value
+    distance, not row count; the shape behind trailing-window feature
+    engineering)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("trailing_10m"),
+    )
+
+
+SQL_WINDOW_RANGE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_10m
+FROM events
+"""
+
+
 def q_full_outer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join: nations' high-balance customer counts vs
     high-balance supplier counts — either side may be absent, both
@@ -711,6 +739,7 @@ QUERIES = {
     "time_rollup_hour_day": q_time_rollup_hour_day,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "full_outer_balances": q_full_outer_balances,
+    "window_range_frame": q_window_range_frame,
 }
 
 ORACLES = {
@@ -737,4 +766,5 @@ ORACLES = {
     "time_rollup_hour_day": SQL_TIME_ROLLUP,
     "unpivot_lineitem_charges": SQL_UNPIVOT,
     "full_outer_balances": SQL_FULL_OUTER,
+    "window_range_frame": SQL_WINDOW_RANGE,
 }
