@@ -389,3 +389,37 @@ def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
     ev = load_table(spark, SF, "events")
     batch = ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type").count()
     assert 0 < got <= batch.count()
+
+
+def test_incremental_agg_view_matches_recompute(spark, changelog_files, tmp_path):
+    """The incrementally-maintained aggregate equals a full recompute
+    over the final target after streaming the whole changelog."""
+    from pipe_s_spark.streaming.incremental_agg import IncrementalAggView
+
+    target = MergeApplyTarget(str(tmp_path / "target"))
+    view = IncrementalAggView(target, str(tmp_path / "view"))
+    changes = stream_changelog_json(spark, changelog_files, max_files_per_trigger=1)
+    q = (
+        changes.writeStream.foreachBatch(view.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r["table_name"], r["n"], round(r["s"], 2))
+        for r in target.read_current(spark)
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        (r["table_name"], r["n_rows"], round(r["sum_value"], 2))
+        for r in view.current(spark).collect()
+    }
+    assert got == want and len(got) > 0
