@@ -423,3 +423,58 @@ def test_incremental_agg_view_matches_recompute(spark, changelog_files, tmp_path
         for r in view.current(spark).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: a row arriving after the watermark passed its
+    window is dropped — the window is never re-emitted or merged. Two
+    sequential availableNow runs share a checkpoint so the watermark
+    from run 1 (persisted) gates run 2's late row deterministically."""
+    import json as _json
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = 1_600_000_000  # epoch seconds
+
+    def write(fname, rows):
+        with open(d / fname, "w") as f:
+            for uid, ts_off, v in rows:
+                f.write(_json.dumps({"user_id": uid, "ts_s": base + ts_off, "v": v}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, ts_s long, v double")
+            .json(str(d))
+            .withColumn("ts", F.expr("timestamp_seconds(ts_s)"))
+            .withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "60 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(
+                F.unix_seconds(F.col("window.start")).alias("w"), "n", "s"
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    # run 1: on-time rows + a far-future row that drags the watermark
+    # past the first windows, finalizing them
+    write("f1.json", [(1, 5, 1.0), (1, 30, 1.0), (1, 500, 1.0)])
+    run()
+    # run 2: a LATE row (ts 10s, v=100) for a finalized window, plus a
+    # future row that advances the watermark further
+    write("f2.json", [(1, 10, 100.0), (1, 600, 1.0)])
+    run()
+
+    rows = {r["w"]: (r["n"], r["s"]) for r in spark.read.parquet(out).collect()}
+    w1 = base - base % 60  # window containing ts base+5 AND late base+10
+    assert rows[w1] == (1, 1.0), rows  # late v=100 row dropped, not merged
+    assert all(s < 100.0 for _, s in rows.values()), rows
