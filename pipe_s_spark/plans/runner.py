@@ -225,3 +225,35 @@ def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | No
     Returns the DataFrame for 'return' outputs, else None."""
     df = build_pipeline(spark, spec)
     return _write_output(df, spec.get("Output", {"Type": "return"}))
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entrypoint — parity with the reference's Task binary
+    (task.go:119-165): ``python -m pipe_s_spark.plans.runner
+    config.json [config2.json ...]``. Each config runs to completion;
+    'return' outputs print a preview."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="Run JSON-configured pipelines")
+    p.add_argument("configs", nargs="+", help="pipeline spec JSON files")
+    p.add_argument("--master", default=None, help="Spark master override")
+    args = p.parse_args(argv)
+
+    from pipe_s_spark.session import get_spark
+
+    spark = get_spark(app_name="pipe_s_spark_runner", master=args.master)
+    try:
+        for path in args.configs:
+            with open(path) as f:
+                spec = json.load(f)
+            out = run_pipeline(spark, spec)
+            if out is not None:
+                out.show(20, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
