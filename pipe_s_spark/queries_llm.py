@@ -120,6 +120,50 @@ SELECT doc_id, decision, decision = 'keep' AS keep FROM d
 """
 
 
+def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the doc id into
+    100 buckets (md5-based, engine-independent, stable across runs and
+    cluster sizes — the property random() splits lack), 96/2/2."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket").cast("int"), split.alias("split"))
+
+
+SQL_TEXT_SPLIT = """
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 96 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (64-token buckets): the distribution scan
+    every data pipeline runs before choosing packing/truncation lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = X.token_count("text")
+    return (
+        docs.select((F.floor(n_tokens / 64) * 64).cast("long").alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TEXT_LENGTH_HIST = f"""
+SELECT CAST(FLOOR(CAST(len({TOKS_SQL}) AS BIGINT) / 64) * 64 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -579,6 +623,8 @@ QUERIES = {
     "text_lang_summary": q_text_lang_summary,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_filter": q_text_quality_filter,
+    "text_split_assign": q_text_split_assign,
+    "text_length_histogram": q_text_length_histogram,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -599,6 +645,8 @@ ORACLES = {
     "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
+    "text_split_assign": SQL_TEXT_SPLIT,
+    "text_length_histogram": SQL_TEXT_LENGTH_HIST,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
