@@ -77,7 +77,12 @@ class IncrementalAggView:
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         state = self._read_state()
         if epoch_id <= state["epoch"]:
-            return  # replay/zombie: the view already folded this epoch
+            # replay: the view already folded this epoch, but the crash
+            # may have hit between the view fold and the target apply —
+            # drive the target anyway (its own fence makes this a no-op
+            # when it did apply)
+            self.target.apply_batch(batch, epoch_id)
+            return
         spark = batch.sparkSession
         compacted = compact_changelog(
             batch,
@@ -112,9 +117,12 @@ class IncrementalAggView:
                 )
                 .collect()
             )
-            # apply the epoch to the underlying table (its own fence
-            # makes this idempotent), then fold the delta
-            self.target.apply_batch(batch, epoch_id)
+            # fold the delta FIRST, then apply the target: the deltas
+            # were computed from the pre-image, so the view fold must
+            # commit before the target mutates — a crash in between
+            # replays into the branch above (view skips, target applies).
+            # The reverse order would make a replayed epoch read the
+            # post-image as "old" and lose the delta forever.
             groups = state["groups"]
             for sign, rows in ((-1, old_g), (+1, new_g)):
                 for r in rows:
@@ -129,6 +137,7 @@ class IncrementalAggView:
             state["groups"] = {k: v for k, v in groups.items() if v[0] != 0}
             state["epoch"] = epoch_id
             self._write_state(state)
+            self.target.apply_batch(batch, epoch_id)
         finally:
             compacted.unpersist()
 

@@ -478,3 +478,33 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     w1 = base - base % 60  # window containing ts base+5 AND late base+10
     assert rows[w1] == (1, 1.0), rows  # late v=100 row dropped, not merged
     assert all(s < 100.0 for _, s in rows.values()), rows
+
+
+def test_incremental_agg_view_replay_idempotent(spark, tmp_path):
+    """Epoch replays around either crash window fold exactly once:
+    (a) full replay of an applied epoch is a no-op; (b) a crash between
+    the view fold and the target apply (view fenced, target not) must
+    still apply the target on replay."""
+    from pipe_s_spark.streaming.incremental_agg import IncrementalAggView
+
+    target = MergeApplyTarget(str(tmp_path / "t"))
+    view = IncrementalAggView(target, str(tmp_path / "v"))
+    b0 = _mk_changes(spark, [(i, "t1", "insert", i, 1, 10.0) for i in range(5)])
+    view.apply_batch(b0, 0)
+    view.apply_batch(b0, 0)  # (a) full replay
+    got = view.current(spark).collect()[0]
+    assert (got["n_rows"], got["sum_value"]) == (5, 50.0)
+    assert target.read_current(spark).count() == 5
+
+    # (b) crash window: fold epoch 1 into the view state manually while
+    # leaving the target at epoch 0, then replay through apply_batch
+    b1 = _mk_changes(spark, [(10, "t1", "update", 0, 1, 99.0)])
+    st = view._read_state()
+    st["epoch"] = 1
+    st["groups"][view._key({"table_name": "t1"})] = [5, "139.00"]  # 50 - 10 + 99
+    view._write_state(st)
+    view.apply_batch(b1, 1)  # replay: view skips, target must apply
+    got = view.current(spark).collect()[0]
+    assert (got["n_rows"], got["sum_value"]) == (5, 139.0)
+    vals = {r["pk"]: r["value"] for r in target.read_current(spark).collect()}
+    assert vals[0] == 99.0
