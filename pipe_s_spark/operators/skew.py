@@ -44,6 +44,11 @@ def salted_join(
     instead of one. Replication cost is |other| × n_salts rows through
     the shuffle — pick n_salts ≈ hot-key rows / target partition rows.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"):
+        # right/full outer would emit unmatched REPLICATED rows once per
+        # salt — silently wrong; keep the salted form to join types
+        # where replication only ever multiplies matches
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = list(on)
     salted = skewed.withColumn(
         _SALT, F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
