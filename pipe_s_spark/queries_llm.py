@@ -164,6 +164,33 @@ GROUP BY 1
 """
 
 
+def q_text_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic doc_id order) to
+    fixed-budget packs of 2048 tokens by exclusive running token count —
+    the streaming-pack layout step before writing training shards.
+    Single window over the global order; at scale the same expression
+    runs per-shard (partitionBy shard) to avoid a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = X.token_count("text")
+    cum_before = F.sum(n).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor(F.coalesce(cum_before, F.lit(0)) / 2048).cast("long").alias("pack_id"),
+    )
+
+
+SQL_TEXT_PACK = f"""
+SELECT doc_id,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(CAST(len({TOKS_SQL}) AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -213,6 +240,28 @@ sh_raw AS (
 sh AS (
     SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL
 )"""
+
+
+def q_text_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the 20 most frequent token
+    trigrams (shingle relation reused; count + deterministic top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "shingle")
+        .limit(20)
+    )
+
+
+SQL_TEXT_TOP_TRIGRAMS = f"""
+WITH {SQL_SHINGLES}
+SELECT shingle, COUNT(*) AS n_docs
+FROM sh GROUP BY shingle
+ORDER BY n_docs DESC, shingle
+LIMIT 20
+"""
 
 
 #: Max document frequency for a shingle to stay in the jaccard index.
@@ -625,6 +674,8 @@ QUERIES = {
     "text_quality_filter": q_text_quality_filter,
     "text_split_assign": q_text_split_assign,
     "text_length_histogram": q_text_length_histogram,
+    "text_pack_assign": q_text_pack_assign,
+    "text_top_trigrams": q_text_top_trigrams,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -647,6 +698,8 @@ ORACLES = {
     "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
     "text_split_assign": SQL_TEXT_SPLIT,
     "text_length_histogram": SQL_TEXT_LENGTH_HIST,
+    "text_pack_assign": SQL_TEXT_PACK,
+    "text_top_trigrams": SQL_TEXT_TOP_TRIGRAMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
