@@ -51,3 +51,38 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    sample_rows: int = 2000,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with file sizes near ``target_file_mb`` — the
+    training-shard layout rule (too-small files drown schedulers and
+    object stores in per-file overhead; too-big files cap read
+    parallelism).
+
+    File count = ceil(estimated_bytes / target). Estimation samples
+    ``sample_rows`` rows, measures their Spark-serialized footprint, and
+    scales by the (cheap, metadata-cached) total count — no full
+    materialization. Returns the shard count used.
+    """
+    import math
+
+    n = df.count()
+    if n == 0:
+        df.write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(sample_rows).toPandas()
+    approx_row_bytes = max(
+        1, int(sample.memory_usage(deep=True, index=False).sum() / max(1, len(sample)))
+    )
+    # parquet compresses; assume 3x vs in-memory pandas as a layout
+    # heuristic (exactness doesn't matter, order of magnitude does)
+    est_bytes = n * approx_row_bytes // 3
+    shards = max(1, math.ceil(est_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(shards).write.mode(mode).parquet(path)
+    return shards

@@ -55,3 +55,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_write_sharded_controls_file_count(spark, tmp_path):
+    import glob
+
+    from pipe_s_spark.sources.layout import write_sharded
+
+    li = load_table(spark, SF, "lineitem")
+    out = str(tmp_path / "shards")
+    # tiny target forces multiple shards even at sf0.001
+    shards = write_sharded(li, out, target_file_mb=1)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert shards >= 1 and len(files) == shards
+    got = spark.read.parquet(out)
+    assert got.count() == li.count()
