@@ -360,3 +360,49 @@ def test_validate_changelog_flags_state_machine_violations(spark):
         (3, "update_after_delete"),
         (4, "insert_on_present"),
     }
+
+
+def test_connected_components_matches_union_find_random_graphs(spark):
+    """Property test: on random graphs, the distributed min-label
+    propagation equals a driver-side union-find (seeded, 3 graphs)."""
+    import random
+
+    from pipe_s_spark.functions.dedup import connected_components
+
+    def union_find(edges, verts):
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical component = min vertex reachable
+        comp = {}
+        for v in verts:
+            comp[v] = find(v)
+        # path-compress to true minima
+        changed = True
+        while changed:
+            changed = False
+            for v in verts:
+                if comp[v] != comp[comp[v]]:
+                    comp[v] = comp[comp[v]]
+                    changed = True
+        return comp
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n, m = 40, 35
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        verts = sorted({v for e in edges for v in e})
+        df = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+        want = union_find(edges, verts)
+        assert got == want, f"seed={seed}"
