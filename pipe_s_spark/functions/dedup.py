@@ -258,18 +258,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
-    for _ in range(max_iter):
+
+    def hop(lbl):
         nb_min = (
-            und.join(labels, und["b"] == labels["v"])
+            und.join(lbl, und["b"] == lbl["v"])
             .select(F.col("a").alias("v"), F.col("label").alias("nb"))
             .groupBy("v")
             .agg(F.min("nb").alias("nb"))
         )
-        new = (
-            labels.join(nb_min, on="v", how="left")
-            .select("v", F.least(F.col("label"), F.coalesce("nb", "label")).alias("label"))
-            .localCheckpoint(eager=True)
+        return lbl.join(nb_min, on="v", how="left").select(
+            "v", F.least(F.col("label"), F.coalesce("nb", "label")).alias("label")
         )
+
+    for _ in range(max_iter):
+        # two propagation hops per round: a 1-hop fixpoint is a 2-hop
+        # fixpoint, so convergence detection stays correct while the
+        # per-round checkpoint + count overhead is paid half as often
+        new = hop(hop(labels)).localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), on="v")
