@@ -51,16 +51,19 @@ def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        # rounded to 6 decimals like every other float in the suite —
-        # the harness hashes full-precision doubles otherwise
-        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        # exact.davg pattern: the numerator is an exact integer sum, so the
+        # single IEEE double division is bit-identical on both engines.
+        # ROUND(.., 6) here is NOT safe — groups like 2279/7 and 3699/13 tie
+        # at the 7th decimal and round differently across implementations
+        # (the r1+r2 hash-fail).
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
 
 
 SQL_TEXT_LANG_SUMMARY = """
 SELECT lang, source, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents
 GROUP BY lang, source
 """
