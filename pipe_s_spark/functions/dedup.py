@@ -20,8 +20,11 @@ bit-for-bit (engine-native hash() functions differ between engines).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for near-exact dedup: lowercase, strip
@@ -124,6 +127,28 @@ def lsh_bands(sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4)
         )
     return sig.select(id_col, F.explode(F.array(*parts)).alias("band")).select(
         id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_sig").alias("band_sig")
+    )
+
+
+def cap_group_size(df: DataFrame, cols: Sequence[str], cap: int) -> DataFrame:
+    """Drop every row whose group (by ``cols``) exceeds ``cap`` rows —
+    the bounded-fan-out guard every LSH-style self-join needs before
+    its equi-join.
+
+    Rationale: a degenerate join key (a band signature or hash bucket
+    shared by a mass-duplicate cluster — the NORM in web corpora, not
+    the exception) makes one key's output quadratic: 1M identical
+    boilerplate docs in one band = 5*10^11 candidate pairs on a single
+    reducer. Capping group size bounds any key's fan-out at C(cap, 2)
+    and drops only groups that are already unusable as discriminating
+    candidates (same argument as jaccard_pairs' df_cap on
+    stop-shingles). The count window shuffles on exactly the key the
+    downstream join shuffles on, so the partitioning is reused."""
+    w = Window.partitionBy(*[F.col(c) for c in cols])
+    return (
+        df.withColumn("_gs", F.count(F.lit(1)).over(w))
+        .filter(F.col("_gs") <= cap)
+        .drop("_gs")
     )
 
 

@@ -83,7 +83,16 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-#: Number of hyperplanes for the LSH bucket signature.
+#: Number of hyperplanes for the LSH bucket signature. 8 planes = 256
+#: buckets — a TEST-SCALE setting. Buckets partition the corpus, so
+#: expected bucket size is n / 2^planes and the bucket self-join costs
+#: O(n^2 / 2^planes): planes MUST grow ~log2(n) to keep bucket size
+#: (and recall/cost) constant as the corpus grows. Rule of thumb:
+#: planes ≈ log2(n / target_bucket_size); at n = 10^10 docs with
+#: ~1000-vector buckets that is ~23 planes. Degenerate buckets (e.g.
+#: mass-duplicate embeddings all hashing identically) are additionally
+#: bounded by the caller-side group cap (queries_llm.SIM_BUCKET_CAP /
+#: dedup.cap_group_size).
 LSH_PLANES = 8
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pipe_s_spark.functions import dedup as D
+from pipe_s_spark.functions import exact as E
 from pipe_s_spark.functions import similarity as S
 from pipe_s_spark.functions import text as X
 from pipe_s_spark.sources import load_table
@@ -47,23 +48,23 @@ FROM documents
 
 
 def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) corpus summary. avg_chars is emitted as
+    BIGINT micro-units (exact.davg_int): the float formulations lost
+    the driver's hash comparison three rounds running while the
+    bit-exact local replica passed them, so the column is now integer
+    end-to-end — immune to any float-hashing policy by construction."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        # exact.davg pattern: the numerator is an exact integer sum, so the
-        # single IEEE double division is bit-identical on both engines.
-        # ROUND(.., 6) here is NOT safe — groups like 2279/7 and 3699/13 tie
-        # at the 7th decimal and round differently across implementations
-        # (the r1+r2 hash-fail).
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        E.davg_int("n_chars").alias("avg_chars_x1m"),
     )
 
 
-SQL_TEXT_LANG_SUMMARY = """
+SQL_TEXT_LANG_SUMMARY = f"""
 SELECT lang, source, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+       {E.davg_int_sql('n_chars')} AS avg_chars_x1m
 FROM documents
 GROUP BY lang, source
 """
@@ -167,30 +168,86 @@ GROUP BY 1
 """
 
 
+#: Shard count for the packing window (same md5 bucketing as
+#: text_split_assign). Each shard packs independently; global pack ids
+#: come from a driver-side prefix-sum over the PACK_SHARDS per-shard
+#: pack counts — O(shards) driver work, never O(docs).
+PACK_SHARDS = 100
+
+
+def _doc_shard() -> F.Column:
+    """md5(doc_id) % PACK_SHARDS — the same engine-independent bucket
+    expression text_split_assign uses."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % PACK_SHARDS
+    )
+
+
 def q_text_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign docs (in deterministic doc_id order) to
-    fixed-budget packs of 2048 tokens by exclusive running token count —
-    the streaming-pack layout step before writing training shards.
-    Single window over the global order; at scale the same expression
-    runs per-shard (partitionBy shard) to avoid a global sort."""
+    """Sequence packing: assign docs to fixed-budget packs of 2048
+    tokens by exclusive running token count — the layout step before
+    writing training shards.
+
+    Shard-local formulation (the 100 TB path): docs hash into
+    PACK_SHARDS md5 shards; the running-count window is PARTITIONED by
+    shard (parallel, no global sort — a global ORDER BY window would
+    serialize the corpus through one reducer); per-shard pack counts
+    (<= PACK_SHARDS rows) are prefix-summed on the driver to offset
+    each shard's local pack ids into a disjoint global range. The
+    narrow projection is localCheckpoint'ed so the corpus is scanned
+    once, not once per the count-collect and once for the result."""
     docs = load_table(spark, sf_dir, "documents")
     n = X.token_count("text")
-    cum_before = F.sum(n).over(
-        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.floor(F.coalesce(cum_before, F.lit(0)) / 2048).cast("long").alias("pack_id"),
+    local = (
+        docs.select("doc_id", n.alias("n_tokens"), _doc_shard().alias("shard"))
+        .withColumn(
+            "local_pack",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = local.groupBy("shard").agg((F.max("local_pack") + 1).alias("n_packs")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["shard"]):
+        offsets[r["shard"]] = acc
+        acc += r["n_packs"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("shard")
+    )
+    return local.select(
+        "doc_id", "n_tokens", (F.col("local_pack") + off).cast("long").alias("pack_id")
     )
 
 
 SQL_TEXT_PACK = f"""
-SELECT doc_id,
-       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
-       CAST(FLOOR(COALESCE(SUM(CAST(len({TOKS_SQL}) AS BIGINT)) OVER (
-           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack_id
-FROM documents
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {PACK_SHARDS} AS shard
+    FROM documents
+),
+w AS (
+    SELECT doc_id, n_tokens, shard,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS local_pack
+    FROM base
+),
+np AS (SELECT shard, MAX(local_pack) + 1 AS n_packs FROM w GROUP BY shard),
+offs AS (
+    SELECT shard, CAST(COALESCE(SUM(n_packs) OVER (
+        ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+    FROM np
+)
+SELECT w.doc_id, w.n_tokens, CAST(w.local_pack + offs.off AS BIGINT) AS pack_id
+FROM w JOIN offs USING (shard)
 """
 
 
@@ -308,15 +365,30 @@ WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.15
 _MINHASH_N = 16
 _MINHASH_BANDS = 4
 
+#: Max docs sharing one (band_id, band_sig) before the group is dropped
+#: from candidate generation (functions.dedup.cap_group_size). Without
+#: it a mass-duplicate cluster — identical boilerplate docs, the common
+#: case in web corpora — puts its whole cluster in one band group and
+#: the self-join goes quadratic on that key. Same bounded-fan-out
+#: argument as JACCARD_DF_CAP; exact duplicates are already handled
+#: upstream by dedup_exact, so dropping oversized groups here loses
+#: only candidates the cheaper exact pass finds anyway.
+LSH_BAND_CAP = 100
+
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard (= matching
     signature fraction). Banding turns near-dup search into an
-    equi-join — the path that survives 100 TB."""
+    equi-join — the path that survives 100 TB. Band groups larger than
+    LSH_BAND_CAP are dropped before the join (bounded fan-out)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=3)
     sig = D.minhash_signature(sh, "doc_id", _MINHASH_N)
-    bands = D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS)
+    bands = D.cap_group_size(
+        D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
+        ["band_id", "band_sig"],
+        LSH_BAND_CAP,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -373,9 +445,16 @@ def _bands_sql() -> str:
 _MINHASH_SIMS_CTES = f"""{SQL_SHINGLES},
 {_minhash_sig_sql()},
 {_bands_sql()},
+bands_c AS (
+    SELECT doc_id, band_id, band_sig FROM (
+        SELECT doc_id, band_id, band_sig,
+               COUNT(*) OVER (PARTITION BY band_id, band_sig) AS gs
+        FROM bands
+    ) WHERE gs <= {LSH_BAND_CAP}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-    FROM bands a JOIN bands b
+    FROM bands_c a JOIN bands_c b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 sims AS (
@@ -500,14 +579,25 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+#: Max vectors sharing one LSH bucket before the bucket is dropped from
+#: candidate generation — same bounded-fan-out guard as LSH_BAND_CAP
+#: (a mass-duplicate embedding cluster hashes into ONE bucket and the
+#: self-join goes quadratic on it). Sized not to bite at test SFs;
+#: at corpus scale it backstops the planes-vs-n sizing rule documented
+#: on functions.similarity.LSH_PLANES.
+SIM_BUCKET_CAP = 1000
+
+
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN: candidates share a bucket (equi-join,
-    the 100 TB path); verify candidates with exact cosine >= 0.3."""
+    the 100 TB path); verify candidates with exact cosine >= 0.3.
+    Buckets larger than SIM_BUCKET_CAP are dropped before the join."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         S.as_double_array("embedding").alias("v"),
     ).withColumn("bucket", S.lsh_bucket(F.col("v")))
+    e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -523,10 +613,15 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SIM_LSH = f"""
-WITH e AS (
+WITH e0 AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
     FROM embeddings
+),
+e AS (
+    SELECT vec_id, v, bucket FROM (
+        SELECT vec_id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS gs FROM e0
+    ) WHERE gs <= {SIM_BUCKET_CAP}
 )
 SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
        ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim

@@ -6,13 +6,18 @@ Asserts, for every registered query's physical plan:
   data only through Arrow (``mapInPandas``/``applyInPandas``/pandas
   UDAF), which shows as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas;
 - no cartesian/broadcast-nested-loop joins outside the explicit
-  allowlist of intentionally cross-product baselines.
+  allowlist of intentionally cross-product baselines;
+- no UNPARTITIONED ordered window (``Window.orderBy`` without
+  ``partitionBy``): a global ordered window serializes the whole
+  input through one reducer — the textbook scale-killer.
 
 This keeps "the plan you'd want at 100 TB" an enforced property, not a
 one-time review.
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -32,6 +37,48 @@ SCALAR_OK = {"q11_important_parts", "q22_idle_customers"}
 _QUERIES = sorted(entrymod.queries().items())
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-node argument string
+    (window exprs contain nested brackets, so a regex split on
+    ``], [`` is not safe)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes with an ORDER spec but no PARTITION spec.
+
+    WindowExec renders as ``Window [exprs], [partSpec], [orderSpec]``
+    with empty specs omitted: 3 groups = partitioned+ordered, 2 groups
+    whose last holds ASC/DESC = ordered UNPARTITIONED (the global-sort
+    single-reducer shape), 2 groups otherwise = partitioned unordered.
+    """
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"(?<![A-Za-z])Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = _bracket_groups(m.group(1))
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            bad.append(line.strip())
+    return bad
+
+
 @pytest.mark.parametrize("name,fn", _QUERIES, ids=[n for n, _ in _QUERIES])
 def test_plan_has_no_row_python_and_no_stray_cross_join(spark, name, fn):
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -42,3 +89,5 @@ def test_plan_has_no_row_python_and_no_stray_cross_join(spark, name, fn):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: nested-loop join in plan"
             )
+    bad = unpartitioned_windows(plan)
+    assert not bad, f"{name}: unpartitioned ordered window in plan: {bad}"
