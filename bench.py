@@ -7,6 +7,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop sink (no driver collect),
 so timings include the full scan->shuffle->sink path the way a cluster
 run would.
+
+The JSON line is the LAST line of stdout and is also written to
+BENCH_LOCAL.json: the driver tail-truncates captured output, and the
+r2/r3 artifacts lost their head (and the parsed total) to Spark
+console-progress noise — so progress bars are disabled and everything
+else stays on stderr.
 """
 
 from __future__ import annotations
@@ -25,7 +31,12 @@ def main() -> None:
 
     from pipe_s_spark.session import get_spark
 
-    spark = get_spark(app_name="pipe_s_spark_bench")
+    # progress bars write \r-framed noise to stdout and have twice cost
+    # the driver-captured artifact its JSON head (BENCH_r02/r03)
+    spark = get_spark(
+        app_name="pipe_s_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -60,17 +71,48 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # durable full-detail copy: the driver keeps only the last 2000
+    # chars of stdout, and 81 query timings don't fit — BENCH_r02/r03
+    # lost their JSON head (and the parsed total) exactly this way
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
+    ) as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # the printed line stays under the capture window: all required
+    # keys, the most expensive queries inline (descending cost), full
+    # detail in BENCH_LOCAL.json
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "1800"))
+    inline: dict[str, float] = {}
+    line = ""
+    for name in sorted(timings, key=timings.get, reverse=True):
+        trial = dict(inline)
+        trial[name] = timings[name]
+        cand = json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": trial,
+                "n_queries": len(timings),
+                "queries_full": "BENCH_LOCAL.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(cand) > budget:
+            break
+        inline = trial
+        line = cand
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 
