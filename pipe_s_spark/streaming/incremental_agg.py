@@ -47,11 +47,18 @@ class IncrementalAggView:
         path: str,
         group_cols: Sequence[str] = ("table_name",),
         value_col: str = "value",
+        max_groups: int = 100_000,
     ):
         self.target = target
         self.path = path
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        #: Fail-fast bound on view cardinality: the state is held and
+        #: collected driver-side, which is only sound because a VIEW is
+        #: O(groups) by definition. High-cardinality group_cols (e.g. a
+        #: per-row key) would silently become an unbounded driver
+        #: collect — raise instead so the misuse is loud.
+        self.max_groups = max_groups
 
     # -- tiny JSON state (O(groups)) -------------------------------------
     def _state_file(self) -> str:
@@ -123,20 +130,38 @@ class IncrementalAggView:
             # replays into the branch above (view skips, target applies).
             # The reverse order would make a replayed epoch read the
             # post-image as "old" and lose the delta forever.
-            groups = state["groups"]
-            for sign, rows in ((-1, old_g), (+1, new_g)):
-                for r in rows:
-                    k = self._key(r)
-                    n0, s0 = groups.get(k, (0, "0"))
-                    from decimal import Decimal
+            #
+            # The fold commits under the TARGET's lock with a fresh
+            # epoch re-check: a zombie callback (orphaned by a killed
+            # query thread) that reaches this point after a newer
+            # incarnation already folded a later epoch must abort, not
+            # regress state.json — the exact protocol the target's own
+            # swap uses (merge_apply.MergeApplyTarget.apply_batch).
+            with self.target._lock():
+                state = self._read_state()  # re-read under the lock
+                if epoch_id <= state["epoch"]:
+                    return  # zombie / concurrent replay lost the race
+                groups = state["groups"]
+                for sign, rows in ((-1, old_g), (+1, new_g)):
+                    for r in rows:
+                        k = self._key(r)
+                        n0, s0 = groups.get(k, (0, "0"))
+                        from decimal import Decimal
 
-                    groups[k] = (
-                        n0 + sign * r["n"],
-                        str(Decimal(s0) + sign * (r["s"] or 0)),
+                        groups[k] = (
+                            n0 + sign * r["n"],
+                            str(Decimal(s0) + sign * (r["s"] or 0)),
+                        )
+                state["groups"] = {k: v for k, v in groups.items() if v[0] != 0}
+                if len(state["groups"]) > self.max_groups:
+                    raise ValueError(
+                        f"IncrementalAggView at {self.path}: {len(state['groups'])} "
+                        f"groups exceeds max_groups={self.max_groups} — group_cols "
+                        f"{self.group_cols} are too high-cardinality for a "
+                        "driver-held view; aggregate in the engine instead"
                     )
-            state["groups"] = {k: v for k, v in groups.items() if v[0] != 0}
-            state["epoch"] = epoch_id
-            self._write_state(state)
+                state["epoch"] = epoch_id
+                self._write_state(state)
             self.target.apply_batch(batch, epoch_id)
         finally:
             compacted.unpersist()

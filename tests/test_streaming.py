@@ -508,3 +508,58 @@ def test_incremental_agg_view_replay_idempotent(spark, tmp_path):
     assert (got["n_rows"], got["sum_value"]) == (5, 139.0)
     vals = {r["pk"]: r["value"] for r in target.read_current(spark).collect()}
     assert vals[0] == 99.0
+
+
+def test_incremental_agg_view_zombie_writer_cannot_regress(spark, tmp_path):
+    """A zombie callback — an orphaned apply of an OLD epoch that read
+    view state before a newer incarnation advanced it — must abort at
+    the under-lock re-check instead of overwriting state.json with
+    stale groups (which would permanently lose the newer folds)."""
+    from pipe_s_spark.streaming.incremental_agg import IncrementalAggView
+
+    target = MergeApplyTarget(str(tmp_path / "t"))
+    view = IncrementalAggView(target, str(tmp_path / "v"))
+    b0 = _mk_changes(spark, [(i, "t1", "insert", i, 1, 10.0) for i in range(5)])
+    view.apply_batch(b0, 0)
+    b1 = _mk_changes(spark, [(10, "t1", "update", 0, 1, 99.0)])
+    view.apply_batch(b1, 1)
+    want = {(r["table_name"], r["n_rows"], r["sum_value"]) for r in view.current(spark).collect()}
+    assert view._read_state()["epoch"] == 1
+
+    # simulate the zombie: its ENTRY read happened before epoch 0
+    # committed (stale fence), so it sails past the entry skip and must
+    # be stopped by the re-check under the target lock
+    real_read = view._read_state
+    calls = {"n": 0}
+
+    def stale_first_read():
+        calls["n"] += 1
+        return {"epoch": -1, "groups": {}} if calls["n"] == 1 else real_read()
+
+    view._read_state = stale_first_read
+    try:
+        view.apply_batch(b0, 0)  # zombie commit attempt for epoch 0
+    finally:
+        view._read_state = real_read
+    assert calls["n"] >= 2, "under-lock re-check must re-read state"
+    assert view._read_state()["epoch"] == 1, "zombie must not regress the fence"
+    got = {(r["table_name"], r["n_rows"], r["sum_value"]) for r in view.current(spark).collect()}
+    assert got == want, "zombie must not alter folded groups"
+
+
+def test_incremental_agg_view_group_cap_fails_fast(spark, tmp_path):
+    """group_cols with more distinct values than max_groups must raise
+    (the view is driver-held; unbounded cardinality would be a silent
+    driver-side blowup) and must NOT fence the epoch as applied."""
+    import pytest as _pytest
+
+    from pipe_s_spark.streaming.incremental_agg import IncrementalAggView
+
+    target = MergeApplyTarget(str(tmp_path / "t"))
+    view = IncrementalAggView(
+        target, str(tmp_path / "v"), group_cols=("pk",), max_groups=3
+    )
+    b = _mk_changes(spark, [(i, "t1", "insert", i, 1, 1.0) for i in range(5)])
+    with _pytest.raises(ValueError, match="max_groups"):
+        view.apply_batch(b, 0)
+    assert view._read_state()["epoch"] == -1
