@@ -60,12 +60,45 @@ class SchemaRegistry:
     invalidation point.
     """
 
-    def __init__(self, schemas: Mapping[str, T.StructType] | None = None):
+    def __init__(
+        self,
+        schemas: Mapping[str, T.StructType] | None = None,
+        fetcher: "Callable[[str], T.StructType | None] | None" = None,
+    ):
         self._schemas: dict[str, T.StructType] = dict(schemas or {})
+        #: lazy source-of-truth lookup (the SHOW COLUMNS / JDBC-metadata
+        #: equivalent, simple.go:106-166); injected so tests use a fake
+        #: and production wires a JDBC metadata query
+        self._fetcher = fetcher
         self.version = 0
 
     def get(self, table: str) -> T.StructType | None:
         return self._schemas.get(table)
+
+    def get_or_fetch(
+        self,
+        table: str,
+        fetcher: "Callable[[str], T.StructType | None] | None" = None,
+    ) -> T.StructType | None:
+        """Cached schema, lazily refetched from the source of truth on
+        a miss — the reference's invalidate-then-refetch pair
+        (``SimpleSchemaStore.GetTable``, simple.go:72-103: consult the
+        cache, else re-SELECT INFORMATION_SCHEMA and repopulate).
+
+        ``fetcher`` overrides the registry-level one for this call;
+        with neither configured a miss just returns None (pure in-band
+        mode). A fetch result is cached, so repeated misses cost one
+        source round-trip."""
+        cached = self._schemas.get(table)
+        if cached is not None:
+            return cached
+        f = fetcher or self._fetcher
+        if f is None:
+            return None
+        fetched = f(table)
+        if fetched is not None:
+            self.set(table, fetched)
+        return fetched
 
     def tables(self) -> list[str]:
         return sorted(self._schemas)
@@ -73,6 +106,14 @@ class SchemaRegistry:
     def set(self, table: str, schema: T.StructType) -> None:
         self._schemas[table] = schema
         self.version += 1
+
+    def invalidate(self, table: str) -> None:
+        """Drop the cached schema WITHOUT forgetting the table existed:
+        the next :meth:`get_or_fetch` repopulates from the source —
+        the DDL-invalidation half of the reference's protocol
+        (simple.go:92-103)."""
+        if self._schemas.pop(table, None) is not None:
+            self.version += 1
 
     def drop(self, table: str) -> None:
         if self._schemas.pop(table, None) is not None:
@@ -88,6 +129,7 @@ def apply_ddl_events(
     op_col: str = "op",
     table_col: str = "table_name",
     ddl_col: str = "new_row",
+    seq_col: str = "seq",
 ) -> DataFrame:
     """Consume DDL events from a batch, mutating ``registry``; return
     the batch with DDL rows removed (only DML flows on to fan-out).
@@ -95,28 +137,35 @@ def apply_ddl_events(
     A DDL event is ``op == 'ddl'`` whose payload (``ddl_col``, JSON)
     carries ``{"action": "alter"|"drop", "columns": {name: typeDDL}}``
     — e.g. ``{"action": "alter", "columns": {"k": "int", "note":
-    "string"}}`` re-types the table to those columns. This mirrors the
-    reference's invalidate-then-rebuild (it re-SELECTs
-    INFORMATION_SCHEMA, simple.go:105-150; a self-contained stream
-    carries the new shape in-band instead).
+    "string"}}`` re-types the table to those columns. An "alter" (or
+    "invalidate") WITHOUT columns only invalidates the cached schema,
+    to be lazily refetched via :meth:`SchemaRegistry.get_or_fetch` —
+    the reference's invalidate-then-rebuild (it re-SELECTs
+    INFORMATION_SCHEMA, simple.go:92-166; a self-contained stream may
+    instead carry the new shape in-band).
 
-    DDL rows are driver-collected — they are rare control events
-    (one per ALTER), not data.
+    DDL rows are driver-collected — they are rare control events (one
+    per ALTER), not data — and applied in ``seq_col`` order: collect()
+    returns rows in partition order, so without the sort two ALTERs of
+    the same table inside one batch could apply in arbitrary order and
+    leave the registry on the older shape.
     """
     import json
 
-    ddl_rows = (
-        batch.filter(F.col(op_col) == "ddl")
-        .select(table_col, ddl_col)
-        .collect()
-    )
+    ddl = batch.filter(F.col(op_col) == "ddl")
+    if seq_col in batch.columns:
+        ddl = ddl.orderBy(seq_col)
+    ddl_rows = ddl.select(table_col, ddl_col).collect()
     for r in ddl_rows:
         spec = json.loads(r[ddl_col]) if r[ddl_col] else {}
         table = r[table_col]
         if spec.get("action") == "drop":
             registry.drop(table)
             continue
-        cols = spec.get("columns") or {}
+        cols = spec.get("columns")
+        if not cols:
+            registry.invalidate(table)
+            continue
         registry.set(
             table,
             T.StructType([T.StructField(n, _parse_type(t), True) for n, t in cols.items()]),

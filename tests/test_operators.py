@@ -406,3 +406,94 @@ def test_connected_components_matches_union_find_random_graphs(spark):
         got = {r["v"]: r["component"] for r in connected_components(df).collect()}
         want = union_find(edges, verts)
         assert got == want, f"seed={seed}"
+
+
+def test_ddl_events_apply_in_seq_order(spark):
+    """Two ALTERs of the same table in one batch must apply in seq
+    order regardless of row order in the frame — collect() without the
+    sort returns partition order and could leave the older shape."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from pipe_s_spark.operators.converter import SchemaRegistry, apply_ddl_events
+
+    newer = json.dumps({"action": "alter", "columns": {"a": "int", "b": "string", "c": "double"}})
+    older = json.dumps({"action": "alter", "columns": {"a": "int"}})
+    rows = [
+        # newer DDL deliberately FIRST in frame order, lower seq second
+        {"seq": 5, "table_name": "t1", "op": "ddl", "new_row": newer},
+        {"seq": 2, "table_name": "t1", "op": "ddl", "new_row": older},
+        {"seq": 3, "table_name": "t1", "op": "insert", "new_row": json.dumps({"a": 1})},
+    ]
+    batch = spark.createDataFrame(rows, "seq long, table_name string, op string, new_row string")
+    reg = SchemaRegistry()
+    out = apply_ddl_events(reg, batch)
+    assert [f.name for f in reg.get("t1").fields] == ["a", "b", "c"]
+    assert out.count() == 1  # ddl rows removed
+    assert isinstance(reg.get("t1")["c"].dataType, T.DoubleType)
+
+
+def test_schema_registry_get_or_fetch_lazy_refetch(spark):
+    """Invalidation (DDL without in-band columns) drops the cache and
+    the next get_or_fetch repopulates from the pluggable fetcher —
+    the reference's invalidate-then-refetch protocol."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from pipe_s_spark.operators.converter import SchemaRegistry, apply_ddl_events
+
+    calls = []
+
+    def fetcher(table):
+        calls.append(table)
+        return T.StructType([T.StructField("a", T.LongType()), T.StructField("v2", T.StringType())])
+
+    v1 = T.StructType([T.StructField("a", T.LongType())])
+    reg = SchemaRegistry({"t1": v1}, fetcher=fetcher)
+    assert reg.get_or_fetch("t1") is v1 and calls == []  # cache hit: no fetch
+
+    batch = spark.createDataFrame(
+        [{"seq": 1, "table_name": "t1", "op": "ddl", "new_row": json.dumps({"action": "alter"})}],
+        "seq long, table_name string, op string, new_row string",
+    )
+    apply_ddl_events(reg, batch)
+    assert reg.get("t1") is None, "bare ALTER invalidates the cache"
+    got = reg.get_or_fetch("t1")
+    assert [f.name for f in got.fields] == ["a", "v2"] and calls == ["t1"]
+    reg.get_or_fetch("t1")
+    assert calls == ["t1"], "fetched schema is cached"
+
+
+def test_connected_components_non_convergence_raises_or_warns(spark):
+    import pytest as _pytest
+
+    from pipe_s_spark.functions.dedup import connected_components
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "d1 long, d2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_edges, max_iter=1)
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(path_edges, max_iter=1, on_non_convergence="warn")
+        assert partial.count() == 13  # partial labels still returned
+    full = connected_components(path_edges)  # default budget converges
+    assert full.groupBy("component").count().count() == 1
+
+
+def test_fork_multiple_return_branches_rejected(spark):
+    import pytest as _pytest
+
+    from pipe_s_spark.plans.runner import PipelineSpecError, run_pipeline
+
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": "/root/testdata/sf0.001", "table": "region"}},
+        "Output": {
+            "Type": "fork",
+            "Outputs": [{"Output": {"Type": "return"}}, {"Output": {"Type": "return"}}],
+        },
+    }
+    with _pytest.raises(PipelineSpecError, match="return"):
+        run_pipeline(spark, spec)
