@@ -257,6 +257,7 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    on_non_convergence: str = "raise",
 ) -> DataFrame:
     """Connected components over an undirected edge list — the cluster
     resolution step of near-dup dedup (candidate pairs -> groups, keep
@@ -272,7 +273,16 @@ def connected_components(
     propagation (GraphFrames' connectedComponents does the same shape).
 
     Returns (vertex, component) with component = min vertex id reachable.
+
+    If the fixpoint is NOT reached within ``max_iter`` rounds the
+    labels are not components — silently returning them would hand the
+    caller split clusters (dedup would keep extra near-dup copies).
+    ``on_non_convergence``: "raise" (default) raises RuntimeError;
+    "warn" logs and returns the partial labels for callers that
+    explicitly tolerate over-segmentation.
     """
+    if on_non_convergence not in ("raise", "warn"):
+        raise ValueError(f"on_non_convergence must be 'raise' or 'warn', got {on_non_convergence!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -295,6 +305,7 @@ def connected_components(
             "v", F.least(F.col("label"), F.coalesce("nb", "label")).alias("label")
         )
 
+    converged = False
     for _ in range(max_iter):
         # two propagation hops per round: a 1-hop fixpoint is a 2-hop
         # fixpoint, so convergence detection stays correct while the
@@ -308,5 +319,16 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(2 hops/round): labels are partial — clusters may be split"
+        )
+        if on_non_convergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("v"), F.col("label").alias("component"))

@@ -216,7 +216,15 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             if cache:
                 df.unpersist()
         returned = [r for r in results if r is not None]
-        return returned[0] if len(returned) == 1 else None
+        if len(returned) > 1:
+            # silently handing back just one branch's frame would make
+            # the others vanish without a trace — make the spec fix it
+            # (write N-1 branches to sinks, or run two pipelines)
+            raise PipelineSpecError(
+                f"fork has {len(returned)} 'return' branches; at most one "
+                "branch may return a DataFrame"
+            )
+        return returned[0] if returned else None
     raise PipelineSpecError(f"unknown output type: {typ!r}")
 
 

@@ -45,7 +45,18 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nano timestamps."""
+    """Load one testdata table, normalizing nano timestamps.
+
+    SIDE EFFECT — this call mutates three SESSION-WIDE confs on the
+    passed session (nanosAsLong, UTC timezone, ANSI off) and does not
+    restore them: every later query on the session, not just this
+    table, sees them. Deliberate: external harnesses build vanilla
+    sessions and call only this entrypoint, so the confs MUST be set
+    at read time (session.get_spark sets the same values, making this
+    a no-op on our own sessions). Callers embedding this library in a
+    session whose queries need ANSI-on / non-UTC must isolate with a
+    separate SparkSession.
+    """
     # Runtime-settable; must not depend on how the session was built —
     # external harnesses construct vanilla sessions. events.parquet is
     # INT64 TIMESTAMP(NANOS), which Spark rejects without nanosAsLong;
