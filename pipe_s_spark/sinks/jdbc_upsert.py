@@ -118,18 +118,82 @@ def build_upsert_statements(
     return UpsertStatements(inserts, updates, deletes)
 
 
+def build_upsert_param_batches(
+    table: str,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    rows: Iterable[dict],
+    net_op_col: str = "net_op",
+    max_rows_per_batch: int = 1000,
+    dialect: str = "mysql",
+    placeholder: str = "%s",
+) -> list[tuple[str, list[tuple]]]:
+    """Prepared-statement rendering of :func:`build_upsert_statements`:
+    ``[(sql_template, params_batch), ...]`` for ``executemany`` — the
+    production-preferred path (server-side parameter binding; no
+    literal escaping, the interpolated path exists for parity with the
+    reference's interpolateParams=true client, utils/mysql.go:27).
+
+    One template per op kind per chunk; params are row tuples in
+    declared column order (insert: keys+payloads; update: payloads
+    then keys, matching SET ... WHERE ...; delete: keys)."""
+    keys = list(key_cols)
+    pays = list(payload_cols)
+    cols = keys + pays
+
+    ins_params: list[tuple] = []
+    upd_params: list[tuple] = []
+    del_params: list[tuple] = []
+    for r in rows:
+        op = r[net_op_col]
+        if op == "insert":
+            ins_params.append(tuple(r[c] for c in cols))
+        elif op == "update":
+            upd_params.append(tuple([r[c] for c in pays] + [r[k] for k in keys]))
+        elif op == "delete":
+            del_params.append(tuple(r[k] for k in keys))
+
+    collist = ", ".join(_q(c, dialect) for c in cols)
+    slots = ", ".join([placeholder] * len(cols))
+    if dialect == "mysql":
+        ins_sql = f"INSERT IGNORE INTO {_q(table, dialect)} ({collist}) VALUES ({slots})"
+    else:
+        conflict = ", ".join(_q(k, dialect) for k in keys)
+        ins_sql = (
+            f"INSERT INTO {_q(table, dialect)} ({collist}) VALUES ({slots}) "
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+    sets = ", ".join(f"{_q(c, dialect)} = {placeholder}" for c in pays)
+    where = " AND ".join(f"{_q(k, dialect)} = {placeholder}" for k in keys)
+    upd_sql = f"UPDATE {_q(table, dialect)} SET {sets} WHERE {where}"
+    del_sql = f"DELETE FROM {_q(table, dialect)} WHERE {where}"
+
+    out: list[tuple[str, list[tuple]]] = []
+    for sql, params in ((ins_sql, ins_params), (upd_sql, upd_params), (del_sql, del_params)):
+        for i in range(0, len(params), max_rows_per_batch):
+            out.append((sql, params[i : i + max_rows_per_batch]))
+    return out
+
+
 def jdbc_upsert_writer(
     table: str,
     key_cols: Sequence[str],
     payload_cols: Sequence[str],
-    execute: Callable[[str], None],
+    execute: Callable[[str], None] | None = None,
     num_key_partitions: int = 8,
+    executemany: Callable[[str, list[tuple]], None] | None = None,
 ):
     """Return (df) -> None applying a compacted changelog DataFrame via
     batched SQL, partition-parallel, hash-routed by key for per-key
-    serial order (parity: batchoutput.go:164-190). ``execute`` runs one
-    SQL string against the target (injected: DB-API cursor.execute in
-    production, a recorder in tests — no JDBC driver in this env)."""
+    serial order (parity: batchoutput.go:164-190).
+
+    Exactly one of the two executors must be given: ``execute`` runs
+    one interpolated SQL string (DB-API cursor.execute in production,
+    a recorder in tests); ``executemany`` runs a parameterized
+    template with a params batch (cursor.executemany / JDBC
+    addBatch+executeBatch — the production-preferred path)."""
+    if (execute is None) == (executemany is None):
+        raise ValueError("provide exactly one of execute / executemany")
 
     def write(df) -> None:
         routed = df.repartition(num_key_partitions, *key_cols)
@@ -137,6 +201,12 @@ def jdbc_upsert_writer(
         def per_partition(rows) -> None:
             batch = [r.asDict() for r in rows]
             if not batch:
+                return
+            if executemany is not None:
+                for sql, params in build_upsert_param_batches(
+                    table, key_cols, payload_cols, batch
+                ):
+                    executemany(sql, params)
                 return
             stmts = build_upsert_statements(table, key_cols, payload_cols, batch)
             for s in stmts.all():

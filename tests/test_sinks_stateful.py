@@ -152,3 +152,76 @@ def test_streaming_last_state(spark, tmp_path):
     )
     assert final.select("table_name", "pk", "seq", "k").exceptAll(expect).count() == 0
     assert expect.exceptAll(final.select("table_name", "pk", "seq", "k")).count() == 0
+
+
+def test_upsert_param_batches_templates_and_params():
+    from pipe_s_spark.sinks.jdbc_upsert import build_upsert_param_batches
+
+    rows = [
+        {"net_op": "insert", "table_name": "t", "pk": 1, "k": 10, "value": "a'b"},
+        {"net_op": "insert", "table_name": "t", "pk": 2, "k": 20, "value": None},
+        {"net_op": "update", "table_name": "t", "pk": 3, "k": 30, "value": "x"},
+        {"net_op": "delete", "table_name": "t", "pk": 4, "k": 0, "value": None},
+    ]
+    batches = build_upsert_param_batches("sbtest", ["table_name", "pk"], ["k", "value"], rows)
+    by_sql = {sql: params for sql, params in batches}
+    ins = "INSERT IGNORE INTO `sbtest` (`table_name`, `pk`, `k`, `value`) VALUES (%s, %s, %s, %s)"
+    upd = "UPDATE `sbtest` SET `k` = %s, `value` = %s WHERE `table_name` = %s AND `pk` = %s"
+    dele = "DELETE FROM `sbtest` WHERE `table_name` = %s AND `pk` = %s"
+    # values pass through VERBATIM (no escaping — binding is server-side)
+    assert by_sql[ins] == [("t", 1, 10, "a'b"), ("t", 2, 20, None)]
+    assert by_sql[upd] == [(30, "x", "t", 3)]
+    assert by_sql[dele] == [("t", 4)]
+
+
+def test_upsert_param_batches_chunking_and_ansi():
+    from pipe_s_spark.sinks.jdbc_upsert import build_upsert_param_batches
+
+    rows = [
+        {"net_op": "insert", "pk": i, "v": i} for i in range(5)
+    ]
+    batches = build_upsert_param_batches(
+        "t", ["pk"], ["v"], rows, max_rows_per_batch=2, dialect="ansi", placeholder="?"
+    )
+    assert len(batches) == 3  # 2 + 2 + 1
+    sql = batches[0][0]
+    assert sql == 'INSERT INTO "t" ("pk", "v") VALUES (?, ?) ON CONFLICT ("pk") DO NOTHING'
+    assert [len(p) for _, p in batches] == [2, 2, 1]
+
+
+def test_jdbc_writer_executemany_path(spark, tmp_path):
+    import json as _json
+
+    from pipe_s_spark.model import changelog_from_events
+    from pipe_s_spark.operators import compact_changelog
+
+    sink_log = str(tmp_path / "param_log")
+    os.makedirs(sink_log)
+
+    def executemany(sql: str, params: list) -> None:
+        import uuid
+
+        with open(os.path.join(sink_log, f"{uuid.uuid4().hex}.json"), "w") as f:
+            _json.dump({"sql": sql, "n": len(params)}, f)
+
+    cl = changelog_from_events(load_table(spark, SF, "events"))
+    compacted = compact_changelog(cl, key_cols=("table_name", "pk"), payload_cols=("k", "value"))
+    writer = jdbc_upsert_writer(
+        "sbtest", ["table_name", "pk"], ["k", "value"], executemany=executemany
+    )
+    writer(compacted)
+    recs = [
+        _json.load(open(os.path.join(sink_log, fn))) for fn in os.listdir(sink_log)
+    ]
+    assert any(r["sql"].startswith("INSERT IGNORE") and "%s" in r["sql"] for r in recs)
+    assert any(r["sql"].startswith("DELETE FROM") for r in recs)
+    assert all(r["n"] >= 1 for r in recs)
+
+
+def test_jdbc_writer_requires_exactly_one_executor():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        jdbc_upsert_writer("t", ["pk"], ["v"])
+    with _pytest.raises(ValueError, match="exactly one"):
+        jdbc_upsert_writer("t", ["pk"], ["v"], execute=print, executemany=lambda s, p: None)
