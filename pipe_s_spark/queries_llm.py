@@ -510,13 +510,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash16(docs, "doc_id", "text")
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)`` — shared by the
+    signature query and the banded-pairs query."""
     votes = ",\n           ".join(
         f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
     )
     bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
 ),
 hashed AS (
@@ -525,12 +526,244 @@ hashed AS (
 voted AS (
     SELECT doc_id, {votes}
     FROM hashed GROUP BY doc_id
+),
+sims AS (
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted
+)"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_simhash_ctes()}
+SELECT doc_id, simhash FROM sims
+"""
+
+#: SimHash banding: 2 bands x 8 bits. Pigeonhole: any pair with
+#: hamming distance 0 or 1 shares at least one full band, so the band
+#: equi-join is a guaranteed-recall candidate generator for ham <= 1
+#: and a heuristic one up to SIMHASH_HAM_MAX. 256 values per band at
+#: 16 signature bits — the same planes-vs-n caveat as LSH_PLANES: a
+#: wider signature (64-bit, 4 bands) is the corpus-scale setting.
+SIMHASH_BANDS = 2
+SIMHASH_HAM_MAX = 3
+#: Bounded-fan-out cap on band groups (dedup.cap_group_size rationale).
+SIMHASH_BAND_CAP = 500
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit signature into 2x8-bit
+    bands, equi-join on (band_id, band_val) — candidates, not a cross
+    join — then verify true Hamming distance <= SIMHASH_HAM_MAX via
+    bit_count(xor). The banded-LSH plan shape (Charikar'02 signatures,
+    MMDS ch.3 banding) that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash16(docs, "doc_id", "text")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    bands = D.cap_group_size(bands, ["band_id", "band_val"], SIMHASH_BAND_CAP)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("d1", "d2", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_simhash_ctes()},
+bands AS (
+    SELECT doc_id, simhash, CAST(b AS INTEGER) AS band_id,
+           (simhash >> (8 * b)) & 255 AS band_val
+    FROM sims, generate_series(0, {SIMHASH_BANDS - 1}) AS t(b)
+),
+bc AS (
+    SELECT doc_id, simhash, band_id, band_val FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS gs FROM bands
+    ) WHERE gs <= {SIMHASH_BAND_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           a.simhash AS s1, b.simhash AS s2
+    FROM bc a JOIN bc b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM voted
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAM_MAX}
 """
 
 
-SQL_DEDUP_SIMHASH = _simhash_sql()
+#: 5-gram shingle CTE chain (DuckDB) ending in sh5(doc_id, shingle) —
+#: longer shingles than the k=3 dedup index: contamination checks use
+#: long n-grams so chance collisions are negligible (standard eval-
+#: decontamination practice).
+SQL_SHINGLES5 = f"""
+tok5 AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+sh5_raw AS (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS shingle
+    FROM tok5 WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh5 AS (
+    SELECT DISTINCT doc_id, shingle FROM sh5_raw WHERE shingle IS NOT NULL
+)"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how
+    many of its distinct 5-gram shingles also appear in the held-out
+    eval set (docs with doc_id % 10 == 7 stand in for a benchmark).
+
+    Scale shape: the eval set is tiny by definition, so its distinct
+    shingles BROADCAST and the training corpus never shuffles — one
+    broadcast semi-join + one groupBy(doc). The score is integer
+    micro-units (exact.davg_int policy: no floats to hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=5)
+    is_eval = F.col("doc_id") % 10 == 7
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train = sh.filter(~is_eval)
+    shared = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = train.groupBy("doc_id").agg(F.max("n").alias("n_shingles"))
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "contamination_x1m",
+            F.expr("CAST((n_shared * 1000000) DIV n_shingles AS BIGINT)"),
+        )
+    )
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH {SQL_SHINGLES5},
+ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 10 = 7),
+tr AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 10 <> 7),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+shared AS (
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST((COALESCE(sh.n_shared, 0) * 1000000) // s.n_shingles AS BIGINT) AS contamination_x1m
+FROM sizes s LEFT JOIN shared sh USING (doc_id)
+"""
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring for data curation: per document, the fraction of
+    its distinct 3-gram shingles that occur in NO other document
+    (corpus df = 1) — high-novelty docs are up-weighted, boilerplate
+    down-weighted. One groupBy(shingle) for df + one groupBy(doc);
+    integer micro-units, no floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_x1m", F.expr("CAST((n_unique * 1000000) DIV n_total AS BIGINT)")
+        )
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+WITH {SQL_SHINGLES},
+dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per AS (
+    SELECT s.doc_id, COUNT(*) AS n_total,
+           SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+    FROM sh s JOIN dfc d USING (shingle) GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST((n_unique * 1000000) // n_total AS BIGINT) AS novelty_x1m
+FROM per
+"""
+
+
+#: Docs kept per (lang, source) stratum by the deterministic sampler.
+STRATUM_SAMPLE_K = 20
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep the STRATUM_SAMPLE_K
+    docs per (lang, source) stratum with the smallest md5(doc_id) —
+    stable across runs, engines and cluster sizes (the property
+    rand()-based sampling lacks), via a PARTITIONED rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= STRATUM_SAMPLE_K)
+    )
+
+
+SQL_TEXT_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (PARTITION BY lang, source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+) WHERE rk <= {STRATUM_SAMPLE_K}
+"""
 
 
 # --- similarity search ---------------------------------------------------
@@ -780,6 +1013,10 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "text_contamination": q_text_contamination,
+    "text_ngram_novelty": q_text_ngram_novelty,
+    "text_stratified_sample": q_text_stratified_sample,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
@@ -804,6 +1041,10 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "text_contamination": SQL_TEXT_CONTAMINATION,
+    "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
+    "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,

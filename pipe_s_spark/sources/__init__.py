@@ -1,5 +1,12 @@
 from pipe_s_spark.sources.readers import TABLES, load_table, load_tables, scan_tables
 from pipe_s_spark.sources.kafka import decode_changelog_frame, read_kafka_changelog
+from pipe_s_spark.sources.failover import (
+    EndpointChangeTracker,
+    FailoverSource,
+    SourceUnavailableError,
+    start_stream_with_failover,
+    supervise_stream_with_failover,
+)
 
 __all__ = [
     "TABLES",
@@ -8,4 +15,9 @@ __all__ = [
     "scan_tables",
     "decode_changelog_frame",
     "read_kafka_changelog",
+    "EndpointChangeTracker",
+    "FailoverSource",
+    "SourceUnavailableError",
+    "start_stream_with_failover",
+    "supervise_stream_with_failover",
 ]
