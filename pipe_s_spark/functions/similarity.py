@@ -96,6 +96,22 @@ def brute_force_topk(
 LSH_PLANES = 8
 
 
+def recommended_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """The planes-grow-with-log2(n) rule above, executable: the number
+    of hyperplanes that keeps expected bucket size near
+    ``target_bucket_rows`` for an ``n_rows`` corpus (never below the
+    test-scale LSH_PLANES, capped at 30 so the bucket id stays a safe
+    int32). A production job sizes its signature with
+    ``lsh_bucket(vec, planes=recommended_planes(corpus_count))``; the
+    oracle-checked queries pin planes=LSH_PLANES so both engines hash
+    the same literal plan."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return LSH_PLANES
+    return min(30, max(LSH_PLANES, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def plane_weight_value(plane: int, dim_idx: int) -> float:
     """Deterministic pseudo-random weight in [-0.5, 0.5): first 4 hex
     chars of md5('p{plane}d{dim}') scaled. Computed once driver-side --

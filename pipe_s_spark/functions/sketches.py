@@ -116,3 +116,99 @@ SELECT {gsel} COUNT(*) AS n_hashes,
                   ELSE {float(k - 1)!r} / MAX(h) END, 4) AS est_distinct
 FROM bottom {ggrp}
 """
+
+
+# --- count-min sketch ----------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications"). The reference engine carries
+# no frequency sketch; this is part of the training-data-pipeline
+# surface (heavy-hitter detection over corpus keys without a full
+# groupBy held in memory). Like KMV above, the hash functions are
+# deterministic md5 derivations so the DuckDB oracle reproduces every
+# cell — the sketch is oracle-checkable end to end.
+#
+# Scale shape: BUILD is one narrow explode (each input row emits DEPTH
+# probes) followed by one groupBy over at most DEPTH*WIDTH distinct
+# cells — map-side combine collapses the shuffle to O(cells) per task,
+# so the shuffle payload is bounded by the sketch size, never the data
+# size. ESTIMATE broadcasts the (tiny, <= DEPTH*WIDTH rows) sketch and
+# never shuffles the key side. Sketches are mergeable by cell-wise sum,
+# which is exactly what re-running the build over a union computes.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(col: Column | str, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row-`row`'s hash bucket for a key: md5('{row}:{key}') first 8
+    hex digits mod width (nonnegative: 8 hex digits < 2^32)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_bucket_sql(expr: str, row: int, width: int = CMS_WIDTH) -> str:
+    """DuckDB rendering of :func:`cms_bucket` (identical md5 mod)."""
+    return (
+        f"CAST(CAST('0x' || substr(md5('{row}:' || CAST({expr} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {width} AS INTEGER)"
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution:
+    one row per touched cell, columns ``(row_id, bucket, cnt)``."""
+    probes = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        cms_bucket(key_col, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        probes.select(F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys`` (distinct
+    values of ``key_col``): est = min over rows of the addressed cell.
+    The sketch side is broadcast — the key side never shuffles."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        cms_bucket(key_col, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

@@ -504,6 +504,57 @@ SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution policy: within each near-dup cluster keep the
+    HIGHEST-QUALITY member (ties by doc_id) — the curation step that
+    turns dedup clusters into a keep/drop decision, rather than the
+    naive keep-min-id. quality_score rounds to 6 on both engines so the
+    ordering key is bit-identical; output is all-integer.
+
+    Scale shape: clusters (a small fraction of the corpus) join docs on
+    doc_id, then a window PARTITIONED by component — parallel across
+    clusters, and cluster sizes are bounded by the same LSH_BAND_CAP
+    fan-out cap that bounds the candidate join."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score("text").alias("__q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__q").desc(), "doc_id")
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            (F.col("rk") == 1).cast("int").alias("keep"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_MINHASH_SIMS_CTES},
+edges AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+ranked AS (
+    SELECT c.doc_id, c.component,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY {X.quality_score_sql('d.text')} DESC, c.doc_id
+           ) AS rk
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component, CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ranked
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (bit-majority voting)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -929,6 +980,50 @@ def _sql_sketch_kmv() -> str:
     return kmv_distinct_estimate_sql("events", "user_id", ["event_type"], k=64)
 
 
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates: build a deterministic
+    4x256 CMS over events.user_id (shuffle payload bounded by the
+    sketch size via map-side combine), then point-query every distinct
+    user against the broadcast sketch and compare with the exact count.
+    est_cnt >= exact_cnt always (CMS overestimates under collisions) —
+    the oracle replays both sides cell-for-cell. All-integer output
+    (exact.davg_int float policy)."""
+    from pipe_s_spark.functions import sketches as K
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = K.cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = K.cms_estimate(exact.select("user_id"), sketch, "user_id")
+    return exact.join(est, "user_id").select("user_id", "exact_cnt", "est_cnt")
+
+
+def _sql_sketch_countmin() -> str:
+    from pipe_s_spark.functions import sketches as K
+
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT user_id, {r} AS row_id, {K.cms_bucket_sql('user_id', r)} AS bucket FROM ukeys"
+        for r in range(K.CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+    SELECT row_id, bucket, COUNT(*) AS cnt FROM (
+        {probe_rows.replace('ukeys', 'events')}
+    ) GROUP BY row_id, bucket
+),
+ukeys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+    {probe_rows}
+),
+est AS (
+    SELECT p.user_id, MIN(c.cnt) AS est_cnt
+    FROM probes p JOIN cells c USING (row_id, bucket)
+    GROUP BY p.user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id)
+SELECT user_id, exact_cnt, est_cnt FROM exact JOIN est USING (user_id)
+"""
+
+
 # --- multimodal (oracle-checked via the deterministic fake codecs) -------
 
 
@@ -1012,6 +1107,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_contamination": q_text_contamination,
@@ -1024,6 +1120,7 @@ QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_digests": q_multimodal_frame_digests,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_countmin": q_sketch_countmin,
 }
 
 ORACLES = {
@@ -1040,6 +1137,7 @@ ORACLES = {
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "text_contamination": SQL_TEXT_CONTAMINATION,
@@ -1052,4 +1150,5 @@ ORACLES = {
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_frame_digests": SQL_MULTIMODAL_FRAMES,
     "sketch_kmv_distinct": _sql_sketch_kmv(),
+    "sketch_countmin": _sql_sketch_countmin(),
 }

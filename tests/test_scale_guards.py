@@ -98,3 +98,51 @@ def test_pack_assign_semantics(spark):
     assert min(packs) == 0
     multi_doc_over = [p for p, tot in packs.items() if tot > 2048 + biggest[p]]
     assert not multi_doc_over
+
+
+def test_recommended_planes_grows_log2():
+    from pipe_s_spark.functions.similarity import LSH_PLANES, recommended_planes
+
+    assert recommended_planes(1_000) == LSH_PLANES  # never below test scale
+    assert recommended_planes(1 << 20) == max(LSH_PLANES, 10)
+    # 10^10 docs / 1024-per-bucket ≈ 2^23.2 buckets → 24 planes
+    assert recommended_planes(10_000_000_000) == 24
+    assert recommended_planes(1 << 62) == 30  # int32-safe cap
+    # monotone in n
+    vals = [recommended_planes(10**k) for k in range(3, 14)]
+    assert vals == sorted(vals)
+
+
+def test_countmin_overestimates_and_is_exact_without_collisions(spark):
+    from pipe_s_spark.functions import sketches as K
+
+    data = [(f"k{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(data, "k string")
+    sketch = K.cms_build(df, "k")
+    exact = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in K.cms_estimate(df.select("k").distinct(), sketch, "k").collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]  # CMS never underestimates
+    # 10 keys into 4x256 cells: overwhelmingly collision-free → exact
+    assert est == exact
+
+
+def test_countmin_sketch_merges_by_cellwise_sum(spark):
+    from pipe_s_spark.functions import sketches as K
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"k{i % 5}",) for i in range(200)], "k string")
+    merged_cells = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in K.cms_build(a.union(b), "k").collect()
+    }
+    summed: dict = {}
+    for part in (a, b):
+        for r in K.cms_build(part, "k").collect():
+            key = (r["row_id"], r["bucket"])
+            summed[key] = summed.get(key, 0) + r["cnt"]
+    assert merged_cells == summed
