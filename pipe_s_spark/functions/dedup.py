@@ -42,8 +42,12 @@ NORMALIZE_SQL = (
 )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document, as an Arrow-batched
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Distinct k-token shingles per document (every occurrence when
+    ``distinct=False`` — repetition metrics need multiplicity), as an
+    Arrow-batched
     mapInPandas — a narrow map with NO shuffle (per-doc dedup happens in
     the kernel), so the only exchange in a dedup plan is the one the
     downstream groupBy/join needs anyway.
@@ -69,9 +73,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
             ns: list = []
             for did, text in zip(b[id_col], b[text_col]):
                 toks = [t for t in ws.split((text or "").lower()) if t]
-                seen = set()
-                for i in range(len(toks) - k + 1):
-                    seen.add(" ".join(toks[i : i + k]))
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+                seen = set(grams) if distinct else grams
                 ids.extend([did] * len(seen))
                 shs.extend(seen)
                 ns.extend([len(seen)] * len(seen))

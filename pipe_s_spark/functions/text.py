@@ -121,3 +121,49 @@ def with_text_stats(text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
         )
 
     return _apply
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# Classic pre-training scrub pass. Patterns are deliberately simple,
+# identical regex dialect on both engines (no lookarounds), and applied
+# as narrow expressions — the scrub runs inside the scan's projection
+# at 100 TB, no shuffle. The synthetic corpus contains no PII (asserted
+# by the oracle run returning zero counts); the kernels are exercised
+# on crafted rows in tests/test_scale_guards.py.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("bigint")
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    # DuckDB single-quoted literals keep backslashes verbatim — the
+    # pattern goes in as-is (doubling them would corrupt the regex).
+    return f"CAST(len(regexp_extract_all({expr}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder token —
+    chained regexp_replace, email first so its host part is not first
+    mangled by the ipv4 rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "phone", "ipv4"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
+    return c
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """DuckDB rendering ('g' flag: DuckDB replaces only the first
+    match by default, Spark replaces all)."""
+    out = expr
+    for kind in ("email", "phone", "ipv4"):
+        out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '<{kind}>', 'g')"
+    return out

@@ -817,6 +817,100 @@ SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher-style, Rae et al. 2021 table A1): per
+    doc, the share of tokens taken by the single most frequent token
+    and the share of duplicate 2-gram occurrences — both in integer
+    micro-units. Shape: explode tokens -> groupBy (doc, tok) -> groupBy
+    doc; keys are (doc, token) so partial aggregation collapses the
+    shuffle to per-doc distinct tokens, never raw token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_tok_cnt"),
+    )
+    gr2 = D.shingles(docs, "doc_id", "text", k=2, distinct=False)
+    g2_stats = gr2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_2grams"),
+        F.count_distinct("shingle").alias("n_2grams_distinct"),
+    )
+    return (
+        tok_stats.join(g2_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST((top_tok_cnt * 1000000) DIV n_tokens AS BIGINT)").alias(
+                "top_token_x1m"
+            ),
+            F.expr(
+                "CAST(((n_2grams - n_2grams_distinct) * 1000000) DIV n_2grams AS BIGINT)"
+            ).alias("dup_2gram_x1m"),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+per_tok AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+tok_stats AS (
+    SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_cnt
+    FROM per_tok GROUP BY doc_id
+),
+tok2 AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+gr2 AS (
+    SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS shingle
+    FROM tok2
+),
+g2_stats AS (
+    SELECT doc_id, COUNT(shingle) AS n_2grams, COUNT(DISTINCT shingle) AS n_2grams_distinct
+    FROM gr2 WHERE shingle IS NOT NULL GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST((t.top_tok_cnt * 1000000) // t.n_tokens AS BIGINT) AS top_token_x1m,
+       CAST(((g.n_2grams - g.n_2grams_distinct) * 1000000) // g.n_2grams AS BIGINT) AS dup_2gram_x1m
+FROM tok_stats t JOIN g2_stats g USING (doc_id)
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction pass: per-pattern match counts and the
+    md5 of the scrubbed text — all narrow expressions, so at 100 TB the
+    scrub runs inside the scan projection with zero shuffle. The
+    synthetic corpus carries no PII, which this query PROVES corpus-wide
+    (zero counts, scrub hash = identity hash); the kernels match on
+    crafted PII rows in tests/test_scale_guards.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.pii_count("text", "email").alias("n_emails"),
+        X.pii_count("text", "phone").alias("n_phones"),
+        X.pii_count("text", "ipv4").alias("n_ips"),
+        F.md5(X.pii_scrub("text")).alias("scrubbed_md5"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = f"""
+SELECT doc_id,
+       {X.pii_count_sql('text', 'email')} AS n_emails,
+       {X.pii_count_sql('text', 'phone')} AS n_phones,
+       {X.pii_count_sql('text', 'ipv4')} AS n_ips,
+       md5({X.pii_scrub_sql('text')}) AS scrubbed_md5
+FROM documents
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -1113,6 +1207,8 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
@@ -1143,6 +1239,8 @@ ORACLES = {
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,

@@ -146,3 +146,53 @@ def test_countmin_sketch_merges_by_cellwise_sum(spark):
             key = (r["row_id"], r["bucket"])
             summed[key] = summed.get(key, 0) + r["cnt"]
     assert merged_cells == summed
+
+
+def test_pii_kernels_on_crafted_rows(spark):
+    import duckdb
+
+    from pipe_s_spark.functions import text as X
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or 555-123-4567"),
+        (2, "server at 10.0.255.3 and backup 192.168.1.1, no mail"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            X.pii_count("text", "email").alias("n_emails"),
+            X.pii_count("text", "phone").alias("n_phones"),
+            X.pii_count("text", "ipv4").alias("n_ips"),
+            X.pii_scrub("text").alias("scrubbed"),
+            F.md5(X.pii_scrub("text")).alias("scrubbed_md5"),
+        ).collect()
+    }
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["n_ips"] == 2 and got[2]["n_emails"] == 0
+    assert got[3] == {
+        "doc_id": 3, "n_emails": 0, "n_phones": 0, "n_ips": 0,
+        "scrubbed": rows[2][1],
+        "scrubbed_md5": got[3]["scrubbed_md5"],
+    }
+    assert "<email>" in got[1]["scrubbed"] and "<phone>" in got[1]["scrubbed"]
+    assert got[2]["scrubbed"].count("<ipv4>") == 2
+    # the DuckDB rendering agrees token-for-token on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = con.execute(
+        f"""SELECT doc_id, {X.pii_count_sql('text', 'email')},
+                   {X.pii_count_sql('text', 'phone')},
+                   {X.pii_count_sql('text', 'ipv4')},
+                   {X.pii_scrub_sql('text')},
+                   md5({X.pii_scrub_sql('text')})
+            FROM t ORDER BY doc_id"""
+    ).fetchall()
+    for did, ne, np_, ni, scr, h in oracle:
+        g = got[did]
+        assert (ne, np_, ni, scr, h) == (
+            g["n_emails"], g["n_phones"], g["n_ips"], g["scrubbed"], g["scrubbed_md5"]
+        )
