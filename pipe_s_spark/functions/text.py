@@ -167,3 +167,49 @@ def pii_scrub_sql(expr: str) -> str:
     for kind in ("email", "phone", "ipv4"):
         out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '<{kind}>', 'g')"
     return out
+
+
+def repetition_stats(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Per-document repetition counters (Gopher-style filters) as an
+    Arrow-batched mapInPandas kernel: top-token occurrency, 2-gram
+    occurrence/distinct counts. Repetition is a PER-DOC property, so
+    computing it in the row's own kernel is a narrow map — ZERO
+    shuffle, vs the corpus-sized exchange a groupBy(doc, token)
+    formulation pays at 100 TB. Tokenization matches ``tokens()``
+    (lowercase, ASCII whitespace runs, drop empties — the dialect all
+    three engines agree on; see dedup.shingles). Docs with fewer than
+    2 tokens are dropped (no 2-grams — mirrors the oracle's inner
+    join)."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for b in batches:
+            out: dict[str, list] = {
+                id_col: [], "n_tokens": [], "top_tok_cnt": [],
+                "n_2grams": [], "n_2grams_distinct": [],
+            }
+            for did, text in zip(b[id_col], b[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if len(toks) < 2:
+                    continue
+                grams = [f"{a} {c}" for a, c in zip(toks, toks[1:])]
+                out[id_col].append(did)
+                out["n_tokens"].append(len(toks))
+                out["top_tok_cnt"].append(max(Counter(toks).values()))
+                out["n_2grams"].append(len(grams))
+                out["n_2grams_distinct"].append(len(set(grams)))
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} {id_type}, n_tokens long, top_tok_cnt long,"
+            " n_2grams long, n_2grams_distinct long"
+        ),
+    )

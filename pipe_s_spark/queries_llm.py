@@ -383,7 +383,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH_BAND_CAP are dropped before the join (bounded fan-out)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=3)
-    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N)
+    # The signature table feeds three consumers (banding + both sides
+    # of the est-jaccard verify join). Without a cut, each consumer
+    # re-runs the shingle kernel over the whole corpus; checkpointing
+    # the (doc_id + 16 ints, narrow) signatures scans the corpus ONCE.
+    # At cluster scale this is the persisted signature table every
+    # MinHash pipeline writes before the band join.
+    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N).localCheckpoint(eager=True)
     bands = D.cap_group_size(
         D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
         ["band_id", "band_sig"],
@@ -821,33 +827,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filter (Gopher-style, Rae et al. 2021 table A1): per
     doc, the share of tokens taken by the single most frequent token
     and the share of duplicate 2-gram occurrences — both in integer
-    micro-units. Shape: explode tokens -> groupBy (doc, tok) -> groupBy
-    doc; keys are (doc, token) so partial aggregation collapses the
-    shuffle to per-doc distinct tokens, never raw token count."""
+    micro-units. Repetition is a per-doc property, so the counters come
+    from a ZERO-SHUFFLE Arrow kernel (text.repetition_stats) — a
+    groupBy(doc, token) formulation would pay a corpus-sized exchange
+    at 100 TB for what each row can compute about itself."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
-    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tok_stats = per_tok.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.max("c").alias("top_tok_cnt"),
-    )
-    gr2 = D.shingles(docs, "doc_id", "text", k=2, distinct=False)
-    g2_stats = gr2.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_2grams"),
-        F.count_distinct("shingle").alias("n_2grams_distinct"),
-    )
-    return (
-        tok_stats.join(g2_stats, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr("CAST((top_tok_cnt * 1000000) DIV n_tokens AS BIGINT)").alias(
-                "top_token_x1m"
-            ),
-            F.expr(
-                "CAST(((n_2grams - n_2grams_distinct) * 1000000) DIV n_2grams AS BIGINT)"
-            ).alias("dup_2gram_x1m"),
-        )
+    return X.repetition_stats(docs, "doc_id", "text").select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((top_tok_cnt * 1000000) DIV n_tokens AS BIGINT)").alias(
+            "top_token_x1m"
+        ),
+        F.expr(
+            "CAST(((n_2grams - n_2grams_distinct) * 1000000) DIV n_2grams AS BIGINT)"
+        ).alias("dup_2gram_x1m"),
     )
 
 
