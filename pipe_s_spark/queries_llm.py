@@ -904,6 +904,177 @@ FROM documents
 """
 
 
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms, TF-IDF-shaped but integer-exact:
+    rank by (tf DESC, df ASC, term ASC) — higher in-doc frequency wins,
+    rarer corpus-wide wins ties, lexicographic breaks the rest. Using
+    the raw (tf, df) pair instead of tf*log(N/df) keeps every value
+    BIGINT, so the ranking is bit-identical on any engine (the log
+    weight is monotone in -df for fixed tf, so top-k by (tf, -df)
+    equals top-k by tf*idf whenever tf ties break by df).
+
+    Scale: tf = groupBy(doc, term) with map-side partial agg; df is a
+    vocab-sized groupBy(term); the tf⋈df join shuffles on term (vocab
+    can exceed broadcast size at corpus scale, so a shuffle join is the
+    right default and AQE may downgrade it to broadcast when small);
+    top-k is a window partitioned by doc_id — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_tab, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+SQL_TEXT_TFIDF = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+r AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC
+           ) AS BIGINT) AS rnk
+    FROM tf JOIN dft USING (term)
+)
+SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
+"""
+
+
+INVINDEX_POSTING_CAP = 8
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency, total term
+    frequency, and the first ``INVINDEX_POSTING_CAP`` doc_ids as a CSV
+    posting sample. The cap is enforced BEFORE collection via a
+    row_number window partitioned by term, so a stop-word's posting
+    list never materializes on one task — the unbounded
+    ``collect_list`` formulation is exactly the hot-key OOM the LSH
+    caps exist to prevent. Window and groupBy share the term
+    partitioning, so the whole build is ONE shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= INVINDEX_POSTING_CAP, F.col("doc_id")
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+SQL_TEXT_INVINDEX = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+r AS (
+    SELECT doc_id, term, tf,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tf
+)
+SELECT term,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(
+           CASE WHEN rn <= {INVINDEX_POSTING_CAP} THEN CAST(doc_id AS VARCHAR) END,
+           ',' ORDER BY doc_id
+       ) AS postings
+FROM r GROUP BY term
+"""
+
+
+CHUNK_LEN = 128
+CHUNK_STRIDE = 64
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training: sliding token windows of
+    ``CHUNK_LEN`` with stride ``CHUNK_STRIDE``, emitting per chunk its
+    position and the md5 of its joined tokens (the key you'd dedup or
+    shard chunks by downstream). Pure narrow map — sequence +
+    posexplode + slice inside the scan projection, ZERO shuffle, linear
+    in tokens: the only formulation that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", X.tokens("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    ch = base.select(
+        "doc_id",
+        "n_tokens",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_LEN), F.col("n_tokens") - F.col("start_tok"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start_tok") + 1, F.lit(CHUNK_LEN))
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+SQL_TEXT_CHUNKS = f"""
+WITH base AS (
+    SELECT doc_id, {TOKS_SQL} AS toks,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, n_tokens, toks,
+           unnest(generate_series(0, n_tokens - 1, {CHUNK_STRIDE})) AS start_tok
+    FROM base WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_LEN}, n_tokens - start_tok) AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+           toks[CAST(start_tok + 1 AS INT) : CAST(start_tok + {CHUNK_LEN} AS INT)],
+           ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -1202,6 +1373,9 @@ QUERIES = {
     "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_tfidf_topterms": q_text_tfidf_topterms,
+    "text_inverted_index": q_text_inverted_index,
+    "text_chunk_windows": q_text_chunk_windows,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
@@ -1234,6 +1408,9 @@ ORACLES = {
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "text_tfidf_topterms": SQL_TEXT_TFIDF,
+    "text_inverted_index": SQL_TEXT_INVINDEX,
+    "text_chunk_windows": SQL_TEXT_CHUNKS,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,

@@ -196,3 +196,84 @@ def test_pii_kernels_on_crafted_rows(spark):
         assert (ne, np_, ni, scr, h) == (
             g["n_emails"], g["n_phones"], g["n_ips"], g["scrubbed"], g["scrubbed_md5"]
         )
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    return con
+
+
+def test_chunk_windows_semantics(spark, tmp_path):
+    """130-token doc -> chunks at 0/64/128 with lengths 128/66/2; the
+    tail chunk's md5 covers exactly the clamped slice; 1-token doc ->
+    one chunk; and the DuckDB oracle agrees on the crafted rows."""
+    from oracle_harness import compare
+
+    from pipe_s_spark.queries_llm import SQL_TEXT_CHUNKS, q_text_chunk_windows
+
+    toks130 = [f"w{i}" for i in range(130)]
+    rows = [(1, " ".join(toks130)), (2, "solo"), (3, "   ")]
+    con = _write_docs(tmp_path, rows)
+    out = q_text_chunk_windows(spark, str(tmp_path))
+    got = {(r["doc_id"], r["chunk_idx"]): r.asDict() for r in out.collect()}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}  # doc 3 is empty
+    assert [got[(1, i)]["chunk_len"] for i in range(3)] == [128, 66, 2]
+    assert [got[(1, i)]["start_tok"] for i in range(3)] == [0, 64, 128]
+    import hashlib
+
+    tail = " ".join(toks130[128:130])
+    assert got[(1, 2)]["chunk_md5"] == hashlib.md5(tail.encode()).hexdigest()
+    assert got[(2, 0)]["chunk_len"] == 1
+    compare(out, con, SQL_TEXT_CHUNKS)
+
+
+def test_inverted_index_caps_postings(spark, tmp_path):
+    """A term in more docs than INVINDEX_POSTING_CAP keeps full n_docs /
+    total_tf but only the cap-first doc_ids, ordered numerically (doc 9
+    before doc 10 — lexicographic sort would invert them)."""
+    from oracle_harness import compare
+
+    from pipe_s_spark.queries_llm import (
+        INVINDEX_POSTING_CAP,
+        SQL_TEXT_INVINDEX,
+        q_text_inverted_index,
+    )
+
+    rows = [(i, "common common" if i != 5 else "common rare") for i in range(1, 13)]
+    con = _write_docs(tmp_path, rows)
+    out = q_text_inverted_index(spark, str(tmp_path))
+    got = {r["term"]: r.asDict() for r in out.collect()}
+    assert got["common"]["n_docs"] == 12
+    assert got["common"]["total_tf"] == 23  # 11 docs x2 + doc 5 x1
+    posts = got["common"]["postings"].split(",")
+    assert len(posts) == INVINDEX_POSTING_CAP
+    assert posts == [str(i) for i in range(1, INVINDEX_POSTING_CAP + 1)]
+    assert got["rare"]["postings"] == "5"
+    compare(out, con, SQL_TEXT_INVINDEX)
+
+
+def test_tfidf_rank_breaks_ties_by_df_then_term(spark, tmp_path):
+    """tf DESC dominates; equal tf ranks the rarer (lower df) term
+    first; equal (tf, df) falls back to lexicographic."""
+    from oracle_harness import compare
+
+    from pipe_s_spark.queries_llm import SQL_TEXT_TFIDF, q_text_tfidf_topterms
+
+    rows = [
+        (1, "zeta zeta alpha beta"),  # zeta tf=2; alpha/beta tf=1
+        (2, "alpha shared shared"),  # makes alpha df=2, beta df=1
+    ]
+    con = _write_docs(tmp_path, rows)
+    out = q_text_tfidf_topterms(spark, str(tmp_path))
+    r1 = {r["rnk"]: r["term"] for r in out.collect() if r["doc_id"] == 1}
+    # rank1: zeta (tf 2); rank2: beta (df 1 beats alpha's df 2); rank3: alpha
+    assert r1 == {1: "zeta", 2: "beta", 3: "alpha"}
+    compare(out, con, SQL_TEXT_TFIDF)
