@@ -1075,6 +1075,143 @@ FROM starts
 """
 
 
+#: Target language mixture in micro-shares (sums to 1_000_000) —
+#: the DoReMi-style domain-mixing spec a training pipeline resamples to.
+MIX_TARGET_X1M = {
+    "en": 500_000,
+    "de": 150_000,
+    "es": 150_000,
+    "fr": 100_000,
+    "zh": 100_000,
+}
+
+
+def q_text_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each language to the
+    largest corpus that respects ``MIX_TARGET_X1M`` exactly. Per-lang
+    keep-rates come from integer micro-unit arithmetic (feasible total
+    T = min over langs of count*1e6 DIV target), and the keep decision
+    is md5(doc_id)-uniform < rate — deterministic across runs, engines
+    and cluster sizes, unlike rand()-based sampling.
+
+    Scale: ONE tiny groupBy(lang) agg (cardinality = languages, O(100)
+    for any real corpus — the bounded driver collect is metadata, not
+    data), then a pure narrow filter over the scan. Langs outside the
+    spec map to a null rate and drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    feasible = min(
+        (counts.get(lang, 0) * 1_000_000) // t for lang, t in MIX_TARGET_X1M.items()
+    )
+    rates = {
+        lang: (((feasible * t) // 1_000_000) * 1_000_000) // counts[lang]
+        if counts.get(lang)
+        else 0
+        for lang, t in MIX_TARGET_X1M.items()
+    }
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in rates.items() for x in kv]), F.col("lang")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1_000_000
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("u_x1m", u)
+        .filter(F.col("u_x1m") < rate)
+    )
+
+
+_MIX_SPEC_SQL = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET_X1M.items())
+
+SQL_TEXT_MIX_SAMPLE = f"""
+WITH spec(lang, t_x1m) AS (VALUES {_MIX_SPEC_SQL}),
+cnts AS (
+    SELECT s.lang, s.t_x1m, COALESCE(c.cnt, 0) AS cnt
+    FROM spec s LEFT JOIN (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ) c USING (lang)
+),
+t AS (SELECT MIN(cnt * 1000000 // t_x1m) AS feasible FROM cnts),
+rates AS (
+    SELECT lang,
+           CASE WHEN cnt = 0 THEN 0
+                ELSE ((feasible * t_x1m // 1000000) * 1000000) // cnt
+           END AS rate_x1m
+    FROM cnts, t
+)
+SELECT d.doc_id, d.lang, d.u_x1m
+FROM (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000000 AS u_x1m
+    FROM documents
+) d
+JOIN rates r USING (lang)
+WHERE d.u_x1m < r.rate_x1m
+"""
+
+
+SHUFFLE_SALT = "shuf1:"
+SHUFFLE_DOCS_PER_FILE = 256
+
+
+def q_text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every
+    doc gets a unique position in the md5(salt || doc_id) permutation,
+    plus the training-file id it lands in. Semantically a global
+    ORDER BY — executed as the scalable two-phase form: RANGE-shard on
+    the key's first hex nibble (md5 is uniform, so shards balance),
+    rank inside each shard with a PARTITIONED window, then add the
+    driver-side prefix-sum of the 16 shard counts. No global window
+    ever exists in the plan (tests/test_plan_quality.py would reject
+    one); this is exactly the range-partitioned sort Spark's orderBy
+    performs physically, made explicit and engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", key.alias("k")).withColumn(
+        "shard", F.conv(F.substring("k", 1, 1), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    local = base.withColumn("rk", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = {
+        r["shard"]: r["n"]
+        for r in local.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in range(16):
+        offsets[s] = acc
+        acc += counts.get(s, 0)
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("shard")
+    )
+    return (
+        local.select("doc_id", (off + F.col("rk") - 1).cast("long").alias("pos"))
+        .withColumn(
+            "file_id", F.expr(f"pos div {SHUFFLE_DOCS_PER_FILE}").cast("long")
+        )
+    )
+
+
+SQL_TEXT_GLOBAL_SHUFFLE = f"""
+WITH p AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM documents
+)
+SELECT doc_id, pos, pos // {SHUFFLE_DOCS_PER_FILE} AS file_id FROM p
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -1376,6 +1513,8 @@ QUERIES = {
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "text_inverted_index": q_text_inverted_index,
     "text_chunk_windows": q_text_chunk_windows,
+    "text_mix_sample": q_text_mix_sample,
+    "text_global_shuffle": q_text_global_shuffle,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
@@ -1411,6 +1550,8 @@ ORACLES = {
     "text_tfidf_topterms": SQL_TEXT_TFIDF,
     "text_inverted_index": SQL_TEXT_INVINDEX,
     "text_chunk_windows": SQL_TEXT_CHUNKS,
+    "text_mix_sample": SQL_TEXT_MIX_SAMPLE,
+    "text_global_shuffle": SQL_TEXT_GLOBAL_SHUFFLE,
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,

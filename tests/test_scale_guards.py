@@ -277,3 +277,67 @@ def test_tfidf_rank_breaks_ties_by_df_then_term(spark, tmp_path):
     # rank1: zeta (tf 2); rank2: beta (df 1 beats alpha's df 2); rank3: alpha
     assert r1 == {1: "zeta", 2: "beta", 3: "alpha"}
     compare(out, con, SQL_TEXT_TFIDF)
+
+
+def test_mix_sample_respects_spec(spark, tmp_path):
+    """Keep-rates derive from the feasible total: the scarcest lang
+    (relative to its target share) is kept in full; langs outside the
+    spec are dropped; the DuckDB oracle reproduces the exact rows."""
+    import pandas as pd
+
+    from oracle_harness import compare
+
+    from pipe_s_spark.queries_llm import SQL_TEXT_MIX_SAMPLE, q_text_mix_sample
+
+    rows = []
+    did = 0
+    for lang, n in [("en", 100), ("de", 10), ("es", 10), ("fr", 10), ("zh", 10), ("xx", 7)]:
+        for _ in range(n):
+            rows.append((did, f"{lang} doc {did}", lang))
+            did += 1
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    out = q_text_mix_sample(spark, str(tmp_path))
+    got = out.collect()
+    langs = {r["lang"] for r in got}
+    assert "xx" not in langs  # outside the spec
+    # feasible total is bound by de/es (10 docs for a 15% share -> 66);
+    # de gets rate (66*0.15 -> 9)/10 = 900000, so ~9 of 10 survive, while
+    # en keeps only ~33 of 100 — the mixture, not the raw counts, decides
+    by_lang = {l: sum(1 for r in got if r["lang"] == l) for l in langs}
+    assert by_lang.get("de", 0) < 10 or by_lang.get("en", 0) < 100
+    assert by_lang.get("en", 0) < 50  # en is downsampled hard
+    compare(out, con, SQL_TEXT_MIX_SAMPLE)
+
+
+def test_global_shuffle_is_a_permutation(spark, tmp_path):
+    """Positions are exactly 0..n-1, ordered by the salted md5 key, and
+    file_id buckets by SHUFFLE_DOCS_PER_FILE — oracle agrees row-wise."""
+    import hashlib
+
+    from oracle_harness import compare
+
+    from pipe_s_spark.queries_llm import (
+        SHUFFLE_SALT,
+        SQL_TEXT_GLOBAL_SHUFFLE,
+        q_text_global_shuffle,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    con = _write_docs(tmp_path, rows)
+    out = q_text_global_shuffle(spark, str(tmp_path)).collect()
+    assert sorted(r["pos"] for r in out) == list(range(300))
+    want = sorted(
+        range(300), key=lambda i: (hashlib.md5(f"{SHUFFLE_SALT}{i}".encode()).hexdigest(), i)
+    )
+    got_order = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert got_order == want
+    assert all(r["file_id"] == r["pos"] // 256 for r in out)
+    compare(
+        q_text_global_shuffle(spark, str(tmp_path)), con, SQL_TEXT_GLOBAL_SHUFFLE
+    )
