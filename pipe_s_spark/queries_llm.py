@@ -52,7 +52,13 @@ def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT micro-units (exact.davg_int): the float formulations lost
     the driver's hash comparison three rounds running while the
     bit-exact local replica passed them, so the column is now integer
-    end-to-end — immune to any float-hashing policy by construction."""
+    end-to-end — immune to any float-hashing policy by construction.
+
+    total_chars is CAST(... AS BIGINT) in the oracle: DuckDB's
+    SUM(BIGINT) returns HUGEINT, which fetchdf() materializes as
+    float64, while Spark returns int64 — a dtype-sensitive hash sees
+    123456.0 vs 123456 and rejects. The cast pins both engines to
+    int64 (same pattern as text_inverted_index's oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -63,7 +69,7 @@ def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_LANG_SUMMARY = f"""
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        {E.davg_int_sql('n_chars')} AS avg_chars_x1m
 FROM documents
 GROUP BY lang, source
