@@ -48,7 +48,23 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, float_tol: float
     assert len(got) == len(want), f"row count: {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        # Dtype-kind fence: the driver's value hash is dtype-sensitive, so an
+        # int64 Spark column vs a float64 oracle column (e.g. DuckDB
+        # SUM(BIGINT) -> HUGEINT -> fetchdf float64) hash-mismatches even
+        # when every value is numerically equal.  The old coercing compare
+        # masked exactly that for four rounds (text_lang_summary); refuse
+        # int-vs-float pairs outright so the local gate can never hide it.
+        g_float = pd.api.types.is_float_dtype(g)
+        w_float = pd.api.types.is_float_dtype(w)
+        g_num = pd.api.types.is_numeric_dtype(g) and not pd.api.types.is_bool_dtype(g)
+        w_num = pd.api.types.is_numeric_dtype(w) and not pd.api.types.is_bool_dtype(w)
+        if g_num and w_num:
+            assert g_float == w_float, (
+                f"column {c}: dtype-kind mismatch {g.dtype} (spark) vs {w.dtype} (oracle) — "
+                "the driver's hash is dtype-sensitive; cast the oracle (or the query) so both "
+                "engines agree on int-vs-float"
+            )
+        if g_float or w_float:
             ga = pd.to_numeric(g, errors="coerce")
             wa = pd.to_numeric(w, errors="coerce")
             both_nan = ga.isna() & wa.isna()

@@ -295,6 +295,18 @@ def test_kafka_roundtrip_e2e_matches_batch(spark, tmp_path):
     assert check_consistency(got, want, ["table_name", "pk"], ["k", "value"]).count() == 0
 
 
+def _as_event_time(raw_schema):
+    """events.parquet's ts column has shipped as both INT64 nanos (older
+    generators, read as long under nanosAsLong) and TIMESTAMP(MICROS)
+    NTZ (current generator) — convert to a proper event-time timestamp
+    either way, mirroring load_table's conditional."""
+    from pyspark.sql import types as T
+
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join: purchases joined to the clicks
     that preceded them within 30 minutes per user — both sides are
@@ -308,12 +320,10 @@ def test_stream_stream_interval_join(spark, tmp_path):
     raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
 
     def side(event_type, alias_prefix):
+        stream = spark.readStream.schema(raw_schema).format("parquet").load(str(d))
+        stream = stream.withColumn("ts", _as_event_time(raw_schema))
         return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .load(str(d))
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .filter(F.col("event_type") == event_type)
+            stream.filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias_prefix}_user"),
                 F.col("ts").alias(f"{alias_prefix}_ts"),
@@ -363,14 +373,14 @@ def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
     d = tmp_path / "events_stream"
     d.mkdir()
     shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
-    # stream with the RAW file schema (ts is INT64 nanos under
-    # nanosAsLong); convert to timestamp inside the streaming plan
+    # stream with the RAW file schema; convert to event-time timestamp
+    # inside the streaming plan (handles both nanos-long and NTZ files)
     raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(str(d))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", _as_event_time(raw_schema))
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
