@@ -526,7 +526,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: clusters (a small fraction of the corpus) join docs on
     doc_id, then a window PARTITIONED by component — parallel across
     clusters, and cluster sizes are bounded by the same LSH_BAND_CAP
-    fan-out cap that bounds the candidate join."""
+    fan-out cap that bounds the candidate join.
+
+    Note for production: this registration rebuilds the whole
+    minhash -> LSH -> connected-components pipeline because each
+    oracle-checked query must be self-contained; a real curation job
+    checkpoints the clusters table once (one parquet write) and every
+    downstream policy (keep-best, keep-min-id, drop-all-dups) consumes
+    the persisted table instead of recomputing it."""
     clusters = q_dedup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.quality_score("text").alias("__q")

@@ -497,3 +497,54 @@ def test_fork_multiple_return_branches_rejected(spark):
     }
     with _pytest.raises(PipelineSpecError, match="return"):
         run_pipeline(spark, spec)
+
+
+def test_simhash64_reference_and_banding(spark):
+    """The parametric simhash kernel matches a pure-Python reference at
+    64 bits (incl. the two's-complement wrap for top-bit signatures),
+    and simhash_bands recovers each 16-bit band with an unsigned shift."""
+    import hashlib
+
+    from pipe_s_spark.functions.dedup import simhash, simhash_bands
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="zzzz qqqq xxxx"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text", bits=64).collect()}
+
+    def ref(text):
+        votes = [0] * 64
+        for t in {t for t in (text or "").lower().split() if t}:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        sig = sum(1 << j for j in range(64) if votes[j] > 0)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    for r in rows:
+        assert got[r.doc_id] == ref(r.text), r.doc_id
+
+    sig_df = simhash(df, "doc_id", "text", bits=64)
+    bands = simhash_bands(sig_df, "doc_id", bits=64, bands=4).collect()
+    assert len(bands) == 4 * len(rows)
+    for b in bands:
+        unsigned = b["simhash"] & ((1 << 64) - 1)
+        assert b["band_val"] == (unsigned >> (16 * b["band_id"])) & 0xFFFF
+        assert 0 <= b["band_val"] <= 0xFFFF
+
+    # identical docs agree on every band; the empty and None docs do too
+    assert got[3] == got[4]
+
+
+def test_simhash_width_validation():
+    import pytest as _pytest
+
+    from pipe_s_spark.functions.dedup import simhash
+
+    for bad in (0, 3, 65, 128):
+        with _pytest.raises(ValueError):
+            simhash(None, "doc_id", "text", bits=bad)
