@@ -4,10 +4,12 @@ columns with typed metadata, processed by Arrow-batched kernels.
 The Spark-side architecture is the real deliverable here and is fully
 tested: binary payload + metadata struct schema, mapInPandas kernels
 with explicit output schemas, partition-size control for memory-bounded
-decode. The actual codec work is stubbed deterministically because this
-environment has no image/audio libraries — each stub documents the
-production swap (PIL/torchvision/ffmpeg) and raises or fakes in a
-clearly-marked way.
+decode. Image/video codec work is stubbed deterministically because
+this environment has no imaging libraries — each stub documents the
+production swap (PIL/torchvision/ffmpeg) and fakes in a clearly-marked
+way. The audio path is REAL for integer-PCM WAV (``parse_wav_header``
+is a full RIFF chunk walker, pure Python); only compressed codecs need
+the soundfile/librosa swap.
 
 At 100 TB: binary columns ride parquet fine (they're just byte arrays);
 the rules that matter are (a) keep metadata in separate scalar columns
@@ -127,16 +129,158 @@ def frame_sample_batch(n_frames: int = 4):
     return kernel
 
 
-def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for audio: sample rate / duration / loudness.
+def parse_wav_header(b: bytes | None) -> tuple | None:
+    """Parse a RIFF/WAVE PCM file: returns (sample_rate, n_channels,
+    bits_per_sample, n_frames, pcm_bytes) or None if the blob is not a
+    well-formed PCM WAV.
 
-    STUB: raises to mark the unimplemented codec path explicitly —
-    production swap is soundfile/librosa. (Plumbing validated by the
-    image/video kernels; this one demonstrates the hard-fail style.)
+    This is a REAL parser (pure Python, no codec dependency): it walks
+    the RIFF chunk list generically — unknown chunks (LIST, JUNK, ...)
+    are skipped by their declared size, odd-sized chunks honor the RIFF
+    pad byte — and only accepts audio_format=1 (integer PCM).
+    Compressed formats (mp3/ogg/aac) still need the production codec
+    swap (soundfile/librosa); for those this returns None and
+    ``decode_audio_batch`` emits a null feature row, same as the image
+    kernel's null-blob convention.
     """
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa (not in this container); "
-        "swap this kernel body in production"
+    import struct
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks to even
+    if fmt is None or data is None:
+        return None
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or n_channels < 1 or sample_rate < 1 or bits % 8:
+        return None
+    frame_bytes = block_align or n_channels * (bits // 8)
+    if frame_bytes == 0:
+        return None
+    return sample_rate, n_channels, bits, len(data) // frame_bytes, data
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, n_channels int, bits_per_sample int, "
+    "n_frames long, duration_ms long, rms double"
+)
+
+
+def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for audio: sample rate / channels / duration /
+    loudness (RMS over int16 PCM samples, normalized to [-1, 1]).
+
+    The header walk and PCM decode are real (``parse_wav_header``);
+    only non-PCM codecs need the production swap (soundfile/librosa),
+    in which case the row comes back null rather than failing the job.
+    """
+    import math
+    import struct
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "asset_id", "sample_rate", "n_channels", "bits_per_sample",
+            "n_frames", "duration_ms", "rms",
+        )}
+        for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+            parsed = parse_wav_header(bytes(blob) if blob is not None else None)
+            out["asset_id"].append(aid)
+            if parsed is None:
+                for k in ("sample_rate", "n_channels", "bits_per_sample",
+                          "n_frames", "duration_ms", "rms"):
+                    out[k].append(None)
+                continue
+            rate, ch, bits, n_frames, data = parsed
+            rms = None
+            if bits == 16 and len(data) >= 2:
+                n = len(data) // 2
+                samples = struct.unpack(f"<{n}h", data[: 2 * n])
+                rms = math.sqrt(sum((s / 32768.0) ** 2 for s in samples) / n)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(ch)
+            out["bits_per_sample"].append(bits)
+            out["n_frames"].append(n_frames)
+            out["duration_ms"].append(n_frames * 1000 // rate)
+            out["rms"].append(rms)
+        yield pd.DataFrame(out)
+
+
+def extract_audio_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Decode audio assets into scalar features, memory-bounded the same
+    way as the image path (Arrow batch rows cap peak decode memory)."""
+    spark = assets.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    audio = assets.filter(F.col("modality") == "audio")
+    return audio.mapInPandas(decode_audio_batch, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synthesize_wav(seed_hex: str) -> bytes:
+    """Deterministic PCM-WAV blob from a 32-char md5 hex seed — the test
+    stand-in for an ingested audio corpus. Parameters and samples derive
+    from the seed so an analytic oracle can predict every decoded field:
+
+    - sample_rate = [8000, 16000, 22050, 44100][b0 % 4]
+    - mono, 16-bit; n_frames = 8 * (1 + b1 % 32)
+    - samples repeat an 8-sample period: s_i = (b_i - 128) * 256 over
+      the first 8 digest bytes (so RMS equals one period's RMS)
+    - when b0 is even a junk LIST chunk precedes fmt/data, so the
+      oracle also covers the chunk-walker's skip path
+    """
+    import struct
+
+    bs = bytes.fromhex(seed_hex)
+    rate = (8000, 16000, 22050, 44100)[bs[0] % 4]
+    n_frames = 8 * (1 + bs[1] % 32)
+    period = [(bs[i] - 128) * 256 for i in range(8)]
+    data = struct.pack(f"<{n_frames}h", *(period[i % 8] for i in range(n_frames)))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b""
+    if bs[0] % 2 == 0:
+        junk = b"not-audio-metadata!"  # odd size: exercises the pad byte
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synthesize_audio_assets(docs: DataFrame, modality_mod: int = 3) -> DataFrame:
+    """Audio-slice counterpart of ``synthesize_assets``: real WAV blobs
+    (``synthesize_wav`` seeded by md5(text)) for the audio-modality
+    documents, built in a mapInPandas kernel (binary construction is not
+    expressible as a Catalyst expression)."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # null text -> null blob (matches md5(NULL) = NULL oracles)
+            blobs = [
+                None if t is None else synthesize_wav(hashlib.md5(t.encode()).hexdigest())
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "mime": "audio/x-wav",
+                    "n_bytes": [None if b is None else len(b) for b in blobs],
+                    "content": blobs,
+                }
+            )
+
+    audio_docs = docs.filter(F.col("doc_id") % modality_mod == 1).select("doc_id", "text")
+    return audio_docs.mapInPandas(
+        kernel,
+        schema="asset_id long, modality string, mime string, n_bytes long, content binary",
     )
 
 

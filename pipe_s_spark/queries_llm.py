@@ -1501,6 +1501,57 @@ FROM assets, generate_series(0, 3) AS t(i)
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-asset decode pipeline with a REAL codec: deterministic PCM
+    WAV blobs are synthesized per audio-modality document (seeded by
+    md5(text)), then ``parse_wav_header`` — a genuine RIFF chunk walker,
+    pure Python, no codec dependency — recovers sample rate / channels /
+    bit depth / frame count and computes RMS loudness over the int16
+    samples. The oracle predicts every field ANALYTICALLY from the
+    synthesis formula, so any parsing bug (chunk offsets, pad bytes,
+    little-endian fields, sample decode) breaks parity; samples are
+    exact multiples of 2^-7 so the RMS is bit-identical on both sides."""
+    from pipe_s_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = M.synthesize_audio_assets(docs)
+    feats = M.extract_audio_features(assets)
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_frames",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH p AS (
+    SELECT doc_id AS asset_id,
+           md5(text) AS h,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b0,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS b1
+    FROM documents WHERE doc_id % 3 = 1
+), d AS (
+    SELECT asset_id, h,
+           (ARRAY[8000, 16000, 22050, 44100])[(b0 % 4) + 1] AS rate,
+           8 * (1 + b1 % 32) AS nf
+    FROM p
+)
+SELECT asset_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN h IS NULL THEN NULL ELSE 1 END AS INTEGER) AS n_channels,
+       CAST(CASE WHEN h IS NULL THEN NULL ELSE 16 END AS INTEGER) AS bits_per_sample,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf * 1000) // rate AS BIGINT) AS duration_ms,
+       ROUND(sqrt(list_sum(list_transform(generate_series(0, 7),
+             i -> pow((CAST(('0x' || substr(h, 2*i+1, 2)) AS INTEGER) - 128) / 128.0, 2))) / 8), 6) AS rms
+FROM d
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
@@ -1534,6 +1585,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_digests": q_multimodal_frame_digests,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_countmin": q_sketch_countmin,
 }
@@ -1571,6 +1623,7 @@ ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_frame_digests": SQL_MULTIMODAL_FRAMES,
+    "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
     "sketch_kmv_distinct": _sql_sketch_kmv(),
     "sketch_countmin": _sql_sketch_countmin(),
 }

@@ -167,3 +167,63 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert listener.snapshot.rows_total == 1000  # sf0.001 events
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_parse_wav_header_roundtrip_and_malformed():
+    """The RIFF walker recovers exactly what synthesize_wav encodes
+    (incl. skipping the odd-sized junk chunk + pad byte) and returns
+    None — never raises — on malformed input."""
+    import hashlib
+    import struct
+
+    from pipe_s_spark.functions.multimodal import parse_wav_header, synthesize_wav
+
+    for seed_text in ("hello", "", "x" * 1000, "junk-chunk-path"):
+        seed = hashlib.md5(seed_text.encode()).hexdigest()
+        blob = synthesize_wav(seed)
+        parsed = parse_wav_header(blob)
+        assert parsed is not None
+        rate, ch, bits, n_frames, data = parsed
+        bs = bytes.fromhex(seed)
+        assert rate == (8000, 16000, 22050, 44100)[bs[0] % 4]
+        assert (ch, bits) == (1, 16)
+        assert n_frames == 8 * (1 + bs[1] % 32)
+        assert struct.unpack("<h", data[:2])[0] == (bs[0] - 128) * 256
+
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    assert parse_wav_header(b"OggS" + b"\x00" * 40) is None  # not RIFF
+    # fmt present but data chunk truncated away
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    no_data = b"RIFF" + struct.pack("<I", 28) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    assert parse_wav_header(no_data) is None
+    # non-PCM audio_format rejected (needs the real codec swap)
+    fmt_f = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt_f
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    assert parse_wav_header(float_wav) is None
+
+
+def test_audio_decode_kernel_null_and_nonpcm_rows(spark):
+    """Undecodable blobs come back as null feature rows (image-kernel
+    convention), not job failures."""
+    from pipe_s_spark.functions.multimodal import extract_audio_features, synthesize_wav
+
+    rows = [
+        (1, "audio", "audio/x-wav", None, synthesize_wav("00" * 16)),
+        (2, "audio", "audio/mpeg", None, b"ID3\x04not-a-wav"),
+        (3, "audio", "audio/x-wav", None, None),
+        (4, "image", "image/png", None, b"\x89PNG"),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime string, n_bytes long, content binary"
+    )
+    got = {r["asset_id"]: r for r in extract_audio_features(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["sample_rate"] == 8000 and got[1]["rms"] is not None
+    assert got[2]["sample_rate"] is None and got[2]["rms"] is None
+    assert got[3]["n_frames"] is None
