@@ -56,10 +56,13 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: first execution occasionally pays one-off
+    # best-of-3 per query: first executions occasionally pay one-off
     # codegen/GC spikes unrelated to the plan; the min is the
-    # steady-state cost a cluster run amortizes
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # steady-state cost a cluster run amortizes. (Best-of-2 left 2-3x
+    # spikes on untouched queries in r4 — a 5-run re-measure showed
+    # e.g. window_range_frame [1.76, 0.64, 0.54, 0.43, 0.38]: the
+    # second run can still be 1.7x steady state.)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")

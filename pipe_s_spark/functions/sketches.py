@@ -212,3 +212,76 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# --- bloom filter ---------------------------------------------------------
+#
+# Bloom 1970 ("Space/time trade-offs in hash coding with allowable
+# errors"). The membership sketch the pipeline uses to pre-filter joins
+# against a large key set (e.g. "was this doc_id already ingested?")
+# without shuffling the probe side. Hash family is deterministic md5
+# (like KMV/CMS above) so a DuckDB oracle reproduces every bit.
+#
+# Scale shape: BUILD is a narrow k-way explode then one distinct whose
+# shuffle is bounded by the filter size m, never the data size (the
+# same bounded-by-sketch argument as cms_build). PROBE materializes the
+# <= m set bits driver-side ONCE (bounded metadata collect, same class
+# as pack_assign's O(shards)) and inlines them as a literal 0/1 array —
+# the probe itself is a pure narrow expression: no join, no shuffle,
+# whole-stage codegen. Filters merge by bitwise OR = union of the set
+# bits, which re-running the build over a union computes.
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def bloom_position(col: Column | str, i: int, m: int = BLOOM_BITS) -> Column:
+    """Hash-``i`` bit position for a key: md5('b{i}:{key}') first 7 hex
+    digits mod m (7 hex digits < 2^28: no sign issues in any engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"b{i}:"), c.cast("string"))), 1, 7), 16, 10
+    ).cast("long")
+    return (h % m).cast("int")
+
+
+def bloom_position_sql(expr: str, i: int, m: int = BLOOM_BITS) -> str:
+    """DuckDB rendering of :func:`bloom_position` (identical md5 mod)."""
+    return (
+        f"CAST(CAST('0x' || substr(md5('b{i}:' || CAST({expr} AS VARCHAR)), 1, 7)"
+        f" AS BIGINT) % {m} AS INTEGER)"
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = BLOOM_HASHES, m: int = BLOOM_BITS
+) -> DataFrame:
+    """Set-bit relation ``(pos)`` of the filter over ``key_col`` —
+    distinct bounded by m rows regardless of input size."""
+    return df.select(
+        F.explode(F.array(*[bloom_position(key_col, i, m) for i in range(k)])).alias("pos")
+    ).distinct()
+
+
+def bloom_bit_array(bits: DataFrame, m: int = BLOOM_BITS) -> list[int]:
+    """Materialize the filter as a length-m 0/1 list (driver-side,
+    bounded by m — metadata-scale, like the IVF centroid literals)."""
+    positions = {r["pos"] for r in bits.collect()}
+    return [1 if i in positions else 0 for i in range(m)]
+
+
+def bloom_might_contain(
+    col: Column | str, bit_array: list[int], k: int = BLOOM_HASHES
+) -> Column:
+    """Narrow membership probe: true iff every hash position's bit is
+    set in the inlined literal filter. O(k) element_at lookups per row,
+    fully inside whole-stage codegen — no join, no shuffle."""
+    m = len(bit_array)
+    lit_bits = F.lit(bit_array)
+    checks = [
+        F.element_at(lit_bits, bloom_position(col, i, m) + 1) == 1 for i in range(k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

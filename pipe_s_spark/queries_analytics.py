@@ -257,6 +257,31 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per (status, priority), per status alone, and the grand total — but
+    NOT per priority alone, which is what distinguishes this from CUBE.
+    Uses the DataFrame groupingSets API so the plan is a single Expand +
+    one aggregation (one shuffle), not a union of three scans."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+SQL_AGG_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by totalprice (rank window)."""
     (orders,) = _t(spark, sf_dir, "orders")
@@ -723,6 +748,7 @@ QUERIES = {
     "q10_returned_items": q_q10_returned_items,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_total": q_window_running_total,
     "window_lag_lead": q_window_lag_lead,
@@ -750,6 +776,7 @@ ORACLES = {
     "q10_returned_items": SQL_Q10,
     "agg_rollup": SQL_AGG_ROLLUP,
     "agg_cube": SQL_AGG_CUBE,
+    "agg_grouping_sets": SQL_AGG_GROUPING_SETS,
     "window_topk_per_group": SQL_WINDOW_TOPK,
     "window_running_total": SQL_WINDOW_RUNNING,
     "window_lag_lead": SQL_WINDOW_LAG,

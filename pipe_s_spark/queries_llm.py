@@ -574,6 +574,46 @@ FROM ranked
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with cluster resolution: exact
+    threshold pairs (cosine >= 0.45 via the blocked numpy kernel — full
+    recall, no driver collect), connected components over the pair
+    graph, keep = the min-id member of each cluster. The semantic
+    counterpart of dedup_clusters with embedding distance instead of
+    MinHash-estimated Jaccard; at corpus scale the candidate stage
+    swaps to the LSH-bucketed path (sim_lsh_buckets' plan) with the
+    identical downstream CC + keep policy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.threshold_pairs_blocked(emb, threshold=0.45)
+    comp = D.connected_components(pairs, src="id1", dst="id2")
+    return comp.select(
+        F.col("v").alias("vec_id"),
+        "component",
+        (F.col("v") == F.col("component")).cast("int").alias("keep"),
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edges AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({{cos}}, 6) >= 0.45
+),
+und AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS vec_id, MIN(b) AS component,
+       CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM reach GROUP BY a
+""".format(cos=S.cosine_sql("a.v", "b.v"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (bit-majority voting)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1432,6 +1472,60 @@ SELECT user_id, exact_cnt, est_cnt FROM exact JOIN est USING (user_id)
 """
 
 
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-screen: build a deterministic
+    4096-bit / 3-hash filter over BUILDING-segment customer keys (build
+    shuffle bounded by the filter size), then probe every distinct
+    orders.o_custkey with a NARROW inlined-literal check — no join, no
+    shuffle on the probe side. Output is the summary a join-prescreen
+    cares about: probes / filter-maybes / true members / false
+    positives (false negatives are impossible by construction; the
+    oracle replays the filter bit-for-bit, so the FP count is exact)."""
+    from pipe_s_spark.functions import sketches as K
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = K.bloom_bit_array(K.bloom_build(building, "k"))
+    probes = orders.select(F.col("o_custkey").alias("k")).distinct()
+    flagged = probes.withColumn(
+        "maybe", K.bloom_might_contain(F.col("k"), bits)
+    ).join(
+        F.broadcast(building.withColumn("hit", F.lit(True))), "k", "left"
+    ).withColumn("hit", F.coalesce("hit", F.lit(False)))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("maybe") & ~F.col("hit"), 1).otherwise(0)).alias("n_false_pos"),
+    )
+
+
+def _sql_sketch_bloom() -> str:
+    from pipe_s_spark.functions import sketches as K
+
+    pos = [K.bloom_position_sql("k", i) for i in range(K.BLOOM_HASHES)]
+    build_rows = "\nUNION ALL\n".join(f"SELECT {p} AS pos FROM bkeys" for p in pos)
+    maybe = " AND ".join(f"{p} IN (SELECT pos FROM bits)" for p in pos)
+    return f"""
+WITH bkeys AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (SELECT DISTINCT pos FROM ({build_rows})),
+probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+flagged AS (
+    SELECT k, ({maybe}) AS maybe, (k IN (SELECT k FROM bkeys)) AS hit FROM probes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN maybe AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flagged
+"""
+
+
 # --- multimodal (oracle-checked via the deterministic fake codecs) -------
 
 
@@ -1569,6 +1663,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding": q_dedup_embedding,
     "text_contamination": q_text_contamination,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1588,6 +1683,7 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_countmin": q_sketch_countmin,
+    "sketch_bloom": q_sketch_bloom,
 }
 
 ORACLES = {
@@ -1607,6 +1703,7 @@ ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
@@ -1626,4 +1723,5 @@ ORACLES = {
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
     "sketch_kmv_distinct": _sql_sketch_kmv(),
     "sketch_countmin": _sql_sketch_countmin(),
+    "sketch_bloom": _sql_sketch_bloom(),
 }
