@@ -484,6 +484,49 @@ SELECT d1, d2, est_jaccard FROM sims
 """
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup verify stage: MinHash-LSH candidate pairs verified
+    by TRUE edit distance (JVM-native levenshtein on both engines) over
+    a 128-char normalized prefix — the standard two-phase shape
+    (cheap sketch recall, exact verify precision). The prefix cap
+    matters at scale: levenshtein is O(L1*L2) per pair, so an uncapped
+    verify on book-length docs is quadratic in document size; 128 chars
+    bounds every comparison at constant cost. Pairs are broadcast
+    against the corpus (two narrow corpus scans, zero shuffle — the
+    candidate set is bounded by LSH_BAND_CAP fan-out)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 128).alias("prefix")
+    )
+    da = docs.alias("da")
+    db = docs.alias("db")
+    return (
+        F.broadcast(pairs)
+        .join(da, F.col("d1") == F.col("da.doc_id"))
+        .join(db, F.col("d2") == F.col("db.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            F.levenshtein(F.col("da.prefix"), F.col("db.prefix")).cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 48)
+    )
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH {_MINHASH_SIMS_CTES}
+SELECT s.d1, s.d2, s.est_jaccard,
+       CAST(levenshtein(substr(lower(da.text), 1, 128),
+                        substr(lower(db.text), 1, 128)) AS INTEGER) AS edit_dist
+FROM sims s
+JOIN documents da ON da.doc_id = s.d1
+JOIN documents db ON db.doc_id = s.d2
+WHERE levenshtein(substr(lower(da.text), 1, 128),
+                  substr(lower(db.text), 1, 128)) <= 48
+"""
+
+
 #: Min estimated jaccard for a candidate pair to become a cluster edge.
 CLUSTER_EDGE_MIN = 0.5
 
@@ -1664,6 +1707,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "text_contamination": q_text_contamination,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1704,6 +1748,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,

@@ -573,3 +573,39 @@ def test_incremental_agg_view_group_cap_fails_fast(spark, tmp_path):
     with _pytest.raises(ValueError, match="max_groups"):
         view.apply_batch(b, 0)
     assert view._read_state()["epoch"] == -1
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup: documents streamed from files, first
+    occurrence per content fingerprint kept via dropDuplicates —
+    streaming state is keyed by the md5 fingerprint (bounded by the
+    distinct count, the streaming counterpart of dedup_exact's
+    hash-groupBy). Emitted count must equal the batch distinct count."""
+    import shutil
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", d / "documents.parquet")
+    schema = spark.read.parquet(f"{SF}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        .withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .dropDuplicates(["fp"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS c FROM dedup_out").collect()[0]["c"]
+    want = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got == want > 0
