@@ -227,3 +227,62 @@ def test_audio_decode_kernel_null_and_nonpcm_rows(spark):
     assert got[1]["sample_rate"] == 8000 and got[1]["rms"] is not None
     assert got[2]["sample_rate"] is None and got[2]["rms"] is None
     assert got[3]["n_frames"] is None
+
+
+def test_parse_wav_header_property_random_layouts():
+    """Property test: for arbitrary PCM parameters and arbitrary junk
+    chunks interleaved anywhere in the RIFF list, the walker recovers
+    exactly the encoded fmt/data — and arbitrary byte mutations never
+    make it raise (None or a parse is always acceptable)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipe_s_spark.functions.multimodal import parse_wav_header
+
+    junk_chunk = st.tuples(
+        st.sampled_from([b"LIST", b"JUNK", b"bext", b"id3 "]),
+        st.binary(min_size=0, max_size=33),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        rate=st.integers(1, 192000),
+        channels=st.integers(1, 8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        n_frames=st.integers(0, 64),
+        pre=st.lists(junk_chunk, max_size=3),
+        mid=st.lists(junk_chunk, max_size=3),
+        seed=st.randoms(use_true_random=False),
+    )
+    def roundtrip(rate, channels, bits, n_frames, pre, mid, seed):
+        frame_bytes = channels * (bits // 8)
+        data = bytes(seed.randrange(256) for _ in range(n_frames * frame_bytes))
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * frame_bytes, frame_bytes, bits
+        )
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        chunks = b"".join(chunk(c, b) for c, b in pre)
+        chunks += chunk(b"fmt ", fmt)
+        chunks += b"".join(chunk(c, b) for c, b in mid)
+        chunks += chunk(b"data", data)
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        parsed = parse_wav_header(blob)
+        assert parsed is not None
+        g_rate, g_ch, g_bits, g_frames, g_data = parsed
+        assert (g_rate, g_ch, g_bits) == (rate, channels, bits)
+        assert g_frames == n_frames and g_data == data
+
+        # mutation robustness: flip one byte anywhere — must not raise
+        if blob:
+            i = seed.randrange(len(blob))
+            mutated = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1 :]
+            parse_wav_header(mutated)
+
+    roundtrip()
