@@ -1515,6 +1515,88 @@ SELECT user_id, exact_cnt, est_cnt FROM exact JOIN est USING (user_id)
 """
 
 
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling (the curation step that
+    subsamples a corpus with probability proportional to a per-doc
+    weight — here length-biased via n_chars+1): priority = md5-uniform
+    h / weight, keep the global smallest-50. h uses 13 hex digits (52
+    bits) so it is EXACTLY representable as a double and the single
+    division is correctly rounded to the identical bits in both
+    engines — rank order is engine-independent by construction.
+    Scale shape: narrow expression + TakeOrderedAndProject (per-
+    partition top-k then driver merge of k*partitions rows — no global
+    sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    pri = h / (F.col("n_chars") + F.lit(1))
+    # priority is emitted UNROUNDED: the single int/int division is
+    # correctly rounded to the same bits in both engines, whereas
+    # ROUND(x, 4) at 1e12 magnitude straddles the double grid (~1e-4
+    # spacing there) and the engines' rounding algorithms disagree
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+SQL_TEXT_WEIGHTED_SAMPLE = """
+WITH pri AS (
+    SELECT doc_id, n_chars,
+           CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                AS DOUBLE) / (n_chars + 1) AS p
+    FROM documents
+)
+SELECT doc_id, n_chars, p AS priority
+FROM pri ORDER BY p, doc_id LIMIT 50
+"""
+
+
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup: union of LEXICAL edges (MinHash est_jaccard >=
+    CLUSTER_EDGE_MIN) and SEMANTIC edges (embedding cosine >= 0.45,
+    vec_id == doc_id in this corpus), one connected-components pass over
+    the merged graph — the production pattern where near-dup families
+    are caught by whichever signal fires (boilerplate by shingles,
+    paraphrase by embeddings). Both edge generators keep their own
+    fan-out caps; CC cost is driven by the union's component sizes."""
+    lex = q_dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_EDGE_MIN
+    ).select("d1", "d2")
+    sem = S.threshold_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    edges = lex.unionByName(sem)
+    return D.connected_components(edges).select(F.col("v").alias("doc_id"), "component")
+
+
+SQL_DEDUP_ENSEMBLE = f"""
+WITH RECURSIVE {{minhash_ctes}},
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sem_edges AS (
+    SELECT a.vec_id AS d1, b.vec_id AS d2
+    FROM emb a, emb b
+    WHERE a.vec_id < b.vec_id AND ROUND({{cos}}, 6) >= 0.45
+),
+edges AS (
+    SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}
+    UNION SELECT d1, d2 FROM sem_edges
+),
+und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+""".format(minhash_ctes=_MINHASH_SIMS_CTES, cos=S.cosine_sql("a.v", "b.v"))
+
+
 def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-screen: build a deterministic
     4096-bit / 3-hash filter over BUILDING-segment customer keys (build
@@ -1708,6 +1790,8 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "dedup_ensemble": q_dedup_ensemble,
+    "text_weighted_sample": q_text_weighted_sample,
     "text_contamination": q_text_contamination,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
@@ -1749,6 +1833,8 @@ ORACLES = {
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
+    "dedup_ensemble": SQL_DEDUP_ENSEMBLE,
+    "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
