@@ -341,3 +341,46 @@ def test_global_shuffle_is_a_permutation(spark, tmp_path):
     compare(
         q_text_global_shuffle(spark, str(tmp_path)), con, SQL_TEXT_GLOBAL_SHUFFLE
     )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_jaccard_pairs_matches_bruteforce_random_corpus(spark, seed):
+    """jaccard_pairs (df-capped inverted-index formulation) equals the
+    naive all-pairs set-Jaccard when the cap doesn't bite — on random
+    corpora, not just the fixed testdata."""
+    import random
+
+    from pipe_s_spark.functions.dedup import jaccard_pairs, shingles
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for did in range(14):
+        n = rng.randint(3, 25)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    # a couple of exact dups to guarantee high-jaccard pairs exist
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = shingles(df, "doc_id", "text", k=3)
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(sh, df_cap=10_000, threshold=0.0).collect()
+    }
+
+    def shingle_set(text):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {did: shingle_set(t) for did, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and (sets[a] or sets[b]):
+                want[(a, b)] = round(inter / len(sets[a] | sets[b]), 6)
+
+    assert got == pytest.approx(want)
+    assert any(v == 1.0 for v in got.values())  # the planted dups

@@ -609,3 +609,40 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the state-BOUNDED streaming dedup
+    (state evicts keys older than the watermark — the only formulation
+    whose state doesn't grow with corpus size at 100 TB). With the whole
+    file arriving in one availableNow batch the watermark never advances
+    mid-batch, so the result equals full distinct-by-key."""
+    import shutil
+
+    d = tmp_path / "ev_dedup"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(d))
+        .withColumn("ts", _as_event_time(raw_schema))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS c FROM wm_dedup_out").collect()[0]["c"]
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got == want > 0
