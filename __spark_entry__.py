@@ -27,41 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    from pipe_s_spark import (
-        queries_advanced,
-        queries_analytics,
-        queries_cdc,
-        queries_llm,
-        queries_tpch2,
-        queries_tpch3,
-    )
+    from pipe_s_spark.registry import all_queries
 
-    out.update(queries_cdc.QUERIES)
-    out.update(queries_analytics.QUERIES)
-    out.update(queries_llm.QUERIES)
-    out.update(queries_advanced.QUERIES)
-    out.update(queries_tpch2.QUERIES)
-    out.update(queries_tpch3.QUERIES)
-    return out
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (same column aliases)."""
-    out: dict[str, str] = {}
-    from pipe_s_spark import (
-        queries_advanced,
-        queries_analytics,
-        queries_cdc,
-        queries_llm,
-        queries_tpch2,
-        queries_tpch3,
-    )
+    from pipe_s_spark.registry import all_oracles
 
-    out.update(queries_cdc.ORACLES)
-    out.update(queries_analytics.ORACLES)
-    out.update(queries_llm.ORACLES)
-    out.update(queries_advanced.ORACLES)
-    out.update(queries_tpch2.ORACLES)
-    out.update(queries_tpch3.ORACLES)
-    return out
+    return all_oracles()

@@ -151,6 +151,18 @@ def _build_input(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
             .option("maxFilesPerTrigger", cfg.get("maxFilesPerTrigger", 1))
             .json(cfg["path"])
         )
+    if typ == "query":
+        # any registered query as a pipeline source — the JSON front-end
+        # spans the full analytics/curation surface, not just CDC
+        from pipe_s_spark.registry import all_queries
+
+        qs = all_queries()
+        name = cfg.get("name")
+        if name not in qs:
+            raise PipelineSpecError(
+                f"unknown query name: {name!r} (see QUERIES.md for the catalog)"
+            )
+        return qs[name](spark, cfg["sfDir"])
     raise PipelineSpecError(f"unknown input type: {typ!r}")
 
 

@@ -286,3 +286,25 @@ def test_parse_wav_header_property_random_layouts():
             parse_wav_header(mutated)
 
     roundtrip()
+
+
+def test_runner_query_input_runs_registered_queries(spark, tmp_path):
+    """The 'query' input type resolves any registered query by name, so
+    the JSON front-end covers the analytics/curation surface."""
+    out = run_pipeline(
+        spark,
+        {
+            "Input": {
+                "Type": "query",
+                "Config": {"name": "text_length_histogram", "sfDir": "/root/testdata/sf0.001"},
+            },
+            "Output": {"Type": "return"},
+        },
+    )
+    assert out.count() > 0
+
+    with pytest.raises(PipelineSpecError, match="unknown query name"):
+        run_pipeline(
+            spark,
+            {"Input": {"Type": "query", "Config": {"name": "nope", "sfDir": "x"}}},
+        )

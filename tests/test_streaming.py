@@ -646,3 +646,49 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_streaming_session_window_agg(spark, tmp_path):
+    """Watermarked session-window aggregation in a real stream (the
+    streaming counterpart of the oracle-checked time_session query):
+    append mode emits only sessions closed below the watermark, so the
+    emitted set is a prefix of the batch answer."""
+    import shutil
+
+    d = tmp_path / "ev_sess"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(d))
+        .withColumn("ts", _as_event_time(raw_schema))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "SELECT session_window.start AS s, user_id, n FROM sess_out"
+    ).collect()
+    got = {(r["s"], r["user_id"]): r["n"] for r in emitted}
+    assert len(got) > 0
+
+    ev = load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["s"], r["user_id"]): r["n"]
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("session_window.start").alias("s"), "user_id", "n")
+        .collect()
+    }
+    # every emitted session must exactly match the batch computation
+    assert got.items() <= batch.items()
+    assert len(got) >= len(batch) // 2  # watermark withholds only the tail
