@@ -10,6 +10,7 @@ from pipe_s_spark.operators.values import catch_table_name, column_value, value_
 from pipe_s_spark.operators.jsonio import marshal_json, unmarshal_json
 from pipe_s_spark.operators.compaction import compact_changelog, merge_apply
 from pipe_s_spark.operators.checker import check_consistency
+from pipe_s_spark.operators.history import scd2_history, snapshot_asof
 from pipe_s_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
@@ -30,4 +31,6 @@ __all__ = [
     "compact_changelog",
     "merge_apply",
     "check_consistency",
+    "scd2_history",
+    "snapshot_asof",
 ]

@@ -180,8 +180,43 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value-bucket):
+    the sort key that makes file min/max statistics prune on EITHER
+    dimension (see sources.layout.zorder_key_sql / Delta's OPTIMIZE
+    ZORDER). Pure bit arithmetic — narrow, codegen'd, oracle replays
+    the key bit-for-bit."""
+    from pipe_s_spark.sources.layout import zorder_key_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("vbucket"),
+        F.expr(
+            zorder_key_sql("user_id", "FLOOR(value)", bits=16, dialect="spark")
+        ).alias("zkey"),
+    )
+
+
+def _sql_layout_zorder() -> str:
+    from pipe_s_spark.sources.layout import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "FLOOR(value)", bits=16, dialect="duckdb")
+    return f"""
+SELECT event_id, user_id,
+       CAST(FLOOR(value) AS BIGINT) AS vbucket,
+       {z} AS zkey
+FROM events
+"""
+
+
+SQL_LAYOUT_ZORDER = _sql_layout_zorder()
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
+    "layout_zorder": q_layout_zorder,
     "range_join_price_bands": q_range_join_price_bands,
     "range_join_explode_quantity": q_range_join_explode_quantity,
     "percentiles_exact": q_percentiles_exact,
@@ -191,6 +226,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
+    "layout_zorder": SQL_LAYOUT_ZORDER,
     "range_join_price_bands": SQL_RANGE_BANDS,
     "range_join_explode_quantity": SQL_RANGE_EXPLODE,
     "percentiles_exact": SQL_PERCENTILES,

@@ -341,6 +341,57 @@ SELECT table_name, pk, seq, op, violation FROM (
 )
 
 
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the change stream: one row per
+    key version with [valid_from, valid_to) event-time bounds."""
+    from pipe_s_spark.operators.history import scd2_history
+
+    return scd2_history(changelog(spark, sf_dir))
+
+
+SQL_CDC_SCD2 = _with_changelog(
+    """
+, v AS (
+    SELECT table_name, pk, k, value, op, seq, ts_ms AS valid_from,
+           LEAD(ts_ms) OVER (PARTITION BY table_name, pk ORDER BY seq) AS valid_to
+    FROM changelog
+)
+SELECT table_name, pk, k, value, valid_from, valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY table_name, pk ORDER BY seq) AS BIGINT)
+           AS version,
+       valid_to IS NULL AS is_current
+FROM v WHERE op <> 'delete'
+"""
+)
+
+
+def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: live state at the midpoint of the
+    stream (cutoff = max(seq) div 2, computed in-plan and broadcast)."""
+    from pipe_s_spark.operators.history import snapshot_asof
+
+    log = changelog(spark, sf_dir)
+    cutoff = log.agg(F.expr("MAX(seq) DIV 2").alias("cutoff"))
+    return snapshot_asof(log, cutoff)
+
+
+SQL_CDC_SNAPSHOT_ASOF = _with_changelog(
+    """
+, pruned AS (
+    SELECT * FROM changelog
+    WHERE seq <= (SELECT MAX(seq) // 2 FROM changelog)
+),
+ranked AS (
+    SELECT table_name, pk, k, value, op, seq,
+           ROW_NUMBER() OVER (PARTITION BY table_name, pk ORDER BY seq DESC) AS rn
+    FROM pruned
+)
+SELECT table_name, pk, k, value, seq AS as_of_seq
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+)
+
+
 QUERIES = {
     "cdc_filter": q_cdc_filter,
     "cdc_validate": q_cdc_validate,
@@ -354,6 +405,8 @@ QUERIES = {
     "cdc_compact": q_cdc_compact,
     "cdc_merge_apply": q_cdc_merge_apply,
     "cdc_check": q_cdc_check,
+    "cdc_scd2": q_cdc_scd2,
+    "cdc_snapshot_asof": q_cdc_snapshot_asof,
 }
 
 ORACLES = {
@@ -369,4 +422,6 @@ ORACLES = {
     "cdc_compact": SQL_CDC_COMPACT,
     "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
     "cdc_check": SQL_CDC_CHECK,
+    "cdc_scd2": SQL_CDC_SCD2,
+    "cdc_snapshot_asof": SQL_CDC_SNAPSHOT_ASOF,
 }

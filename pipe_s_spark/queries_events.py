@@ -1,0 +1,211 @@
+"""Oracle-checked user-behavior analytics over the ``events`` table:
+funnel conversion, cohort retention, per-entity outlier detection.
+
+The reference has no analytics surface (SURVEY.md §2.9); these are the
+event-stream shapes its CDC data would feed downstream. All three are
+single-digit-shuffle plans keyed on ``user_id`` — at 100 TB the only
+wide exchange is the per-user hash partition, which AQE can reuse
+across the chained windows/aggregations because the key never changes.
+
+Cross-engine float policy per functions.exact: sums of 2-decimal
+``value`` go through DECIMAL (exact, order-independent); the remaining
+scalar IEEE ops (one division, one sqrt) are bit-deterministic on both
+engines; genuinely real outputs are ROUND(.., 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipe_s_spark.sources import load_table
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (strictly increasing
+    event time), one summary row.
+
+    Three chained whole-partition windows on the SAME key compute
+    "first view", "first click after that view", "first purchase after
+    that click" in one shuffle — no self-joins. ``avg_view_to_purchase_ms``
+    is integer micro-arithmetic (davg_int tier: no double ever exists).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    e = (
+        ev.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("fv").alias("fv"), F.min("fc").alias("fc"), F.min("fp").alias("fp")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_click_after_view"),
+        F.count("fp").alias("n_purchase_funnel"),
+        F.expr(
+            "CAST(SUM(CASE WHEN fp IS NOT NULL THEN unix_millis(CAST(fp AS TIMESTAMP))"
+            " - unix_millis(CAST(fv AS TIMESTAMP)) END)"
+            " DIV NULLIF(COUNT(fp), 0) AS BIGINT)"
+        ).alias("avg_view_to_purchase_ms"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e1 AS (
+    SELECT user_id, event_type, ts,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS fv
+    FROM events
+), e2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+                  OVER (PARTITION BY user_id) AS fc
+    FROM e1
+), e3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+                  OVER (PARTITION BY user_id) AS fp
+    FROM e2
+), per_user AS (
+    SELECT user_id, MIN(fv) AS fv, MIN(fc) AS fc, MIN(fp) AS fp
+    FROM e3 GROUP BY user_id
+)
+SELECT COUNT(*)  AS n_users,
+       COUNT(fv) AS n_view,
+       COUNT(fc) AS n_click_after_view,
+       COUNT(fp) AS n_purchase_funnel,
+       CAST(SUM(CASE WHEN fp IS NOT NULL
+                     THEN epoch_ms(fp) - epoch_ms(fv) END)
+            // NULLIF(COUNT(fp), 0) AS BIGINT) AS avg_view_to_purchase_ms
+FROM per_user
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later active day offset.
+
+    cohort assign (groupBy user) -> distinct active days -> equi-join
+    on user_id -> count-distinct per (cohort_day, offset). Every wide
+    stage is keyed on user_id until the final small rollup, so the
+    exchange is reused; the output is O(days^2) rows regardless of
+    input size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+    SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, d FROM ev
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.d) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_day, day_offset
+"""
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomalies: events whose value is >2 sample
+    standard deviations from that user's mean.
+
+    Mean/variance come from DECIMAL-exact sums over one per-user
+    window (order-independent across partitionings); the z expression
+    is then pure scalar IEEE arithmetic, identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    stats = (
+        ev.withColumn("sx", sx)
+        .withColumn("sxx", sxx)
+        .withColumn("n", n)
+        .filter(F.col("n") >= 3)
+        .withColumn("mean", F.col("sx") / F.col("n"))
+        .withColumn(
+            "var",
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+        )
+        .filter(F.col("var") > 1e-12)
+        .withColumn("z", (F.col("value") - F.col("mean")) / F.sqrt(F.col("var")))
+    )
+    return stats.filter(F.abs(F.col("z")) > 2).select(
+        "event_id", "user_id", "value", F.round("z", 6).alias("z")
+    )
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH s AS (
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)         AS sx,
+           CAST(SUM(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx,
+           COUNT(*) OVER w                                                  AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+), st AS (
+    SELECT event_id, user_id, value, n,
+           sx / n                              AS mean,
+           (sxx - sx * sx / n) / (n - 1)       AS var
+    FROM s WHERE n >= 3
+)
+SELECT event_id, user_id, value,
+       ROUND((value - mean) / sqrt(var), 6) AS z
+FROM st
+WHERE var > 1e-12 AND ABS((value - mean) / sqrt(var)) > 2
+"""
+
+
+QUERIES = {
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_outliers": q_events_outliers,
+}
+
+ORACLES = {
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
+    "events_outliers": SQL_EVENTS_OUTLIERS,
+}

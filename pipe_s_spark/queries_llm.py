@@ -889,6 +889,73 @@ FROM per
 """
 
 
+#: Exact-substring dedup span length (tokens). Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use 50
+#: tokens on web corpora; 8 is the test-scale pin for these short
+#: synthetic docs — the plan is length-independent.
+DUP_NGRAM_K = 8
+
+
+def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022 style): per
+    document, the fraction of its distinct 8-token spans that occur
+    verbatim in at least one OTHER place in the corpus — the signal
+    used to cut duplicated passages out of training data.
+
+    Scale shape: shingling is a zero-shuffle Arrow kernel; span
+    multiplicity is a count-window over the span hash (shuffle #1,
+    map-side combinable); the per-doc rollup is shuffle #2. Linear in
+    corpus size — no pair blowup, unlike similarity dedup: a span
+    shared by a million docs costs a million counter rows, never a
+    million-squared join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=DUP_NGRAM_K)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac_x1m", F.expr("CAST((n_dup * 1000000) DIV n_grams AS BIGINT)")
+        )
+    )
+
+
+#: 8-gram shingle CTE (DuckDB) ending in sh8(doc_id, shingle).
+SQL_SHINGLES8 = f"""
+tok8 AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+sh8_raw AS (
+    SELECT doc_id,
+           tok || ' ' || {" || ' ' || ".join(f"LEAD(tok, {i}) OVER w" for i in range(1, 8))} AS shingle
+    FROM tok8 WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh8 AS (
+    SELECT DISTINCT doc_id, shingle FROM sh8_raw WHERE shingle IS NOT NULL
+)"""
+
+
+SQL_TEXT_DUP_NGRAMS = f"""
+WITH {SQL_SHINGLES8},
+m AS (
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS nd FROM sh8
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_frac_x1m
+FROM m GROUP BY doc_id
+"""
+
+
 #: Docs kept per (lang, source) stratum by the deterministic sampler.
 STRATUM_SAMPLE_K = 20
 
@@ -1793,6 +1860,7 @@ QUERIES = {
     "dedup_ensemble": q_dedup_ensemble,
     "text_weighted_sample": q_text_weighted_sample,
     "text_contamination": q_text_contamination,
+    "text_dup_ngrams": q_text_dup_ngrams,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
@@ -1836,6 +1904,7 @@ ORACLES = {
     "dedup_ensemble": SQL_DEDUP_ENSEMBLE,
     "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
     "text_contamination": SQL_TEXT_CONTAMINATION,
+    "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,

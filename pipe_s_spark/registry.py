@@ -22,6 +22,7 @@ def all_queries() -> dict[str, QueryFn]:
         queries_advanced,
         queries_analytics,
         queries_cdc,
+        queries_events,
         queries_llm,
         queries_tpch2,
         queries_tpch3,
@@ -29,6 +30,7 @@ def all_queries() -> dict[str, QueryFn]:
 
     out: dict[str, QueryFn] = {}
     out.update(queries_cdc.QUERIES)
+    out.update(queries_events.QUERIES)
     out.update(queries_analytics.QUERIES)
     out.update(queries_llm.QUERIES)
     out.update(queries_advanced.QUERIES)
@@ -43,6 +45,7 @@ def all_oracles() -> dict[str, str]:
         queries_advanced,
         queries_analytics,
         queries_cdc,
+        queries_events,
         queries_llm,
         queries_tpch2,
         queries_tpch3,
@@ -50,6 +53,7 @@ def all_oracles() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(queries_cdc.ORACLES)
+    out.update(queries_events.ORACLES)
     out.update(queries_analytics.ORACLES)
     out.update(queries_llm.ORACLES)
     out.update(queries_advanced.ORACLES)

@@ -548,3 +548,60 @@ def test_simhash_width_validation():
     for bad in (0, 3, 65, 128):
         with _pytest.raises(ValueError):
             simhash(None, "doc_id", "text", bits=bad)
+
+
+def test_scd2_history_semantics(spark):
+    """Delete closes the open version without emitting a row; a later
+    re-insert opens a fresh version; the last open version is current."""
+    from pipe_s_spark.operators.history import scd2_history
+
+    rows = [
+        # (seq, op, pk, k, value, ts_ms) — single table
+        (1, "insert", 7, 1, 1.0, 100),
+        (2, "update", 7, 2, 2.0, 200),
+        (3, "delete", 7, None, None, 300),
+        (4, "insert", 7, 3, 3.0, 400),
+        (5, "insert", 8, 9, 9.0, 150),
+    ]
+    log = spark.createDataFrame(
+        [("t", str(s), s, op, pk, k, v, ts) for s, op, pk, k, v, ts in rows],
+        "table_name string, id string, seq long, op string, pk long, k int, value double, ts_ms long",
+    )
+    got = {
+        (r.pk, r.version): r
+        for r in scd2_history(log).collect()
+    }
+    assert set(got) == {(7, 1), (7, 2), (7, 3), (8, 1)}
+    v1, v2, v3 = got[(7, 1)], got[(7, 2)], got[(7, 3)]
+    assert (v1.valid_from, v1.valid_to, v1.is_current) == (100, 200, False)
+    # the delete at ts=300 closes version 2 without emitting a row
+    assert (v2.valid_from, v2.valid_to, v2.is_current) == (200, 300, False)
+    # re-insert opens version 3, still open
+    assert (v3.valid_from, v3.valid_to, v3.is_current) == (400, None, True)
+    assert got[(8, 1)].is_current
+
+
+def test_snapshot_asof_semantics(spark):
+    """Last-writer-wins at the cutoff; a winning delete hides the key;
+    events after the cutoff are invisible."""
+    from pipe_s_spark.operators.history import snapshot_asof
+
+    rows = [
+        (1, "insert", 7, 1, 1.0, 100),
+        (2, "update", 7, 2, 2.0, 200),
+        (3, "delete", 8, None, None, 250),   # 8 deleted before cutoff
+        (4, "update", 7, 4, 4.0, 400),       # after cutoff: invisible
+        (2, "insert", 8, 8, 8.0, 150),       # note: seq 2 on another key
+    ]
+    log = spark.createDataFrame(
+        [("t", str(s), s, op, pk, k, v, ts) for s, op, pk, k, v, ts in rows],
+        "table_name string, id string, seq long, op string, pk long, k int, value double, ts_ms long",
+    )
+    got = {r.pk: r for r in snapshot_asof(log, 3).collect()}
+    assert set(got) == {7}
+    assert (got[7].k, got[7].value, got[7].as_of_seq) == (2, 2.0, 2)
+
+    # full-stream cutoff: pk 7 at seq 4, pk 8 still deleted
+    got = {r.pk: r for r in snapshot_asof(log, 99).collect()}
+    assert set(got) == {7}
+    assert got[7].as_of_seq == 4
