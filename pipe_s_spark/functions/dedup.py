@@ -155,31 +155,11 @@ def cap_group_size(df: DataFrame, cols: Sequence[str], cap: int) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame,
-    id_col: str = "doc_id",
-    df_cap: int = 100,
-    threshold: float = 0.15,
-) -> DataFrame:
-    """N-gram Jaccard near-dup pairs from a (id, shingle, n) relation
-    (``shingles`` output) via a df-capped inverted list — the
-    shuffle-minimal formulation:
-
-    1. one groupBy(shingle) builds the posting list of (doc, size)
-       structs per shingle (map-side combine), dropping stop-shingles
-       with more than ``df_cap`` distinct docs — this bounds downstream
-       fan-out at C(df_cap, 2) pairs per shingle, so no skewed join key
-       can go quadratic at 100 TB;
-    2. candidate pairs are generated NARROWLY from each posting list
-       with array ops (no self-join of the shingle relation), carrying
-       both docs' TRUE set sizes along — no sizes relation, no joins;
-    3. one groupBy(pair) counts common (capped-index) shingles and the
-       jaccard is c / (n1 + n2 - c).
-
-    Exactly two shuffles end-to-end vs the classic self-join's shuffle
-    + skew-prone join + count + two size joins. Note the denominator
-    uses true (uncapped) set sizes, so dropping stop-shingles can only
-    underestimate jaccard — candidates never inflate."""
+def _posting_pair_counts(sh: DataFrame, id_col: str, df_cap: int) -> DataFrame:
+    """Shared core of set-overlap dedup: (d1, n1, d2, n2, c) with c =
+    common shingles counted via df-capped inverted posting lists —
+    pairs generated narrowly from array ops, exactly two shuffles, no
+    self-join. See :func:`jaccard_pairs` for the full scale argument."""
     inv = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_set(F.struct(F.col(id_col).alias("d"), F.col("n")))).alias("docs"))
@@ -205,6 +185,36 @@ def jaccard_pairs(
         inv.select(pair)
         .groupBy("p.d1", "p.n1", "p.d2", "p.n2")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 100,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs from a (id, shingle, n) relation
+    (``shingles`` output) via a df-capped inverted list — the
+    shuffle-minimal formulation:
+
+    1. one groupBy(shingle) builds the posting list of (doc, size)
+       structs per shingle (map-side combine), dropping stop-shingles
+       with more than ``df_cap`` distinct docs — this bounds downstream
+       fan-out at C(df_cap, 2) pairs per shingle, so no skewed join key
+       can go quadratic at 100 TB;
+    2. candidate pairs are generated NARROWLY from each posting list
+       with array ops (no self-join of the shingle relation), carrying
+       both docs' TRUE set sizes along — no sizes relation, no joins;
+    3. one groupBy(pair) counts common (capped-index) shingles and the
+       jaccard is c / (n1 + n2 - c).
+
+    Exactly two shuffles end-to-end vs the classic self-join's shuffle
+    + skew-prone join + count + two size joins. Note the denominator
+    uses true (uncapped) set sizes, so dropping stop-shingles can only
+    underestimate jaccard — candidates never inflate."""
+    return (
+        _posting_pair_counts(sh, id_col, df_cap)
         .select(
             F.col("d1"),
             F.col("d2"),
@@ -213,6 +223,39 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric set containment (Broder 1997's second resemblance
+    measure): |A∩B| / |A| — high when doc A is an EXCERPT of doc B even
+    though their Jaccard is low (the small-doc-inside-big-doc case
+    symmetric dedup misses). Emits pairs where either direction clears
+    ``threshold``, with both directions' scores.
+
+    Same two-shuffle df-capped posting-list core as
+    :func:`jaccard_pairs`; the denominators are each doc's true
+    (uncapped) shingle count, so stop-shingle dropping only ever
+    underestimates."""
+    c = _posting_pair_counts(sh, id_col, df_cap)
+    in2 = F.round(F.col("c").cast("double") / F.col("n1"), 6)
+    in1 = F.round(F.col("c").cast("double") / F.col("n2"), 6)
+    return (
+        c.select(
+            "d1",
+            "d2",
+            in2.alias("containment_1in2"),
+            in1.alias("containment_2in1"),
+        )
+        .filter(
+            (F.col("containment_1in2") >= threshold)
+            | (F.col("containment_2in1") >= threshold)
+        )
     )
 
 

@@ -368,6 +368,40 @@ JOIN sizes s2 ON s2.doc_id = d2
 WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.15
 """
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder 1997): |A∩B|/|A| catches a
+    short doc embedded verbatim in a long one — the excerpt/quote case
+    where Jaccard stays low. Same two-shuffle posting-list core as
+    dedup_jaccard_pairs (functions.dedup.containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    return D.containment_pairs(sh, "doc_id", df_cap=JACCARD_DF_CAP, threshold=0.5)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {SQL_SHINGLES},
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= {JACCARD_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, containment_1in2, containment_2in1 FROM (
+    SELECT d1, d2,
+           ROUND(CAST(c AS DOUBLE) / s1.n, 6) AS containment_1in2,
+           ROUND(CAST(c AS DOUBLE) / s2.n, 6) AS containment_2in1
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+) WHERE containment_1in2 >= 0.5 OR containment_2in1 >= 0.5
+"""
+
+
 _MINHASH_N = 16
 _MINHASH_BANDS = 4
 
@@ -1850,6 +1884,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1894,6 +1929,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
