@@ -605,3 +605,30 @@ def test_snapshot_asof_semantics(spark):
     got = {r.pk: r for r in snapshot_asof(log, 99).collect()}
     assert set(got) == {7}
     assert got[7].as_of_seq == 4
+
+
+def test_scd2_apply_chunked_equals_full_rebuild(spark):
+    """Folding the changelog in ANY per-key-ordered chunking must be
+    bit-identical to the one-shot rebuild — the invariant that makes
+    incremental SCD2 maintenance correct."""
+    from pipe_s_spark.model import changelog_from_events
+    from pipe_s_spark.operators.history import scd2_apply, scd2_history
+    from pipe_s_spark.sources import load_table
+
+    log = changelog_from_events(load_table(spark, "/root/testdata/sf0.001", "events"))
+    want = sorted(
+        tuple(r) for r in scd2_history(log).collect()
+    )
+    max_seq = log.agg(F.max("seq")).first()[0]
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        cuts = sorted(rng.sample(range(1, max_seq), 5))
+        bounds = [0, *cuts, max_seq + 1]
+        hist = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = log.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+            hist = scd2_apply(hist, chunk).localCheckpoint(eager=True)
+        got = sorted(tuple(r) for r in hist.collect())
+        assert got == want, f"chunked fold diverged for seed {seed}"

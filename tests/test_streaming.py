@@ -692,3 +692,37 @@ def test_streaming_session_window_agg(spark, tmp_path):
     # every emitted session must exactly match the batch computation
     assert got.items() <= batch.items()
     assert len(got) >= len(batch) // 2  # watermark withholds only the tail
+
+
+def test_streaming_scd2_fold_matches_batch(spark, changelog_files, tmp_path):
+    """Incremental SCD2 maintenance in a real stream: each micro-batch
+    folds into the versioned-history table via scd2_apply (staging-dir
+    swap, the MergeApplyTarget pattern); the final history must equal
+    the one-shot batch rebuild over the whole changelog."""
+    import shutil
+
+    from pipe_s_spark.operators.history import scd2_apply, scd2_history
+    from pipe_s_spark.streaming.merge_apply import FLAT_CHANGELOG_SCHEMA
+
+    hist_dir = str(tmp_path / "scd2_hist")
+    stage_dir = str(tmp_path / "scd2_stage")
+
+    def fold(batch, epoch_id):
+        s = batch.sparkSession
+        hist = s.read.parquet(hist_dir) if os.path.isdir(hist_dir) else None
+        new = scd2_apply(hist, batch)
+        new.write.mode("overwrite").parquet(stage_dir)
+        if os.path.isdir(hist_dir):
+            shutil.rmtree(hist_dir)
+        os.replace(stage_dir, hist_dir)
+
+    changes = stream_changelog_json(spark, changelog_files, max_files_per_trigger=1)
+    q = changes.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", str(tmp_path / "ckpt_scd2")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    full = spark.read.schema(FLAT_CHANGELOG_SCHEMA).json(changelog_files)
+    want = sorted(tuple(r) for r in scd2_history(full).collect())
+    got = sorted(tuple(r) for r in spark.read.parquet(hist_dir).collect())
+    assert got == want and len(got) > 0
