@@ -392,6 +392,47 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 )
 
 
+def q_cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table pipeline health: op mix, high-water mark, and replica
+    lag vs the stream head — the batch analog of the reference's
+    TaskMetrics qps/delay gauges (metrics.go:16-23,86-101). One
+    map-side-combinable groupBy; the stream head is a broadcast scalar."""
+    log = changelog(spark, sf_dir)
+    head = log.agg(F.max("ts_ms").alias("head_ts_ms"))
+    per = log.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+        F.max("seq").alias("high_seq"),
+        F.max("ts_ms").alias("high_ts_ms"),
+    )
+    return per.join(F.broadcast(head)).select(
+        "table_name",
+        "n_events",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        "high_seq",
+        (F.col("head_ts_ms") - F.col("high_ts_ms")).alias("lag_ms"),
+    )
+
+
+SQL_CDC_LAG_METRICS = _with_changelog(
+    """
+SELECT table_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       MAX(seq) AS high_seq,
+       (SELECT MAX(ts_ms) FROM changelog) - MAX(ts_ms) AS lag_ms
+FROM changelog
+GROUP BY table_name
+"""
+)
+
+
 QUERIES = {
     "cdc_filter": q_cdc_filter,
     "cdc_validate": q_cdc_validate,
@@ -407,6 +448,7 @@ QUERIES = {
     "cdc_check": q_cdc_check,
     "cdc_scd2": q_cdc_scd2,
     "cdc_snapshot_asof": q_cdc_snapshot_asof,
+    "cdc_lag_metrics": q_cdc_lag_metrics,
 }
 
 ORACLES = {
@@ -424,4 +466,5 @@ ORACLES = {
     "cdc_check": SQL_CDC_CHECK,
     "cdc_scd2": SQL_CDC_SCD2,
     "cdc_snapshot_asof": SQL_CDC_SNAPSHOT_ASOF,
+    "cdc_lag_metrics": SQL_CDC_LAG_METRICS,
 }

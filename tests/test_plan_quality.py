@@ -32,7 +32,12 @@ CROSS_OK = {"sim_cosine_topk"}
 #: Scalar-subquery shapes: the nested-loop join's build side is a
 #: broadcast SINGLE-ROW global aggregate (verified in plan) — the
 #: correct plan for `col > (SELECT agg FROM ...)` at any scale.
-SCALAR_OK = {"q11_important_parts", "q22_idle_customers", "cdc_snapshot_asof"}
+SCALAR_OK = {
+    "q11_important_parts",
+    "q22_idle_customers",
+    "cdc_snapshot_asof",
+    "cdc_lag_metrics",
+}
 
 _QUERIES = sorted(entrymod.queries().items())
 
