@@ -198,14 +198,95 @@ WHERE var > 1e-12 AND ABS((value - mean) / sqrt(var)) > 2
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining: counts of consecutive event-type transitions
+    (Markov bigrams) across all user journeys — one lag window and one
+    small rollup, both keyed work on user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH nxt AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+    FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per calendar day, distinct active users that
+    day (DAU) and over the trailing 7 days (WAU).
+
+    WAU needs a DISTINCT over a sliding window, which no window frame
+    expresses — the scalable shape is cover-set expansion: each (user,
+    active day) emits the ≤7 future days it keeps the user active for
+    (a narrow 7x explode, linear in |user-days|), then one distinct
+    count per covered day. Output restricted to days observed in the
+    data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    user_days = ev.distinct()
+    dau = user_days.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    cover = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("cd"),
+    ).distinct()
+    wau = (
+        cover.join(dau.select(F.col("d").alias("cd")), "cd")
+        .groupBy("cd")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, dau["d"] == wau["cd"]).select("d", "dau", "wau")
+
+
+SQL_EVENTS_ROLLING_ACTIVE = """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+    SELECT d, COUNT(DISTINCT user_id) AS dau FROM user_days GROUP BY d
+), cover AS (
+    SELECT DISTINCT user_id, unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS cd
+    FROM user_days
+), wau AS (
+    SELECT cd, COUNT(DISTINCT user_id) AS wau
+    FROM cover JOIN (SELECT d AS cd FROM dau) USING (cd)
+    GROUP BY cd
+)
+SELECT dau.d, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.cd
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_transitions": q_events_transitions,
+    "events_rolling_active": q_events_rolling_active,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
 }
 
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_outliers": SQL_EVENTS_OUTLIERS,
 }
