@@ -123,13 +123,19 @@ def plane_weight_value(plane: int, dim_idx: int) -> float:
     return h / 65536.0 - 0.5
 
 
-def lsh_bucket(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:
+def lsh_bucket(
+    vec: Column, planes: int = LSH_PLANES, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane signature: bit p = (dot(vec, plane_p) > 0),
     with the plane matrix inlined as array literals (narrow map, no
-    per-row hashing)."""
+    per-row hashing). ``plane_offset`` selects a disjoint plane set so
+    multi-table LSH (:func:`lsh_candidates_multi`) gets independent
+    hash tables from the same deterministic family."""
     bits = []
     for p in range(planes):
-        w = F.array(*[F.lit(plane_weight_value(p, i)) for i in range(1, dim + 1)])
+        w = F.array(
+            *[F.lit(plane_weight_value(plane_offset + p, i)) for i in range(1, dim + 1)]
+        )
         d = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
@@ -366,3 +372,64 @@ def cosine_batch_kernel(
                 yield out[out["neighbor_id"] != qid].head(k)
 
     return kernel
+
+
+def lsh_candidates_multi(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes: int = LSH_PLANES,
+    cap: int = 1000,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """OR-amplified hyperplane LSH: ``n_tables`` independent hash
+    tables (disjoint plane sets), union of within-bucket candidates,
+    exact-cosine verify — the standard recall amplifier (MMDS ch.3).
+
+    One table of p planes finds a cos=s pair with probability
+    (1 - acos(s)/pi)^p — ~2% at s=0.3, p=8 — so production LSH always
+    runs L tables and ORs the candidates: recall -> 1-(1-q)^L while
+    the join stays an equi-join on (table, bucket).
+
+    Shape: ONE posexplode (L rows per vector), one capped self-join on
+    (table, bucket), distinct pairs, narrow verify. Cost scales
+    linearly in L; fan-out stays bounded by cap^2 per bucket per
+    table. The oracle-pinned query keeps the single-table form
+    (`sim_lsh_buckets`) — this is the scale/recall path, guarded by
+    the recall tests instead."""
+    from pipe_s_spark.functions.dedup import cap_group_size
+
+    v = as_double_array(vec_col)
+    buckets = F.array(
+        *[
+            lsh_bucket(F.col("v"), planes=planes, plane_offset=t * planes)
+            for t in range(n_tables)
+        ]
+    )
+    e = (
+        corpus.select(F.col(id_col).alias("id"), v.alias("v"))
+        .select("id", "v", F.posexplode(buckets).alias("table_id", "bucket"))
+    )
+    e = cap_group_size(e, ["table_id", "bucket"], cap)
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

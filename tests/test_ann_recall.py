@@ -1,0 +1,93 @@
+"""ANN quality guard: the approximate similarity paths must actually
+find neighbors. Correctness parity (the oracle) proves each algorithm
+computes ITS OWN definition exactly; this suite pins the cross-
+algorithm property that makes the approximate paths useful at all —
+recall against the brute-force ground truth — so a parameter change
+(planes, nprobe, caps) that silently guts retrieval fails CI instead
+of shipping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipe_s_spark.functions import similarity as S
+from pipe_s_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+K = 5
+N_QUERIES = 10
+
+
+def _truth(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows = S.brute_force_topk(emb, q, k=K).collect()
+    truth: dict = {}
+    for r in rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return truth
+
+
+def _recall(got_rows, truth):
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    return hits / total
+
+
+def test_ivf_topk_recall_monotone_and_above_floor(spark):
+    """Recall must rise monotonically with nprobe and clear a floor at
+    the query defaults. The floor is what the deterministic literal
+    centroids (not data-learned — the oracle must replay them) achieve
+    on this corpus: measured 0.40 at nprobe=2 of 8 cells; 0.35 guards
+    against a probing/assignment regression without flaking."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = _truth(spark)
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = S.ivf_topk(emb, q, k=K, nprobe=nprobe).collect()
+        recalls.append(_recall(got, truth))
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[1] >= 0.35, f"IVF recall collapsed at nprobe=2: {recalls[1]:.2f}"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """Probing every cell must reduce IVF to brute force exactly —
+    the boundary case that separates 'approximate by design' from
+    'wrong'."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = _truth(spark)
+    got = S.ivf_topk(emb, q, k=K, nprobe=S.IVF_CELLS).collect()
+    assert _recall(got, truth) == 1.0
+
+
+def test_multi_table_lsh_amplifies_recall(spark):
+    """OR-amplification: L independent hash tables must raise pair
+    recall monotonically, tracking 1-(1-q)^L (MMDS ch.3). Everything
+    is deterministic (md5 plane family, fixed corpus), so the pinned
+    floors cannot flake: measured q=0.020 single-table at threshold
+    0.3, 0.067 at L=4, 0.133 at L=8 — the theoretical 0.017/0.066/0.128
+    within rounding."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        tuple(sorted((r["id1"], r["id2"])))
+        for r in S.threshold_pairs_blocked(emb, threshold=0.3).collect()
+    }
+    assert exact
+    recalls = []
+    for n_tables in (1, 4, 8):
+        got = {
+            tuple(sorted((r["id1"], r["id2"])))
+            for r in S.lsh_candidates_multi(
+                emb, n_tables=n_tables, threshold=0.3
+            ).collect()
+        }
+        assert got <= exact, "LSH emitted a pair below the verify threshold"
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone in L: {recalls}"
+    assert recalls[-1] >= 0.12, f"amplified recall collapsed: {recalls}"
+    assert recalls[-1] > recalls[0], "extra tables added no recall"
