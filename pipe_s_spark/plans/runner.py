@@ -187,6 +187,23 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     if typ == "return":
         return df
     if typ == "parquet":
+        zorder = cfg.get("zorderBy")
+        if zorder:
+            # clustered layout: ["xExpr", "yExpr"] -> z-order sorted
+            # files with disjoint key ranges (sources.layout)
+            from pipe_s_spark.sources.layout import write_zorder_clustered
+
+            if len(zorder) != 2:
+                raise PipelineSpecError("zorderBy takes exactly two column exprs")
+            write_zorder_clustered(
+                df,
+                cfg["path"],
+                zorder[0],
+                zorder[1],
+                num_files=int(cfg.get("numFiles", 16)),
+                mode=cfg.get("mode", "overwrite"),
+            )
+            return None
         df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
         return None
     if typ == "noop":  # parity: DummyOutput (throughput measurement)

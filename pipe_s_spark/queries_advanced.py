@@ -214,9 +214,45 @@ FROM events
 SQL_LAYOUT_ZORDER = _sql_layout_zorder()
 
 
+def q_stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the group-size distribution of
+    lineitem.l_orderkey — the number every shuffle-sizing decision
+    (salting, AQE skew thresholds, bucket counts) starts from. Two
+    map-side-combinable aggregations; output is one row of BIGINTs
+    plus interpolated percentiles rounded on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("sz").alias("n_rows"),
+        F.max("sz").alias("max_sz"),
+        F.round(F.expr("percentile(sz, 0.5)"), 4).alias("p50_sz"),
+        F.round(F.expr("percentile(sz, 0.99)"), 4).alias("p99_sz"),
+        F.expr("CAST((MAX(sz) * 1000000) DIV (SUM(sz) DIV COUNT(1)) AS BIGINT)").alias(
+            "max_over_mean_x1m"
+        ),
+    )
+
+
+SQL_STATS_KEY_SKEW = """
+WITH sizes AS (
+    SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       MAX(sz) AS max_sz,
+       ROUND(quantile_cont(sz, 0.5), 4)  AS p50_sz,
+       ROUND(quantile_cont(sz, 0.99), 4) AS p99_sz,
+       CAST((MAX(sz) * 1000000) // (SUM(sz) // COUNT(*)) AS BIGINT)
+           AS max_over_mean_x1m
+FROM sizes
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
     "layout_zorder": q_layout_zorder,
+    "stats_key_skew": q_stats_key_skew,
     "range_join_price_bands": q_range_join_price_bands,
     "range_join_explode_quantity": q_range_join_explode_quantity,
     "percentiles_exact": q_percentiles_exact,
@@ -227,6 +263,7 @@ QUERIES = {
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
     "layout_zorder": SQL_LAYOUT_ZORDER,
+    "stats_key_skew": SQL_STATS_KEY_SKEW,
     "range_join_price_bands": SQL_RANGE_BANDS,
     "range_join_explode_quantity": SQL_RANGE_EXPLODE,
     "percentiles_exact": SQL_PERCENTILES,

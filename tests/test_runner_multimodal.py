@@ -308,3 +308,22 @@ def test_runner_query_input_runs_registered_queries(spark, tmp_path):
             spark,
             {"Input": {"Type": "query", "Config": {"name": "nope", "sfDir": "x"}}},
         )
+
+
+def test_runner_parquet_zorder_output(spark, tmp_path):
+    path = str(tmp_path / "ev_z")
+    run_pipeline(
+        spark,
+        {
+            "Input": {
+                "Type": "query",
+                "Config": {"name": "layout_zorder", "sfDir": "/root/testdata/sf0.001"},
+            },
+            "Output": {
+                "Type": "parquet",
+                "Config": {"path": path, "zorderBy": ["user_id", "vbucket"], "numFiles": 4},
+            },
+        },
+    )
+    df = spark.read.parquet(path)
+    assert df.count() > 0 and "zkey" in df.columns
