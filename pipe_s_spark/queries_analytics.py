@@ -740,6 +740,46 @@ GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
 """
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function coverage over the embedding column:
+    transform / filter / aggregate (fold) / element access — all
+    narrow JVM expressions (the idiom the similarity kernels build on)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(v, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(F.element_at(v, 1), 6).alias("first_elem"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             6) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT)
+           AS n_positive,
+       ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS max_elem,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem
+FROM embeddings
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -766,6 +806,7 @@ QUERIES = {
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "full_outer_balances": q_full_outer_balances,
     "window_range_frame": q_window_range_frame,
+    "array_funcs": q_array_funcs,
 }
 
 ORACLES = {
@@ -794,4 +835,5 @@ ORACLES = {
     "unpivot_lineitem_charges": SQL_UNPIVOT,
     "full_outer_balances": SQL_FULL_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE,
+    "array_funcs": SQL_ARRAY_FUNCS,
 }

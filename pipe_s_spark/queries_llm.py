@@ -47,6 +47,32 @@ FROM documents
 """
 
 
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the stopword-ratio
+    classifier against the gold ``lang`` label — the quality-report
+    half every heuristic classifier in a curation pipeline needs. One
+    narrow classify pass + one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.transform(X.with_text_stats())
+        .groupBy(F.col("lang").alias("gold_lang"), "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TEXT_LANGID_EVAL = f"""
+WITH pred AS (
+    SELECT lang AS gold_lang,
+           CASE WHEN CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(X.EN_STOPWORDS)})\\b')) AS DOUBLE)
+                     / GREATEST(CAST(len({TOKS_SQL}) AS DOUBLE), 1.0) > 0.05
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+)
+SELECT gold_lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY gold_lang, lang_pred
+"""
+
+
 def q_text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lang, source) corpus summary. avg_chars is emitted as
     BIGINT micro-units (exact.davg_int): the float formulations lost
@@ -1896,6 +1922,7 @@ QUERIES = {
     "text_weighted_sample": q_text_weighted_sample,
     "text_contamination": q_text_contamination,
     "text_dup_ngrams": q_text_dup_ngrams,
+    "text_langid_eval": q_text_langid_eval,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
@@ -1941,6 +1968,7 @@ ORACLES = {
     "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
+    "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,
