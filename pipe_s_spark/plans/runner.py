@@ -151,6 +151,15 @@ def _build_input(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
             .option("maxFilesPerTrigger", cfg.get("maxFilesPerTrigger", 1))
             .json(cfg["path"])
         )
+    if typ == "sql":
+        # raw Spark SQL over the testdata catalog: every table is
+        # registered as a temp view, then Catalyst plans the statement —
+        # the thinnest possible front-end for ad-hoc pipelines
+        from pipe_s_spark.sources import load_tables
+
+        for name, df in load_tables(spark, cfg["sfDir"]).items():
+            df.createOrReplaceTempView(name)
+        return spark.sql(cfg["query"])
     if typ == "query":
         # any registered query as a pipeline source — the JSON front-end
         # spans the full analytics/curation surface, not just CDC

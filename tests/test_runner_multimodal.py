@@ -327,3 +327,21 @@ def test_runner_parquet_zorder_output(spark, tmp_path):
     )
     df = spark.read.parquet(path)
     assert df.count() > 0 and "zkey" in df.columns
+
+
+def test_runner_sql_input(spark, tmp_path):
+    out = run_pipeline(
+        spark,
+        {
+            "Input": {
+                "Type": "sql",
+                "Config": {
+                    "sfDir": "/root/testdata/sf0.001",
+                    "query": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+                },
+            },
+            "Output": {"Type": "return"},
+        },
+    )
+    rows = out.collect()
+    assert len(rows) > 0 and {"lang", "n"} == set(rows[0].asDict())
