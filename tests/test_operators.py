@@ -632,3 +632,24 @@ def test_scd2_apply_chunked_equals_full_rebuild(spark):
             hist = scd2_apply(hist, chunk).localCheckpoint(eager=True)
         got = sorted(tuple(r) for r in hist.collect())
         assert got == want, f"chunked fold diverged for seed {seed}"
+
+
+def test_scd2_current_versions_equal_head_snapshot(spark):
+    """Cross-operator invariant: the open (is_current) SCD2 versions
+    must carry exactly the payloads snapshot_asof reconstructs at the
+    stream head — two independent formulations of 'live state'."""
+    from pipe_s_spark.model import changelog_from_events
+    from pipe_s_spark.operators.history import scd2_history, snapshot_asof
+    from pipe_s_spark.sources import load_table
+
+    log = changelog_from_events(load_table(spark, "/root/testdata/sf0.001", "events"))
+    cur = {
+        (r.table_name, r.pk): (r.k, r.value)
+        for r in scd2_history(log).filter("is_current").collect()
+    }
+    head = log.agg(F.max("seq")).first()[0]
+    snap = {
+        (r.table_name, r.pk): (r.k, r.value)
+        for r in snapshot_asof(log, int(head)).collect()
+    }
+    assert cur == snap and len(cur) > 0
