@@ -156,6 +156,69 @@ SELECT doc_id, decision, decision = 'keep' AS keep FROM d
 """
 
 
+#: Docs kept per (lang, source) stratum by the composite pipeline.
+PIPELINE_CAP = 10
+
+
+def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation pipeline a real corpus run chains:
+    C4-style quality gate -> exact dedup (min-id survivor per digest)
+    -> deterministic per-(lang, source) cap. One registered query so
+    the WHOLE chain is oracle-checked end-to-end, not just its stages.
+
+    Plan shape: the quality gate is narrow (pushed into the scan); the
+    dedup window and the stratum window are the only two shuffles, each
+    on a key the next stage doesn't disturb."""
+    docs = load_table(spark, sf_dir, "documents").transform(X.with_text_stats())
+    keep = ~(
+        (F.col("n_tokens") < 10)
+        | ((F.col("n_stopwords").cast("double") / F.col("n_tokens")) < 0.01)
+        | ((F.col("n_chars_calc").cast("double") / F.col("n_tokens")) > 12.0)
+    )
+    kept = docs.filter(keep)
+    w_digest = Window.partitionBy(F.md5("text"))
+    deduped = kept.withColumn("keep_id", F.min("doc_id").over(w_digest)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    w_stratum = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        deduped.withColumn("rk", F.row_number().over(w_stratum).cast("long"))
+        .filter(F.col("rk") <= PIPELINE_CAP)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+SQL_TEXT_CURATION_PIPELINE = f"""
+WITH s AS (
+    SELECT doc_id, lang, source, text,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b({{stops}})\\b')) AS BIGINT) AS n_stopwords
+    FROM documents
+),
+kept AS (
+    SELECT * FROM s
+    WHERE NOT (n_tokens < 10
+               OR CAST(n_stopwords AS DOUBLE) / n_tokens < 0.01
+               OR CAST(n_chars_calc AS DOUBLE) / n_tokens > 12.0)
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM kept
+    ) WHERE doc_id = keep_id
+)
+SELECT doc_id, lang, source, rk FROM (
+    SELECT doc_id, lang, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS rk
+    FROM deduped
+) WHERE rk <= {PIPELINE_CAP}
+""".format(stops="|".join(X.EN_STOPWORDS))
+
+
 def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: hash the doc id into
     100 buckets (md5-based, engine-independent, stable across runs and
@@ -1923,6 +1986,7 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "text_dup_ngrams": q_text_dup_ngrams,
     "text_langid_eval": q_text_langid_eval,
+    "text_curation_pipeline": q_text_curation_pipeline,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
@@ -1969,6 +2033,7 @@ ORACLES = {
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
+    "text_curation_pipeline": SQL_TEXT_CURATION_PIPELINE,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,
