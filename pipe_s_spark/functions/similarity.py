@@ -340,6 +340,106 @@ def threshold_pairs_blocked(
     )
 
 
+def knn_graph_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_to: int = 6,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Exact corpus-wide kNN graph (each vector's top-k cosine
+    neighbors) via the same block-matrix decomposition as
+    :func:`threshold_pairs_blocked` — no corpus broadcast, no cross
+    product node.
+
+    Each (ba, bb) block-pair group scores its rows with one chunked
+    numpy matmul and emits only each row's LOCAL top-k within the
+    group; a row meets every other row in exactly one group, so the
+    union of local top-k lists contains the true global top-k, and a
+    window partitioned by node (parallel across nodes — never global)
+    ranks them. Candidate volume is n * B * k rows — linear in n for
+    fixed B, k.
+
+    Scale: per-task memory is bounded by 2n/B rows (pick B ~ n/50k);
+    FLOPs are the exact-kNN O(n^2 d) by contract — for approximate
+    graphs at corpus scale, generate candidates with
+    :func:`lsh_candidates_multi` and rank those instead (same window
+    tail)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    e = corpus.select(id_col, vec_col).withColumn(
+        "blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks))
+    )
+    other = F.sequence(F.lit(0), F.lit(num_blocks - 1))
+    rep = e.withColumn(
+        "bp",
+        F.explode(
+            F.transform(
+                other,
+                lambda o: F.struct(
+                    F.least(F.col("blk"), o).alias("ba"),
+                    F.greatest(F.col("blk"), o).alias("bb"),
+                ),
+            )
+        ),
+    ).select(id_col, vec_col, "blk", F.col("bp.ba").alias("ba"), F.col("bp.bb").alias("bb"))
+
+    def local_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        ids = pdf[id_col].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        outs = []
+        chunk = 2048
+        for lo in range(0, len(ids), chunk):
+            sims = (mn[lo : lo + chunk] @ mn.T).round(round_to)
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                g = lo + r
+                # a (node, neighbor) pair is this group's to emit ONLY when
+                # the pair's block pair IS (ba, bb) — without this mask a
+                # same-block pair would surface from every group its blocks
+                # touch, and the duplicates would consume window ranks
+                elig = (
+                    (np.minimum(blks[g], blks) == ba)
+                    & (np.maximum(blks[g], blks) == bb)
+                    & (ids != ids[g])
+                )
+                # top-k by (-sim, neighbor_id): lexsort's last key is primary
+                order = np.lexsort((ids, -row))
+                order = order[elig[order]][:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "node_id": ids[g],
+                            "neighbor_id": ids[order],
+                            "cos_sim": row[order],
+                        }
+                    )
+                )
+        return (
+            pd.concat(outs)
+            if outs
+            else pd.DataFrame(columns=["node_id", "neighbor_id", "cos_sim"])
+        )
+
+    cand = rep.groupBy("ba", "bb").applyInPandas(
+        local_topk, schema="node_id long, neighbor_id long, cos_sim double"
+    )
+    # a row pair can surface from only ONE group (the one matching its
+    # block pair), so candidates are already distinct; rank per node
+    w = Window.partitionBy("node_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("node_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def cosine_batch_kernel(
     query_matrix: "pd.DataFrame",
     id_col: str = "vec_id",

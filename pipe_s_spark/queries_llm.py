@@ -1961,6 +1961,61 @@ FROM d
 """
 
 
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact kNN graph (top-3 cosine neighbors per vector)
+    via the block-matrix kernel — the semantic-dedup / graph-clustering
+    primitive (no corpus broadcast, no cross-product node; candidates
+    are n*B*k rows and the rank window is partitioned per node)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph_blocked(emb, k=3)
+
+
+SQL_SIM_KNN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT node_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT node_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY node_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 3
+"""
+
+
+def q_text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: corpus share, exact-duplicate
+    pressure, and language spread by domain — the first report a
+    curation run produces when deciding per-source sampling weights.
+    One groupBy on the (already low-cardinality) source key; the
+    duplicate count is a distinct-agg on the md5 digest, all-integer
+    output (the davg_int float policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        E.davg_int("n_chars").alias("avg_chars_x1m"),
+    )
+
+
+SQL_TEXT_DOMAIN_STATS = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {E.davg_int_sql('n_chars')} AS avg_chars_x1m
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
@@ -2000,6 +2055,8 @@ QUERIES = {
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_knn_graph": q_sim_knn_graph,
+    "text_domain_stats": q_text_domain_stats,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_digests": q_multimodal_frame_digests,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -2047,6 +2104,8 @@ ORACLES = {
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,
     "sim_ivf_topk": SQL_SIM_IVF,
+    "sim_knn_graph": SQL_SIM_KNN,
+    "text_domain_stats": SQL_TEXT_DOMAIN_STATS,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_frame_digests": SQL_MULTIMODAL_FRAMES,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO,
