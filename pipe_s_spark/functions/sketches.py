@@ -289,3 +289,88 @@ def bloom_might_contain(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: float = 1000.0,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Equi-width histogram quantile sketch: single-pass, mergeable,
+    bounded-state quantile estimation — the deterministic analog of
+    ``approx_percentile`` (whose GK/KLL internals are engine-private
+    and so never oracle-checkable).
+
+    Shape at 100 TB: one groupBy on (group, bin) with map-side combine
+    — shuffle payload is bounded by bins-per-group cells regardless of
+    row count — then a per-group cumulative window over at most that
+    many bin rows. Merging two histograms is cellwise addition, which
+    is exactly what re-running the plan over a union computes (the same
+    mergeability argument as the KMV sketch above).
+
+    Estimate: for target rank t = q * total, the covering bin b
+    (cum_before < t <= cum) interpolates linearly:
+    est = lo(b) + width * (t - cum_before) / cnt(b). Exactly one bin
+    covers each target (cumulative counts are strictly increasing), and
+    every arithmetic step is written in the same order as the SQL
+    rendering below so both engines round identically at 6 decimals.
+    """
+    from pyspark.sql.window import Window
+
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    h = df.groupBy(*group_cols, bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy(*group_cols).orderBy("bin")
+    wt = Window.partitionBy(*group_cols)
+    h2 = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    aggs = [F.max("total").alias("n_rows")]
+    for q in quantiles:
+        t = F.lit(q) * F.col("total")
+        est = F.round(
+            F.col("bin") * F.lit(bin_width)
+            + F.lit(bin_width) * (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+            6,
+        )
+        sel = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
+        aggs.append(F.max(F.when(sel, est)).alias(f"p{int(q * 100)}_est"))
+    return h2.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: float = 1000.0,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB rendering of :func:`histogram_quantiles` with identical
+    literal arithmetic order. Window SUMs are cast to BIGINT at the CTE
+    boundary (DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64, the
+    dtype-divergence class test_oracle_types sweeps for)."""
+    g = ", ".join(group_cols)
+    exprs = []
+    for q in quantiles:
+        t = f"({q} * total)"
+        est = (
+            f"ROUND(bin * {bin_width} + {bin_width} * ({t} - (cum - cnt)) / cnt, 6)"
+        )
+        sel = f"((cum - cnt) < {t} AND {t} <= cum)"
+        exprs.append(f"MAX(CASE WHEN {sel} THEN {est} END) AS p{int(q * 100)}_est")
+    return f"""
+WITH h AS (
+    SELECT {g}, CAST(FLOOR({value_col} / {bin_width}) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM {table} GROUP BY {g}, bin
+),
+h2 AS (
+    SELECT {g}, bin, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY {g}) AS BIGINT) AS total
+    FROM h
+)
+SELECT {g}, CAST(MAX(total) AS BIGINT) AS n_rows, {", ".join(exprs)}
+FROM h2 GROUP BY {g}
+"""

@@ -1705,6 +1705,24 @@ SELECT user_id, exact_cnt, est_cnt FROM exact JOIN est USING (user_id)
 """
 
 
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch over lineitem prices, by
+    return flag: single-pass, mergeable, bounded state (~110 cells per
+    group at $1000 bins) — the deterministic, oracle-checkable analog
+    of approx_percentile. See functions.sketches.histogram_quantiles
+    for the scale/merge argument."""
+    from pipe_s_spark.functions import sketches as K
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return K.histogram_quantiles(li, "l_extendedprice", ["l_returnflag"])
+
+
+def _sql_sketch_histogram() -> str:
+    from pipe_s_spark.functions import sketches as K
+
+    return K.histogram_quantiles_sql("lineitem", "l_extendedprice", ["l_returnflag"])
+
+
 def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted priority sampling (the curation step that
     subsamples a corpus with probability proportional to a per-doc
@@ -2063,6 +2081,7 @@ QUERIES = {
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_countmin": q_sketch_countmin,
     "sketch_bloom": q_sketch_bloom,
+    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
 }
 
 ORACLES = {
@@ -2112,4 +2131,5 @@ ORACLES = {
     "sketch_kmv_distinct": _sql_sketch_kmv(),
     "sketch_countmin": _sql_sketch_countmin(),
     "sketch_bloom": _sql_sketch_bloom(),
+    "sketch_histogram_quantiles": _sql_sketch_histogram(),
 }
