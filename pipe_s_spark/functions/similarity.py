@@ -317,7 +317,13 @@ def threshold_pairs_blocked(
         chunk = 2048  # bounds the sims matrix at chunk x group_rows
         for lo in range(0, len(ids), chunk):
             sims = mn[lo : lo + chunk] @ mn.T
-            r, c = np.where(sims.round(round_to) >= threshold)
+            # preselect unrounded with a 1e-6 margin (round6 is monotone
+            # and moves a value by <= 0.5e-6), then apply the exact
+            # rounded threshold to only the survivors: np.round over the
+            # full matrix costs more than the matmul itself
+            r, c = np.where(sims >= threshold - 1e-6)
+            keep_exact = sims[r, c].round(round_to) >= threshold
+            r, c = r[keep_exact], c[keep_exact]
             r_g = r + lo
             keep = (
                 (ids[r_g] < ids[c])
@@ -396,28 +402,48 @@ def knn_graph_blocked(
         outs = []
         chunk = 2048
         for lo in range(0, len(ids), chunk):
-            sims = (mn[lo : lo + chunk] @ mn.T).round(round_to)
-            for r in range(sims.shape[0]):
-                row = sims[r]
-                g = lo + r
-                # a (node, neighbor) pair is this group's to emit ONLY when
-                # the pair's block pair IS (ba, bb) — without this mask a
-                # same-block pair would surface from every group its blocks
-                # touch, and the duplicates would consume window ranks
-                elig = (
-                    (np.minimum(blks[g], blks) == ba)
-                    & (np.maximum(blks[g], blks) == bb)
-                    & (ids != ids[g])
-                )
-                # top-k by (-sim, neighbor_id): lexsort's last key is primary
-                order = np.lexsort((ids, -row))
-                order = order[elig[order]][:k]
+            # NOT rounded here: np.round over the full matrix costs more
+            # than the matmul; round6 is monotone, so order statistics
+            # commute with it and only the ~k selected values need
+            # rounding (with a 2e-6 margin at the kth boundary, since
+            # |round(v) - v| <= 0.5e-6 can reorder ties)
+            sims = mn[lo : lo + chunk] @ mn.T
+            sub = slice(lo, lo + sims.shape[0])
+            # a (node, neighbor) pair is this group's to emit ONLY when
+            # the pair's block pair IS (ba, bb) — without this mask a
+            # same-block pair would surface from every group its blocks
+            # touch, and the duplicates would consume window ranks
+            elig = (
+                (np.minimum(blks[sub, None], blks[None, :]) == ba)
+                & (np.maximum(blks[sub, None], blks[None, :]) == bb)
+                & (ids[sub, None] != ids[None, :])
+            )
+            # finite sentinel (cosine >= -1): np.partition degrades ~80x
+            # on arrays holding -inf
+            masked = np.where(elig, sims, -2.0)
+            kk = min(k, masked.shape[1])
+            # kth-largest per row bounds the candidate set; the exact
+            # (-rounded_sim, neighbor_id) lexsort then runs over ~k
+            # elements per row instead of the whole row
+            thresh = -np.partition(-masked, kk - 1, axis=1)[:, kk - 1]
+            node_l: list = []
+            nb_l: list = []
+            sim_l: list = []
+            for r in range(masked.shape[0]):
+                cand = np.where(masked[r] >= thresh[r] - 2e-6)[0]
+                cand = cand[masked[r][cand] > -1.5]
+                vals = masked[r][cand].round(round_to)
+                order = np.lexsort((ids[cand], -vals))[:k]
+                node_l.append(np.full(len(order), ids[lo + r]))
+                nb_l.append(ids[cand[order]])
+                sim_l.append(vals[order])
+            if node_l:
                 outs.append(
                     pd.DataFrame(
                         {
-                            "node_id": ids[g],
-                            "neighbor_id": ids[order],
-                            "cos_sim": row[order],
+                            "node_id": np.concatenate(node_l),
+                            "neighbor_id": np.concatenate(nb_l),
+                            "cos_sim": np.concatenate(sim_l),
                         }
                     )
                 )
