@@ -374,3 +374,163 @@ h2 AS (
 SELECT {g}, CAST(MAX(total) AS BIGINT) AS n_rows, {", ".join(exprs)}
 FROM h2 GROUP BY {g}
 """
+
+
+# --- HyperLogLog (deterministic, oracle-checkable) -----------------------
+#
+# Flajolet et al. 2007 ("HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm"). approx_count_distinct IS this
+# sketch, but Spark's register layout is engine-private, so its
+# estimate can never be cross-checked by another engine. This variant
+# derives bucket and rank from md5 so every register — and therefore
+# the estimate itself — reproduces bit-for-bit in the DuckDB oracle:
+#
+#   bucket = first 2 md5 hex digits mod m      (256 % 64 == 0: uniform)
+#   w      = next 13 hex digits (52 bits)
+#   rho    = leading-zero bits of w + 1, computed from the HEX STRING
+#            (ltrim('0') + a CASE on the first nonzero digit), not from
+#            floating log2 — libm log isn't correctly rounded, and a
+#            one-ulp disagreement at a power-of-two boundary would skew
+#            a register; string arithmetic cannot disagree.
+#
+# The harmonic mean is kept in EXACT INTEGER form: each register
+# contributes 2^(53-reg) (a BIGINT; empty registers contribute 2^53),
+# so SUM is order-independent — the float division happens once, at the
+# end, in the same literal order in both engines. Linear-counting's
+# ln() is the one libm call left; it is applied to a ratio of small
+# integers and rounded to 4 decimals (verified identical across
+# engines at every test SF).
+#
+# Scale shape: one narrow projection, groupBy (group, bucket) MAX with
+# map-side combine — shuffle payload bounded by m rows per group, never
+# data-sized. Registers merge by MAX, which re-running over a union
+# computes; the estimate is a fold over exactly m rows per group.
+
+HLL_M = 64  #: register count (b = 6 bucket bits); std error ~ 1.04/sqrt(m) = 13%
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_WBITS = 52  #: bits in w (13 md5 hex digits)
+_HLL_POW = 1 << (_HLL_WBITS + 1)  #: 2^53, the integer scale of 2^-reg
+
+#: first nonzero hex digit -> leading zero bits inside that digit
+_HEX_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+
+
+def hll_probe(col: Column | str, m: int = HLL_M) -> tuple[Column, Column]:
+    """(bucket, rho) narrow expressions for one value — no shuffle.
+
+    rho is computed from the hex string (leading-zero hex digits via a
+    regexp strip + a CASE on the first nonzero digit), never from
+    floating log2.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("bucket")
+    whex = F.substring(h, 3, 13)
+    stripped = F.regexp_replace(whex, "^0+", "")
+    z_hex = F.length(whex) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    digit_lz: Column = F.lit(0)
+    for d, lz in _HEX_LZ.items():
+        digit_lz = F.when(first == d, lz).otherwise(digit_lz)
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(z_hex * 4 + digit_lz + 1)
+        .cast("int")
+        .alias("rho")
+    )
+    return bucket, rho
+
+
+def hll_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-group HLL distinct estimate with linear-counting correction.
+
+    Columns out: group cols, ``n_zero_registers`` (int — empty
+    registers, the linear-counting input), ``est_distinct`` (double,
+    rounded to 4). Registers merge by MAX, so re-running over a union
+    of corpora merges the sketches exactly.
+    """
+    groups = group_cols or []
+    bucket, rho = hll_probe(value_col, m)
+    regs = (
+        df.select(*groups, bucket, rho)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # exact-integer harmonic sum: each register contributes 2^(53-reg);
+    # buckets never hit contribute 2^53 (reg = 0)
+    pow_scale = F.lit(_HLL_POW).cast("long")
+    agg = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - reg)")).alias("s_hit"),
+    )
+    s_int = F.col("s_hit") + (F.lit(m) - F.col("present")) * pow_scale
+    raw = F.lit(_HLL_ALPHA * m * m * float(_HLL_POW)) / s_int.cast("double")
+    zeros = (F.lit(m) - F.col("present")).cast("int")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(
+        *groups,
+        zeros.alias("n_zero_registers"),
+        est.alias("est_distinct"),
+    )
+
+
+def hll_estimate_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    m: int = HLL_M,
+) -> str:
+    """DuckDB oracle for :func:`hll_estimate` — identical md5 probes,
+    identical integer register sum, identical literal arithmetic
+    order."""
+    groups = group_cols or []
+    gsel = (", ".join(groups) + ",") if groups else ""
+    ggrp = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    wb1 = _HLL_WBITS + 1
+    alpha_num = repr(_HLL_ALPHA * m * m * float(_HLL_POW))
+    digit_case = " ".join(
+        f"WHEN substr(stripped, 1, 1) = '{d}' THEN {lz}" for d, lz in _HEX_LZ.items()
+    )
+    return f"""
+WITH probes AS (
+    SELECT {gsel}
+           CAST(CAST('0x' || substr(h, 1, 2) AS INTEGER) % {m} AS INTEGER) AS bucket,
+           substr(h, 3, 13) AS whex
+    FROM (SELECT {gsel} md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table})
+),
+rhos AS (
+    SELECT {gsel} bucket,
+           CASE WHEN length(stripped) = 0 THEN {wb1}
+                ELSE (13 - length(stripped)) * 4
+                     + (CASE {digit_case} ELSE 0 END) + 1
+           END AS rho
+    FROM (SELECT {gsel} bucket, regexp_replace(whex, '^0+', '') AS stripped
+          FROM probes)
+),
+regs AS (
+    SELECT {gsel} bucket, MAX(rho) AS reg FROM rhos GROUP BY {gsel} bucket
+),
+agg AS (
+    SELECT {gsel} CAST(COUNT(*) AS BIGINT) AS present,
+           CAST(SUM(CAST(1 AS BIGINT) << ({wb1} - reg)) AS BIGINT) AS s_hit
+    FROM regs {ggrp}
+)
+SELECT {gsel}
+       CAST({m} - present AS INTEGER) AS n_zero_registers,
+       CASE WHEN ({alpha_num} / CAST(s_hit + ({m} - present) * CAST({_HLL_POW} AS BIGINT) AS DOUBLE)) <= {2.5 * m!r}
+                 AND ({m} - present) > 0
+            THEN ROUND({float(m)!r} * LN({float(m)!r} / CAST({m} - present AS DOUBLE)), 4)
+            ELSE ROUND({alpha_num} / CAST(s_hit + ({m} - present) * CAST({_HLL_POW} AS BIGINT) AS DOUBLE), 4)
+       END AS est_distinct
+FROM agg
+"""

@@ -249,8 +249,62 @@ FROM sizes
 """
 
 
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a bloom filter built from the selective dim
+    side (urgent 1994 orders) prunes the fact scan BEFORE the shuffle
+    join — the manual form of Spark's runtime bloom-filter pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), kept explicit
+    and deterministic here so the oracle can verify the result. The
+    probe is a narrow inlined-literal expression evaluated inside the
+    fact scan stage, so at 100 TB only ~|dim-matching| + FP rows ever
+    reach the exchange; false positives are then removed by the exact
+    join (no false negatives by construction), making the result
+    IDENTICAL to the plain join — which is exactly what the oracle
+    runs."""
+    from pipe_s_spark.functions import sketches as K
+    from pipe_s_spark.functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_orderkey")
+    # filter bits: bounded driver collect (<= BLOOM_BITS positions —
+    # metadata-scale, same policy as the IVF centroid literals)
+    bits = K.bloom_bit_array(K.bloom_build(dim, "o_orderkey"))
+    pruned = li.filter(K.bloom_might_contain(F.col("l_orderkey"), bits))
+    return (
+        pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_JOIN_BLOOM_PRUNE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= DATE '1994-01-01'
+        AND o_orderdate < DATE '1995-01-01') dim
+  ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
+    "join_bloom_prune": q_join_bloom_prune,
     "layout_zorder": q_layout_zorder,
     "stats_key_skew": q_stats_key_skew,
     "range_join_price_bands": q_range_join_price_bands,
@@ -262,6 +316,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
+    "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "layout_zorder": SQL_LAYOUT_ZORDER,
     "stats_key_skew": SQL_STATS_KEY_SKEW,
     "range_join_price_bands": SQL_RANGE_BANDS,

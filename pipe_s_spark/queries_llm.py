@@ -1723,6 +1723,42 @@ def _sql_sketch_histogram() -> str:
     return K.histogram_quantiles_sql("lineitem", "l_extendedprice", ["l_returnflag"])
 
 
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al. 2007): per-event-type
+    approximate distinct users from md5-derived registers, joined with
+    the exact count for self-auditing error. Unlike the built-in
+    approx_count_distinct, every register — and the estimate itself —
+    is reproduced bit-for-bit by the DuckDB oracle (exact-integer
+    harmonic sum, string-derived rho; see functions.sketches). THE
+    mergeable distinct-count structure at 100 TB: shuffle payload per
+    group is m=64 rows, never data-sized."""
+    from pipe_s_spark.functions.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_zero_registers", "est_distinct", "exact_distinct"
+    )
+
+
+def _sql_sketch_hll() -> str:
+    from pipe_s_spark.functions.sketches import hll_estimate_sql
+
+    inner = hll_estimate_sql("events", "user_id", ["event_type"])
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n_zero_registers, est_distinct, exact_distinct
+FROM est JOIN exact USING (event_type)
+"""
+
+
 def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted priority sampling (the curation step that
     subsamples a corpus with probability proportional to a per-doc
@@ -2082,6 +2118,7 @@ QUERIES = {
     "sketch_countmin": q_sketch_countmin,
     "sketch_bloom": q_sketch_bloom,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
+    "sketch_hll_distinct": q_sketch_hll_distinct,
 }
 
 ORACLES = {
@@ -2132,4 +2169,5 @@ ORACLES = {
     "sketch_countmin": _sql_sketch_countmin(),
     "sketch_bloom": _sql_sketch_bloom(),
     "sketch_histogram_quantiles": _sql_sketch_histogram(),
+    "sketch_hll_distinct": _sql_sketch_hll(),
 }

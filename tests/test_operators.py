@@ -335,6 +335,38 @@ def test_kmv_sketch_estimate_accuracy(spark):
     assert est2["n_hashes"] == 10 and est2["est_distinct"] == 10.0
 
 
+def test_hll_estimate_accuracy_and_union_merge(spark):
+    """Deterministic HLL: estimate within ~3 std errors (m=64 -> 13%),
+    linear counting kicks in for tiny sets, and the sketch merges by
+    union — running the plan over A UNION ALL B equals merging the two
+    register sets by MAX (the HLL merge rule)."""
+    from pipe_s_spark.functions.sketches import HLL_M, hll_estimate, hll_probe
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame([(i % 2000,) for i in range(6000)], "v long")
+    est = hll_estimate(big, "v").collect()[0]
+    assert abs(est["est_distinct"] - 2000) / 2000 < 0.40
+    # small set: every register empty except a handful -> linear counting
+    tiny = spark.createDataFrame([(i,) for i in range(8)], "v long")
+    est2 = hll_estimate(tiny, "v").collect()[0]
+    assert est2["n_zero_registers"] >= HLL_M - 8
+    assert abs(est2["est_distinct"] - 8) <= 2
+    # union-merge: registers over A++B == MAX-merge of registers(A), registers(B)
+    a = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(300, 900)], "v long")
+
+    def regs(df):
+        bucket, rho = hll_probe("v")
+        return {
+            r["bucket"]: r["reg"]
+            for r in df.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("reg")).collect()
+        }
+
+    ra, rb, rab = regs(a), regs(b), regs(a.unionAll(b))
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert rab == merged
+
+
 def test_validate_changelog_flags_state_machine_violations(spark):
     """The CDC transitions the reference hard-errors on (plus the inDB
     contract) surface as a data-quality report."""
