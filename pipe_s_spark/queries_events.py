@@ -275,8 +275,38 @@ FROM dau JOIN wau ON dau.d = wau.cd
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (Markov
+    bigram counts as edge weights) in deterministic integer fixed-point
+    — 5 power iterations, bit-identical on any engine (see
+    operators.graph.pagerank_int: integer shares, truncating divides,
+    order-independent BIGINT sums). The graph here is type-sized; the
+    same operator runs on any (src, dst, w) edge list with a
+    |V|-sized rank table and one shuffle join + one combine-side
+    groupBy per iteration."""
+    from pipe_s_spark.operators.graph import pagerank_int
+
+    edges = q_events_transitions(spark, sf_dir).select(
+        F.col("from_type").alias("src"), F.col("to_type").alias("dst"), F.col("n").alias("w")
+    )
+    return pagerank_int(edges, iters=5).withColumnRenamed("v", "event_type")
+
+
+def _sql_graph_pagerank() -> str:
+    from pipe_s_spark.operators.graph import pagerank_int_sql
+
+    edges = f"""
+    SELECT from_type AS src, to_type AS dst, CAST(n AS BIGINT) AS w FROM (
+        {SQL_EVENTS_TRANSITIONS}
+    )
+    """
+    inner = pagerank_int_sql(edges, iters=5)
+    return f"SELECT v AS event_type, rank FROM ({inner})"
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "graph_pagerank": q_graph_pagerank,
     "events_transitions": q_events_transitions,
     "events_rolling_active": q_events_rolling_active,
     "events_retention": q_events_retention,
@@ -285,6 +315,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
     "events_retention": SQL_EVENTS_RETENTION,

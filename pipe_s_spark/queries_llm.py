@@ -1238,6 +1238,76 @@ SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3
 """
 
 
+def q_text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: chi-square divergence of
+    each source's token distribution vs the corpus-wide one — the
+    corpus-QA metric that flags a domain whose language shifted
+    (scraper drift, template takeover) without reading any documents
+    twice.
+
+    Determinism: every per-term value (p, q, the chi-square term) is a
+    chain of single IEEE ops — each correctly rounded, so bit-identical
+    on any engine — then rounded to 12 decimals and summed as
+    DECIMAL(38,12), which is EXACT and order-independent; only the
+    final scalar arithmetic happens in doubles, in the same literal
+    order on both sides. Absent terms (in corpus, not in source)
+    contribute q each; their total is 1 - sum(q over present terms), so
+    they are never materialized — no source x vocab blow-up.
+
+    Scale: two token-count groupBys with map-side combine, one
+    vocab-sized join on term, a broadcast 1-row corpus total, one final
+    per-source fold. Nothing is ever data-sized except the token
+    explode that every distribution metric pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens("text")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ccnt"))
+    ct = cc.agg(F.sum("ccnt").alias("ctot"))
+    terms = (
+        sc.join(st, "source")
+        .join(cc, "term")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("tot").cast("double")).alias("p"),
+            (F.col("ccnt").cast("double") / F.col("ctot").cast("double")).alias("q"),
+        )
+    )
+    chi_term = F.round(
+        (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / (F.col("p") + F.col("q")),
+        12,
+    ).cast("decimal(38,12)")
+    q_term = F.round(F.col("q"), 12).cast("decimal(38,12)")
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.sum(chi_term).cast("double")
+            + (F.lit(1.0) - F.sum(q_term).cast("double")),
+            6,
+        ).alias("chi2"),
+    )
+
+
+SQL_TEXT_DOMAIN_DIVERGENCE = f"""
+WITH toks AS (SELECT source, unnest({TOKS_SQL}) AS term FROM documents),
+sc AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM sc GROUP BY source),
+cc AS (SELECT term, COUNT(*) AS ccnt FROM toks GROUP BY term),
+ct AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctot FROM cc),
+terms AS (
+    SELECT s.source,
+           CAST(s.c AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p,
+           CAST(c2.ccnt AS DOUBLE) / CAST(ct.ctot AS DOUBLE) AS q
+    FROM sc s JOIN st t USING (source) JOIN cc c2 USING (term) CROSS JOIN ct
+)
+SELECT source, COUNT(*) AS n_terms,
+       ROUND(CAST(SUM(CAST(ROUND((p - q) * (p - q) / (p + q), 12) AS DECIMAL(38,12))) AS DOUBLE)
+             + (1.0 - CAST(SUM(CAST(ROUND(q, 12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS chi2
+FROM terms GROUP BY source
+"""
+
+
 INVINDEX_POSTING_CAP = 8
 
 
@@ -2101,6 +2171,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf_topterms,
+    "text_domain_divergence": q_text_domain_divergence,
     "text_inverted_index": q_text_inverted_index,
     "text_chunk_windows": q_text_chunk_windows,
     "text_mix_sample": q_text_mix_sample,
@@ -2152,6 +2223,7 @@ ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "text_tfidf_topterms": SQL_TEXT_TFIDF,
+    "text_domain_divergence": SQL_TEXT_DOMAIN_DIVERGENCE,
     "text_inverted_index": SQL_TEXT_INVINDEX,
     "text_chunk_windows": SQL_TEXT_CHUNKS,
     "text_mix_sample": SQL_TEXT_MIX_SAMPLE,

@@ -685,3 +685,45 @@ def test_scd2_current_versions_equal_head_snapshot(spark):
         for r in snapshot_asof(log, int(head)).collect()
     }
     assert cur == snap and len(cur) > 0
+
+
+def test_pagerank_int_matches_python_replica_random_graphs(spark):
+    """Property test: the distributed integer PageRank equals a pure
+    Python replica of the same fixed-point arithmetic on random
+    weighted digraphs (seeded, 3 graphs) — and ranks stay positive and
+    bounded by SCALE."""
+    import random
+
+    from pipe_s_spark.operators.graph import SCALE, SHARE_SCALE, pagerank_int
+
+    def replica(edges, iters=5):
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        n = len(nodes)
+        base = (15 * SCALE) // (100 * n)
+        wtot = {}
+        for s, _, w in edges:
+            wtot[s] = wtot.get(s, 0) + w
+        share = [(s, d, (w * SHARE_SCALE) // wtot[s]) for s, d, w in edges]
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(iters):
+            contrib = {}
+            for s, d, sh in share:
+                contrib[d] = contrib.get(d, 0) + (r[s] * sh) // SHARE_SCALE
+            r = {v: base + (85 * contrib.get(v, 0)) // 100 for v in nodes}
+        return r
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n_nodes = rng.randint(4, 12)
+        edges = sorted(
+            {
+                (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                for _ in range(rng.randint(5, 30))
+            }
+        )
+        weighted = [(s, d, rng.randint(1, 50)) for s, d in edges]
+        df = spark.createDataFrame(weighted, "src long, dst long, w long")
+        got = {r["v"]: r["rank"] for r in pagerank_int(df, iters=5).collect()}
+        want = replica(weighted)
+        assert got == want
+        assert all(0 < v <= SCALE for v in got.values())

@@ -37,6 +37,9 @@ SCALAR_OK = {
     "q22_idle_customers",
     "cdc_snapshot_asof",
     "cdc_lag_metrics",
+    # corpus token total: crossJoin(broadcast(1-row agg)) — the scalar
+    # denominator every relative-frequency term divides by
+    "text_domain_divergence",
 }
 
 _QUERIES = sorted(entrymod.queries().items())
