@@ -740,6 +740,69 @@ GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
 """
 
 
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: the per-event-type hourly count series with
+    MISSING HOURS MATERIALIZED (zero-filled) and a forward-filled
+    last-observation column — the densification step every downstream
+    window/forecast consumer assumes has happened. Shape: hourly groupBy
+    (map-side combine), per-type bounds agg, a narrow per-type
+    sequence explode (|hours| rows per type, never event-sized), one
+    left join back, and a PARTITIONED ffill window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    series = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    filled = series.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.unix_millis(F.col("hour").cast("timestamp")).alias("hour_ms"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n"),
+        F.col("n_obs").isNull().alias("was_gap"),
+        F.last("n_obs", ignorenulls=True).over(w).cast("bigint").alias("ffill_n"),
+    )
+
+
+SQL_TIME_GAP_FILL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_obs
+    FROM events GROUP BY event_type, hour
+),
+bounds AS (
+    SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY event_type
+),
+series AS (
+    SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+filled AS (
+    SELECT s.event_type, s.hour, h.n_obs
+    FROM series s LEFT JOIN hourly h USING (event_type, hour)
+)
+SELECT event_type,
+       CAST(epoch_ms(CAST(hour AS TIMESTAMP)) AS BIGINT) AS hour_ms,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n,
+       n_obs IS NULL AS was_gap,
+       CAST(last_value(n_obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ffill_n
+FROM filled
+"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array function coverage over the embedding column:
     transform / filter / aggregate (fold) / element access — all
@@ -803,6 +866,7 @@ QUERIES = {
     "time_sliding": q_time_sliding,
     "time_session": q_time_session,
     "time_rollup_hour_day": q_time_rollup_hour_day,
+    "time_gap_fill": q_time_gap_fill,
     "unpivot_lineitem_charges": q_unpivot_lineitem_charges,
     "full_outer_balances": q_full_outer_balances,
     "window_range_frame": q_window_range_frame,
@@ -832,6 +896,7 @@ ORACLES = {
     "time_sliding": SQL_TIME_SLIDING,
     "time_session": SQL_TIME_SESSION,
     "time_rollup_hour_day": SQL_TIME_ROLLUP,
+    "time_gap_fill": SQL_TIME_GAP_FILL,
     "unpivot_lineitem_charges": SQL_UNPIVOT,
     "full_outer_balances": SQL_FULL_OUTER,
     "window_range_frame": SQL_WINDOW_RANGE,

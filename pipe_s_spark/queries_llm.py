@@ -156,6 +156,50 @@ SELECT doc_id, decision, decision = 'keep' AS keep FROM d
 """
 
 
+def q_text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality CALIBRATION: absolute thresholds (the
+    text_quality_filter gate) misfire when domains have different
+    baseline styles, so production pipelines keep the top X% WITHIN
+    each source. Score is integer fixed-point stopword-density
+    (deterministic, no floats until the final rounded percent_rank);
+    the window is PARTITIONED by source — per-domain parallel, never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents").transform(X.with_text_stats())
+    scored = docs.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "source",
+        F.expr("CAST((n_stopwords * 1000000) DIV n_tokens AS BIGINT)").alias("score_x1m"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_x1m"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "source",
+        "score_x1m",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    ).withColumn("keep", F.col("pct_rank") <= 0.5)
+
+
+SQL_TEXT_QUALITY_CALIBRATED = f"""
+WITH s AS (
+    SELECT doc_id, source,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(X.EN_STOPWORDS)})\\b')) AS BIGINT) AS n_stopwords
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           CAST((n_stopwords * 1000000) // n_tokens AS BIGINT) AS score_x1m
+    FROM s WHERE n_tokens > 0
+)
+SELECT doc_id, source, score_x1m,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY score_x1m DESC, doc_id ASC), 8) AS pct_rank,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY score_x1m DESC, doc_id ASC), 8) <= 0.5 AS keep
+FROM scored
+"""
+
+
 #: Docs kept per (lang, source) stratum by the composite pipeline.
 PIPELINE_CAP = 10
 
@@ -2145,6 +2189,7 @@ QUERIES = {
     "text_lang_summary": q_text_lang_summary,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_filter": q_text_quality_filter,
+    "text_quality_calibrated": q_text_quality_calibrated,
     "text_split_assign": q_text_split_assign,
     "text_length_histogram": q_text_length_histogram,
     "text_pack_assign": q_text_pack_assign,
@@ -2197,6 +2242,7 @@ ORACLES = {
     "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_quality_filter": SQL_TEXT_QUALITY_FILTER,
+    "text_quality_calibrated": SQL_TEXT_QUALITY_CALIBRATED,
     "text_split_assign": SQL_TEXT_SPLIT,
     "text_length_histogram": SQL_TEXT_LENGTH_HIST,
     "text_pack_assign": SQL_TEXT_PACK,
