@@ -302,9 +302,61 @@ GROUP BY l_returnflag
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style numeric column profile of lineitem: one row per
+    column with count / nulls / exact distinct / min / max / exact-
+    decimal mean — the statistics a cost-based planner (or a data
+    catalog) collects. Shape: a narrow k-way unpivot (k x row
+    expansion, but map-side combine collapses each task's contribution
+    to k rows before the shuffle) and one groupBy; the distinct count
+    is the only data-sized shuffle, which is inherent to exactness —
+    the sketched alternative is sketch_hll_distinct/sketch_kmv."""
+    from pipe_s_spark.functions.exact import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    unp = li.unpivot(
+        [],
+        [F.col(c).cast("double").alias(c) for c in _PROFILE_COLS],
+        "col",
+        "v",
+    )
+    return unp.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        davg("v", scale=6).alias("avg_v"),
+    )
+
+
+def _sql_stats_column_profile() -> str:
+    from pipe_s_spark.functions.exact import davg_sql
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH u AS (
+{arms}
+)
+SELECT col, COUNT(*) AS n,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       {davg_sql('v', 6)} AS avg_v
+FROM u GROUP BY col
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
     "join_bloom_prune": q_join_bloom_prune,
+    "stats_column_profile": q_stats_column_profile,
     "layout_zorder": q_layout_zorder,
     "stats_key_skew": q_stats_key_skew,
     "range_join_price_bands": q_range_join_price_bands,
@@ -317,6 +369,7 @@ QUERIES = {
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
+    "stats_column_profile": _sql_stats_column_profile(),
     "layout_zorder": SQL_LAYOUT_ZORDER,
     "stats_key_skew": SQL_STATS_KEY_SKEW,
     "range_join_price_bands": SQL_RANGE_BANDS,

@@ -694,6 +694,64 @@ WHERE levenshtein(substr(lower(da.text), 1, 128),
 """
 
 
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level decontamination: flag TRAIN documents that share any
+    MinHash-LSH band with a BENCHMARK document (held-out split =
+    doc_id % 10 == 7 here; in production the benchmark side is the
+    eval-suite corpus). The asymmetric variant of the self-join dedup:
+    candidate generation is a train-side x bench-side equi-join on
+    (band_id, band_sig) — bench side is tiny and broadcastable at real
+    scale, band groups capped (LSH_BAND_CAP) before the join exactly
+    like the self-join path. Complements text_contamination (n-gram
+    overlap): LSH catches near-verbatim docs wholesale, n-grams catch
+    embedded spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N).localCheckpoint(eager=True)
+    bands = D.cap_group_size(
+        D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
+        ["band_id", "band_sig"],
+        LSH_BAND_CAP,
+    )
+    train = bands.filter(F.col("doc_id") % 10 != 7).alias("a")
+    bench = bands.filter(F.col("doc_id") % 10 == 7).alias("b")
+    pairs = (
+        train.join(
+            bench,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.doc_id").alias("train_id"), F.col("b.doc_id").alias("bench_id"))
+        .distinct()
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.min("bench_id").alias("sample_bench_id"),
+    )
+
+
+SQL_DEDUP_CROSS_CORPUS = f"""
+WITH {SQL_SHINGLES},
+{_minhash_sig_sql()},
+{_bands_sql()},
+bands_c AS (
+    SELECT doc_id, band_id, band_sig FROM (
+        SELECT doc_id, band_id, band_sig,
+               COUNT(*) OVER (PARTITION BY band_id, band_sig) AS gs
+        FROM bands
+    ) WHERE gs <= {LSH_BAND_CAP}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+    FROM bands_c a JOIN bands_c b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+    WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+)
+SELECT train_id, COUNT(*) AS n_bench_hits, MIN(bench_id) AS sample_bench_id
+FROM pairs GROUP BY train_id
+"""
+
+
 #: Min estimated jaccard for a candidate pair to become a cluster edge.
 CLUSTER_EDGE_MIN = 0.5
 
@@ -2199,6 +2257,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_cross_corpus": q_dedup_cross_corpus,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
@@ -2252,6 +2311,7 @@ ORACLES = {
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_cross_corpus": SQL_DEDUP_CROSS_CORPUS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
