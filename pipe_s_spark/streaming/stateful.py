@@ -91,3 +91,86 @@ def apply_streaming_last_state(stream: DataFrame, key_cols: list[str]) -> DataFr
     return stream.groupBy(*key_cols).applyInPandasWithState(
         _last_state_fn, schema, "last_seq long", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def _hll_rho_py(h: str) -> tuple[int, int]:
+    """(bucket, rho) of an md5 hexdigest — the Python replica of
+    functions.sketches.hll_probe (identical hex-string arithmetic)."""
+    bucket = int(h[:2], 16) % 64
+    whex = h[2:15]
+    stripped = whex.lstrip("0")
+    if not stripped:
+        return bucket, 53
+    digit_lz = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+        stripped[0], 0
+    )
+    return bucket, (13 - len(stripped)) * 4 + digit_lz + 1
+
+
+def _hll_estimate_py(regs: list[int]) -> tuple[int, float]:
+    """(n_zero_registers, est) — integer-exact replica of
+    functions.sketches.hll_estimate's final fold, including Spark's
+    HALF_UP rounding so a streaming emission equals the batch query
+    bit-for-bit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = 64
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    present = sum(1 for r in regs if r > 0)
+    zeros = m - present
+    s = sum(1 << (53 - r) for r in regs if r > 0) + zeros * (1 << 53)
+    raw = alpha * m * m * float(1 << 53) / s
+    x = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    est = float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+    return zeros, est
+
+
+def apply_streaming_hll(
+    stream: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Running per-key HLL distinct estimate as STREAMING STATE: the
+    64 registers (one byte each) live in the state store and merge by
+    MAX as batches arrive — the mergeable-sketch property is exactly
+    what makes a sketch streamable. Emits the refreshed
+    (key, n_zero_registers, est_distinct) row for every key touched by
+    a batch; after any prefix of batches the emission equals the batch
+    ``hll_estimate`` over the rows seen so far (e2e-tested), so the
+    view is replay-idempotent per epoch.
+
+    State is 64 bytes/key — 1 GB of state store covers ~16M keys; use
+    the RocksDB provider beyond that."""
+    import hashlib
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        regs = (
+            [int(state.get[0][i : i + 2], 16) for i in range(0, 128, 2)]
+            if state.exists
+            else [0] * 64
+        )
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                b, rho = _hll_rho_py(hashlib.md5(str(v).encode()).hexdigest())
+                if rho > regs[b]:
+                    regs[b] = rho
+        state.update(("".join(f"{r:02x}" for r in regs),))
+        zeros, est = _hll_estimate_py(regs)
+        out = {c: [k] for c, k in zip(key_cols, key)}
+        out["n_zero_registers"] = [zeros]
+        out["est_distinct"] = [est]
+        yield pd.DataFrame(out)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+        if f.name in key_cols
+    )
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        f"{key_schema}, n_zero_registers int, est_distinct double",
+        "regs string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -726,3 +726,61 @@ def test_streaming_scd2_fold_matches_batch(spark, changelog_files, tmp_path):
     want = sorted(tuple(r) for r in scd2_history(full).collect())
     got = sorted(tuple(r) for r in spark.read.parquet(hist_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_matches_batch_after_each_prefix(spark, tmp_path):
+    """Streaming HLL: the 64 registers live in the state store and
+    merge by MAX across batches. With two files delivered one per
+    batch, the emissions must include (a) the batch hll_estimate over
+    file 1 alone (the prefix view after batch 1) and (b) the batch
+    hll_estimate over both files (the final view) — the mergeable-
+    sketch property observed end-to-end through a real checkpointed
+    stream."""
+    from pipe_s_spark.functions.sketches import hll_estimate
+    from pipe_s_spark.streaming.stateful import apply_streaming_hll
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type", "user_id")
+    d = tmp_path / "ev_stream"
+    d.mkdir()
+    f1 = ev.filter(F.col("event_id") % 2 == 0)
+    f2 = ev.filter(F.col("event_id") % 2 == 1)
+    f1.coalesce(1).write.parquet(str(d / "f1"))
+    f2.coalesce(1).write.parquet(str(d / "f2"))
+    # flatten into one glob dir with deterministic arrival order
+    import glob
+    import shutil
+
+    (d / "in").mkdir()
+    for i, sub in enumerate(("f1", "f2")):
+        src = glob.glob(str(d / sub / "part-*.parquet"))[0]
+        shutil.copy(src, d / "in" / f"{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "in"))
+    )
+    out = apply_streaming_hll(stream, ["event_type"], "user_id")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["event_type"], r["n_zero_registers"], r["est_distinct"])
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    want_prefix = {
+        (r["event_type"], r["n_zero_registers"], r["est_distinct"])
+        for r in hll_estimate(f1, "user_id", ["event_type"]).collect()
+    }
+    want_final = {
+        (r["event_type"], r["n_zero_registers"], r["est_distinct"])
+        for r in hll_estimate(ev, "user_id", ["event_type"]).collect()
+    }
+    assert want_prefix <= emitted
+    assert want_final <= emitted
