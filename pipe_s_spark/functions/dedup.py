@@ -185,6 +185,51 @@ def _posting_pair_counts(sh: DataFrame, id_col: str, df_cap: int) -> DataFrame:
     )
 
 
+def pair_counts(sh: DataFrame, id_col: str = "doc_id", df_cap: int = 100) -> DataFrame:
+    """Public form of the posting-list pair-count core: (d1, n1, d2,
+    n2, c) — the narrow persisted intermediate both Jaccard and
+    containment dedup consume (see :func:`jaccard_pairs` for the scale
+    argument). Materialize this once per corpus and derive every
+    overlap measure from it."""
+    return _posting_pair_counts(sh, id_col, df_cap)
+
+
+def jaccard_from_counts(counts: DataFrame, threshold: float = 0.15) -> DataFrame:
+    """Jaccard pairs from a :func:`pair_counts` relation: c / (n1 + n2
+    - c), thresholded. Narrow — no shuffle beyond what built the
+    counts."""
+    return (
+        counts.select(
+            F.col("d1"),
+            F.col("d2"),
+            F.round(
+                F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_from_counts(counts: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Directional containment pairs from a :func:`pair_counts`
+    relation — |A∩B|/|A| and |A∩B|/|B|, kept when either clears
+    ``threshold``. Narrow."""
+    in2 = F.round(F.col("c").cast("double") / F.col("n1"), 6)
+    in1 = F.round(F.col("c").cast("double") / F.col("n2"), 6)
+    return (
+        counts.select(
+            "d1",
+            "d2",
+            in2.alias("containment_1in2"),
+            in1.alias("containment_2in1"),
+        )
+        .filter(
+            (F.col("containment_1in2") >= threshold)
+            | (F.col("containment_2in1") >= threshold)
+        )
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
@@ -210,17 +255,7 @@ def jaccard_pairs(
     + skew-prone join + count + two size joins. Note the denominator
     uses true (uncapped) set sizes, so dropping stop-shingles can only
     underestimate jaccard — candidates never inflate."""
-    return (
-        _posting_pair_counts(sh, id_col, df_cap)
-        .select(
-            F.col("d1"),
-            F.col("d2"),
-            F.round(
-                F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_from_counts(_posting_pair_counts(sh, id_col, df_cap), threshold)
 
 
 def containment_pairs(
@@ -239,21 +274,7 @@ def containment_pairs(
     :func:`jaccard_pairs`; the denominators are each doc's true
     (uncapped) shingle count, so stop-shingle dropping only ever
     underestimates."""
-    c = _posting_pair_counts(sh, id_col, df_cap)
-    in2 = F.round(F.col("c").cast("double") / F.col("n1"), 6)
-    in1 = F.round(F.col("c").cast("double") / F.col("n2"), 6)
-    return (
-        c.select(
-            "d1",
-            "d2",
-            in2.alias("containment_1in2"),
-            in1.alias("containment_2in1"),
-        )
-        .filter(
-            (F.col("containment_1in2") >= threshold)
-            | (F.col("containment_2in1") >= threshold)
-        )
-    )
+    return containment_from_counts(_posting_pair_counts(sh, id_col, df_cap), threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

