@@ -304,8 +304,118 @@ def _sql_graph_pagerank() -> str:
     return f"SELECT v AS event_type, rank FROM ({inner})"
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per event type: clip values to the exact
+    interpolated [p01, p99] (rounded to 4 on both engines so the clip
+    thresholds are bit-identical), then average the clipped values
+    through DECIMAL(18,4) sums — order-independent, so the result is
+    stable under any partitioning. Shape: one tiny per-type percentile
+    aggregate broadcast back onto the stream, then one
+    map-side-combinable aggregation — two small shuffles total, no
+    window over the raw rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 4).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "v_w", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p01").alias("p01"),
+        F.max("p99").alias("p99"),
+        F.sum((F.col("value") < F.col("p01")).cast("bigint")).alias("n_clip_low"),
+        F.sum((F.col("value") > F.col("p99")).cast("bigint")).alias("n_clip_high"),
+        F.round(
+            F.sum(F.col("v_w").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("mean_winsorized"),
+    )
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH stats AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.01), 4) AS p01,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+), clipped AS (
+    SELECT e.event_type, e.value, s.p01, s.p99,
+           LEAST(GREATEST(e.value, s.p01), s.p99) AS v_w
+    FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(p01) AS p01,
+       MAX(p99) AS p99,
+       CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       ROUND(CAST(SUM(CAST(v_w AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+           AS mean_winsorized
+FROM clipped GROUP BY event_type
+"""
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type via median absolute
+    deviation — the outlier detector that, unlike z-scores
+    (events_outliers), is itself immune to the outliers it hunts.
+    med and MAD are exact interpolated medians (order statistics — no
+    summation, deterministic on both engines) rounded to 4 so the
+    5xMAD threshold is bit-identical; the flag pass is a narrow
+    broadcast-join + filter."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum((F.col("adev") > F.lit(5.0) * F.col("mad")).cast("bigint")).alias(
+            "n_anomalies"
+        ),
+    )
+
+
+SQL_EVENTS_ANOMALY_MAD = """
+WITH med AS (
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, MIN(med) AS med,
+           ROUND(quantile_cont(adev, 0.5), 4) AS mad,
+           COUNT(*) AS n
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       MIN(m.n) AS n,
+       MIN(m.med) AS med,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 5.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_winsorized": q_events_winsorized,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "graph_pagerank": q_graph_pagerank,
     "events_transitions": q_events_transitions,
     "events_rolling_active": q_events_rolling_active,
@@ -315,6 +425,8 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_winsorized": SQL_EVENTS_WINSORIZED,
+    "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
     "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,

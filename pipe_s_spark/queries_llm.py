@@ -2286,6 +2286,366 @@ GROUP BY source
 """
 
 
+# --- round-6 additions: neighbor ranking, graph audit, chunk dedup,
+# --- sketch set algebra, centroid classification ------------------------
+
+
+def q_dedup_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest near-dup neighbors per document from the MinHash
+    pair table — the per-doc view a curation UI or manual-audit
+    sampler reads ("show me what this doc nearly duplicates").
+    Symmetrize the (d1 < d2) pair list, then one window PARTITIONED by
+    doc (parallel across docs, group size bounded by the LSH band-cap
+    fan-out). Consumes the session-materialized pair table."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    sym = pairs.select(
+        F.col("d1").alias("doc_id"), F.col("d2").alias("neighbor_id"), "est_jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("d2").alias("doc_id"), F.col("d1").alias("neighbor_id"), "est_jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("est_jaccard"), "neighbor_id")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("bigint").alias("rk"), "neighbor_id", "est_jaccard")
+    )
+
+
+SQL_DEDUP_TOPK_NEIGHBORS = f"""
+WITH {_MINHASH_SIMS_CTES},
+sym AS (
+    SELECT d1 AS doc_id, d2 AS neighbor_id, est_jaccard FROM sims
+    UNION ALL
+    SELECT d2, d1, est_jaccard FROM sims
+), ranked AS (
+    SELECT doc_id, neighbor_id, est_jaccard,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY est_jaccard DESC, neighbor_id
+           ) AS rk
+    FROM sym
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, neighbor_id, est_jaccard
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph audit: vertex/edge/degree/triangle counts over
+    the cluster-edge graph (est_jaccard >= CLUSTER_EDGE_MIN). Triangle
+    density distinguishes true duplicate cliques from chains of
+    borderline matches — a cheap structural health check before
+    trusting connected components. The edge list is pair-volume sized
+    (band-cap bounded), the oriented d1<d2 form makes each triangle
+    count exactly once via two equi-joins; degrees come from one
+    groupBy of the symmetrized list."""
+    e = (
+        _minhash_pairs_cached(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_EDGE_MIN)
+        .select("d1", "d2")
+    )
+    deg = (
+        e.select(F.col("d1").alias("v"))
+        .unionByName(e.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.d2") == F.col("e2.d1"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.d1") == F.col("e3.d1")) & (F.col("e2.d2") == F.col("e3.d2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.max("deg").alias("max_degree"),
+    )
+    return summary.crossJoin(tri)
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_MINHASH_SIMS_CTES},
+e AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+deg AS (
+    SELECT v, COUNT(*) AS deg FROM (
+        SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e
+    ) GROUP BY v
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.d2 = e2.d1
+    JOIN e e3 ON e1.d1 = e3.d1 AND e2.d2 = e3.d2
+)
+SELECT (SELECT COUNT(*) FROM deg)                     AS n_vertices,
+       (SELECT CAST(SUM(deg) / 2 AS BIGINT) FROM deg) AS n_edges,
+       (SELECT MAX(deg) FROM deg)                     AS max_degree,
+       tri.n_triangles
+FROM tri
+"""
+
+
+def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (near-line-level) dedup stats: for every document, how
+    many of its context-window chunks also occur verbatim in OTHER
+    documents — the C4/RefinedWeb-style sub-document duplication signal
+    that doc-level dedup misses (boilerplate headers, repeated
+    license blocks). One groupBy on chunk_md5 (uniform key, map-side
+    combine) + a join back on the same key; the dup share is integer
+    micro-units so the output is all-BIGINT."""
+    ch = q_text_chunk_windows(spark, sf_dir).select("doc_id", "chunk_md5")
+    docs_per_chunk = ch.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(docs_per_chunk, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_x1m",
+            F.expr("CAST(n_shared_chunks * 1000000 DIV n_chunks AS BIGINT)"),
+        )
+    )
+
+
+SQL_TEXT_CHUNK_DEDUP = f"""
+WITH ch AS ({SQL_TEXT_CHUNKS}),
+dpc AS (
+    SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_md5
+)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN dpc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       CAST(SUM(CASE WHEN dpc.nd > 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS shared_x1m
+FROM ch JOIN dpc USING (chunk_md5)
+GROUP BY ch.doc_id
+"""
+
+
+#: KMV sketch size for the set-algebra query.
+KMV_SETOPS_K = 64
+
+
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (Beyer et al., SIGMOD'07): estimate
+    |A|, |B|, |A∪B| and |A∩B| for two corpus halves from two k-min-value
+    sketches alone — the mergeable-sketch path for "how much would
+    corpus B add to corpus A?" without a corpus-sized distinct. Union
+    sketch = bottom-k of the two sketches' hash union (KMV closure
+    under union); intersection via the Jaccard of the union sketch.
+    Per-side bottom-k uses the salted two-level rank (no hot
+    partition); everything after operates on <= 2k rows aggregated
+    into arrays — bounded state, no global window."""
+    from pipe_s_spark.functions import sketches as K
+
+    k = KMV_SETOPS_K
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        K.kmv_hash("text").alias("h"),
+    ).distinct()
+    n_salts = 16
+    w1 = Window.partitionBy("side", "salt").orderBy("h")
+    pre = (
+        hashed.withColumn("salt", F.pmod(F.hash("h"), F.lit(n_salts)))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("rk", "salt")
+    )
+    w2 = Window.partitionBy("side").orderBy("h")
+    bottom = pre.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+    sketches = bottom.groupBy("side").agg(F.array_sort(F.collect_list("h")).alias("arr"))
+    a = sketches.filter(F.col("side") == "a").select(F.col("arr").alias("arr_a"))
+    b = sketches.filter(F.col("side") == "b").select(F.col("arr").alias("arr_b"))
+
+    def est(arr):
+        n = F.size(arr)
+        return F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.element_at(arr, k)
+            ),
+            4,
+        )
+
+    merged = F.expr(f"slice(array_sort(array_union(arr_a, arr_b)), 1, {k})")
+    out = (
+        a.crossJoin(b)
+        .withColumn("arr_u", merged)
+        .withColumn("n_union_hashes", F.size("arr_u").cast("bigint"))
+        .withColumn(
+            "n_both",
+            F.size(
+                F.expr("filter(arr_u, x -> array_contains(arr_a, x) AND array_contains(arr_b, x))")
+            ).cast("bigint"),
+        )
+        .withColumn("est_a", est(F.col("arr_a")))
+        .withColumn("est_b", est(F.col("arr_b")))
+        .withColumn("est_union", est(F.col("arr_u")))
+    )
+    return out.select(
+        F.size("arr_a").cast("bigint").alias("n_a_hashes"),
+        F.size("arr_b").cast("bigint").alias("n_b_hashes"),
+        "n_union_hashes",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_union_hashes") * F.col("est_union"),
+            4,
+        ).alias("est_intersection"),
+    )
+
+
+def _sql_sketch_kmv_setops() -> str:
+    from pipe_s_spark.functions import sketches as K
+
+    k = KMV_SETOPS_K
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+           {K.kmv_hash_sql('text')} AS h
+    FROM documents
+),
+bottom AS (
+    SELECT side, h FROM (
+        SELECT side, h, ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rk
+        FROM hashed
+    ) WHERE rk <= {k}
+),
+sk AS (
+    SELECT side, list_sort(list(h)) AS arr FROM bottom GROUP BY side
+),
+ab AS (
+    SELECT (SELECT arr FROM sk WHERE side = 'a') AS arr_a,
+           (SELECT arr FROM sk WHERE side = 'b') AS arr_b
+),
+m AS (
+    SELECT arr_a, arr_b,
+           list_sort(list_distinct(list_concat(arr_a, arr_b)))[1:{k}] AS arr_u
+    FROM ab
+),
+est AS (
+    SELECT len(arr_a) AS n_a, len(arr_b) AS n_b, len(arr_u) AS n_u,
+           len(list_filter(arr_u,
+               x -> list_contains(arr_a, x) AND list_contains(arr_b, x))) AS n_both,
+           ROUND(CASE WHEN len(arr_a) < {k} THEN CAST(len(arr_a) AS DOUBLE)
+                      ELSE {float(k - 1)!r} / arr_a[{k}] END, 4) AS est_a,
+           ROUND(CASE WHEN len(arr_b) < {k} THEN CAST(len(arr_b) AS DOUBLE)
+                      ELSE {float(k - 1)!r} / arr_b[{k}] END, 4) AS est_b,
+           ROUND(CASE WHEN len(arr_u) < {k} THEN CAST(len(arr_u) AS DOUBLE)
+                      ELSE {float(k - 1)!r} / arr_u[{k}] END, 4) AS est_union
+    FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a_hashes,
+       CAST(n_b AS BIGINT) AS n_b_hashes,
+       CAST(n_u AS BIGINT) AS n_union_hashes,
+       est_a, est_b, est_union,
+       ROUND(CAST(n_both AS DOUBLE) / n_u * est_union, 4) AS est_intersection
+FROM est
+"""
+
+
+def q_sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit over the embedding corpus:
+    per-label mean centroids (DECIMAL-exact component sums, so the
+    centroid is bit-identical under any partitioning), then every
+    vector is assigned to its max-cosine centroid and counted against
+    its gold label — the confusion matrix that turns "are my embedding
+    clusters any good" into one query.
+
+    Scale shape: the centroid aggregation is a posexplode + groupBy
+    (label, dim) — map-side combinable, output O(labels x dim). The
+    tiny centroid table is collected driver-side (bounded metadata
+    collect, same pattern as IVF's literal centroid matrix) and inlined
+    as literals, so the assignment pass is a NARROW map over the corpus
+    — zero shuffle, no per-row join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    )
+    cen_rows = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cen_rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = float(r["s"]) / r["n"]
+    labels = sorted(by_label)
+    cents = {
+        lab: [by_label[lab][p] for p in range(len(by_label[lab]))] for lab in labels
+    }
+    v = S.as_double_array("embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(S.cosine(v, F.array(*[F.lit(w) for w in cents[lab]])), 6).alias(
+                    "cos"
+                ),
+                F.lit(-lab).alias("neg_label"),
+            )
+            for lab in labels
+        ]
+    )
+    assigned = emb.select(
+        "label", (-F.array_max(scored)["neg_label"]).cast("int").alias("assigned_label")
+    )
+    return assigned.groupBy(
+        F.col("label").alias("gold_label"), "assigned_label"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _sql_sim_centroid_confusion() -> str:
+    dim = 64
+    return f"""
+WITH ex AS (
+    SELECT label,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cen AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, pos
+),
+cenarr AS (
+    SELECT label AS c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           ROUND(
+               list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> c.cvec[i] * c.cvec[i])))),
+               6) AS cos
+    FROM embeddings e CROSS JOIN cenarr c
+),
+assigned AS (
+    SELECT vec_id, label, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+    FROM scored
+)
+SELECT label AS gold_label,
+       CAST(c_label AS INTEGER) AS assigned_label,
+       COUNT(*) AS n_vecs
+FROM assigned WHERE rk = 1
+GROUP BY label, c_label
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_summary": q_text_lang_summary,
@@ -2338,6 +2698,11 @@ QUERIES = {
     "sketch_bloom": q_sketch_bloom,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "dedup_topk_neighbors": q_dedup_topk_neighbors,
+    "graph_triangles": q_graph_triangles,
+    "text_chunk_dedup": q_text_chunk_dedup,
+    "sketch_kmv_setops": q_sketch_kmv_setops,
+    "sim_centroid_confusion": q_sim_centroid_confusion,
 }
 
 ORACLES = {
@@ -2392,4 +2757,9 @@ ORACLES = {
     "sketch_bloom": _sql_sketch_bloom(),
     "sketch_histogram_quantiles": _sql_sketch_histogram(),
     "sketch_hll_distinct": _sql_sketch_hll(),
+    "dedup_topk_neighbors": SQL_DEDUP_TOPK_NEIGHBORS,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "text_chunk_dedup": SQL_TEXT_CHUNK_DEDUP,
+    "sketch_kmv_setops": _sql_sketch_kmv_setops(),
+    "sim_centroid_confusion": _sql_sim_centroid_confusion(),
 }

@@ -40,6 +40,13 @@ SCALAR_OK = {
     # corpus token total: crossJoin(broadcast(1-row agg)) — the scalar
     # denominator every relative-frequency term divides by
     "text_domain_divergence",
+    # 1-row degree summary x 1-row triangle count: both sides are
+    # single-row global aggregates, so the nested-loop join is a
+    # broadcast of one row
+    "graph_triangles",
+    # 1-row sketch x 1-row sketch: each side is one k-element KMV
+    # array, the cross join combines exactly two rows
+    "sketch_kmv_setops",
 }
 
 _QUERIES = sorted(entrymod.queries().items())
