@@ -843,8 +843,174 @@ FROM embeddings
 """
 
 
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (extendedprice on quantity) computed
+    from DECIMAL-exact moment sums — the grouped closed-form
+    regr_slope/regr_intercept/regr_r2, but order-independent and so
+    bit-identical under any partitioning (the builtin regr_* aggregate
+    accumulates doubles and is partition-order sensitive). One
+    map-side-combinable aggregation; the closed-form scalar arithmetic
+    afterward is deterministic IEEE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)")).alias("sxx"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+SQL_STATS_REGRESSION = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)                        AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)                   AS sy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)           AS sxx,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)      AS sxy,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
+def q_join_existence_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence semantics via LEFT SEMI join: per nation, how many
+    customers placed at least one URGENT order. The semi join never
+    materializes or duplicates the probe side (a customer with 50
+    urgent orders emits once), and the nation dim is broadcast — the
+    plan every EXISTS subquery should compile to at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    hit = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    )
+    return (
+        hit.join(F.broadcast(nation), hit["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_urgent_customers"))
+    )
+
+
+SQL_JOIN_EXISTENCE_SEMI = """
+SELECT n.n_name, COUNT(*) AS n_urgent_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY n.n_name
+"""
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window functions with explicit frames:
+    first/last shipped part and the 2nd line's price per order. The
+    full-partition frame for last_value/nth_value is the classic
+    correctness trap (the default frame stops at CURRENT ROW); both
+    engines get the identical explicit frame. One partitioned window,
+    deterministic tie-break on (l_shipdate, l_linenumber)."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first_value("l_partkey").over(w).alias("first_part"),
+        F.last_value("l_partkey").over(w).alias("last_part"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+    )
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT l_orderkey, l_linenumber,
+       FIRST_VALUE(l_partkey) OVER w AS first_part,
+       LAST_VALUE(l_partkey) OVER w AS last_part,
+       NTH_VALUE(l_extendedprice, 2) OVER w AS second_price
+FROM lineitem
+WINDOW w AS (
+    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+def q_time_user_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of daily spend over the trailing 3
+    active days — the robust trend line a per-entity monitoring
+    pipeline draws. Daily totals are DECIMAL-exact; the rolling median
+    is an exact interpolated percentile over a 3-row frame (order
+    statistics — no accumulation), inside a window PARTITIONED by user,
+    so the whole plan stays parallel across users."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("spend")
+    )
+    w = W.partitionBy("user_id").orderBy("d").rowsBetween(-2, W.currentRow)
+    return daily.select(
+        "user_id",
+        "d",
+        F.round("spend", 2).alias("spend"),
+        F.round(F.expr("percentile(spend, 0.5)").over(w), 4).alias("med3"),
+    )
+
+
+SQL_TIME_USER_ROLLING_MEDIAN = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, d, ROUND(spend, 2) AS spend,
+       ROUND(quantile_cont(spend, 0.5) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS med3
+FROM daily
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "stats_regression": q_stats_regression,
+    "join_existence_semi": q_join_existence_semi,
+    "window_first_last": q_window_first_last,
+    "time_user_rolling_median": q_time_user_rolling_median,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_local_supplier": q_q5_local_supplier,
     "q6_revenue_forecast": q_q6_revenue_forecast,
@@ -875,6 +1041,10 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": SQL_Q1,
+    "stats_regression": SQL_STATS_REGRESSION,
+    "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
+    "window_first_last": SQL_WINDOW_FIRST_LAST,
+    "time_user_rolling_median": SQL_TIME_USER_ROLLING_MEDIAN,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,
     "q6_revenue_forecast": SQL_Q6,
