@@ -2646,8 +2646,125 @@ GROUP BY label, c_label
 """
 
 
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal score per document — the CCNet-style
+    perplexity proxy curation pipelines bucket corpora by (docs whose
+    tokens are globally rare read as noise; ultra-low surprisal reads
+    as boilerplate). Per-TERM surprisal -ln(c/T) is quantized to
+    integer micro-nats once on the (small) vocabulary table, so the
+    per-doc aggregation is an exact BIGINT sum — order-independent,
+    no float accumulation over the corpus. Shape: one token groupBy
+    (map-side combine), a broadcast scalar total, one join back on the
+    term, one doc groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("t"))
+    terms = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr("CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)")
+        .alias("s_x1m"),
+    )
+    return (
+        tok.join(terms, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("CAST(SUM(s_x1m) DIV COUNT(1) AS BIGINT)").alias("mean_surprisal_x1m"),
+        )
+    )
+
+
+SQL_TEXT_SURPRISAL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+total AS (SELECT SUM(c) AS t FROM tf),
+terms AS (
+    SELECT term,
+           CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_x1m
+    FROM tf CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(s_x1m) // COUNT(*) AS BIGINT) AS mean_surprisal_x1m
+FROM tok JOIN terms USING (term)
+GROUP BY doc_id
+"""
+
+
+def q_dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-estimated Jaccard vs TRUE n-gram
+    Jaccard on every LSH candidate pair — the calibration report that
+    tells you whether 16 hashes are enough before trusting the cheap
+    estimate at corpus scale. Joins the two session-materialized pair
+    tables (signatures' est_jaccard, posting-counts' exact jaccard);
+    candidates without any surviving common shingle score a true
+    jaccard of 0. Error stats are integer micro-units (BIGINT sums —
+    order-independent)."""
+    est = _minhash_pairs_cached(spark, sf_dir)
+    true_j = D.jaccard_from_counts(_posting_counts_cached(spark, sf_dir), threshold=0.0)
+    joined = est.join(true_j, ["d1", "d2"], "left").select(
+        "d1",
+        "d2",
+        "est_jaccard",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("true_jaccard"),
+    )
+    err = F.expr("CAST(ROUND(ABS(est_jaccard - true_jaccard) * 1000000) AS BIGINT)")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("est_jaccard") >= F.col("true_jaccard")).cast("bigint")).alias(
+            "n_overestimates"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(ABS(est_jaccard - true_jaccard) * 1000000) AS BIGINT))"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_abs_err_x1m"),
+        F.max(err).alias("max_abs_err_x1m"),
+    )
+
+
+SQL_DEDUP_EST_CALIBRATION = f"""
+WITH {_MINHASH_SIMS_CTES},
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= {JACCARD_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truej AS (
+    SELECT d1, d2,
+           ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS true_jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+),
+joined AS (
+    SELECT s.d1, s.d2, s.est_jaccard, COALESCE(t.true_jaccard, 0.0) AS true_jaccard
+    FROM sims s LEFT JOIN truej t ON s.d1 = t.d1 AND s.d2 = t.d2
+)
+SELECT COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN est_jaccard >= true_jaccard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overestimates,
+       CAST(SUM(CAST(ROUND(ABS(est_jaccard - true_jaccard) * 1000000) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS mean_abs_err_x1m,
+       MAX(CAST(ROUND(ABS(est_jaccard - true_jaccard) * 1000000) AS BIGINT))
+           AS max_abs_err_x1m
+FROM joined
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_surprisal": q_text_surprisal,
+    "dedup_est_calibration": q_dedup_est_calibration,
     "text_lang_summary": q_text_lang_summary,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_filter": q_text_quality_filter,
@@ -2707,6 +2824,8 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": SQL_TEXT_STATS,
+    "text_surprisal": SQL_TEXT_SURPRISAL,
+    "dedup_est_calibration": SQL_DEDUP_EST_CALIBRATION,
     "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_quality_filter": SQL_TEXT_QUALITY_FILTER,

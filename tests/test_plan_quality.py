@@ -40,6 +40,8 @@ SCALAR_OK = {
     # corpus token total: crossJoin(broadcast(1-row agg)) — the scalar
     # denominator every relative-frequency term divides by
     "text_domain_divergence",
+    # same shape: vocabulary surprisal divides by the corpus token total
+    "text_surprisal",
     # 1-row degree summary x 1-row triangle count: both sides are
     # single-row global aggregates, so the nested-loop join is a
     # broadcast of one row
