@@ -1,0 +1,80 @@
+"""Property test: connected_components agrees with a reference
+union-find on randomized graphs (including pathological shapes the
+dedup pipeline produces: chains, stars, cliques, singleton edges).
+
+One Spark job per graph is slow, so the graphs are batched: every
+random graph is tagged and unioned into ONE edge list whose vertex ids
+are namespaced per graph — a single connected_components run then
+verifies all of them at once (components can never bridge namespaces).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pipe_s_spark.functions.dedup import connected_components
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # min-id canonical label per vertex
+    return {v: find(v) for v in parent}
+
+
+def _random_graphs(seed: int, n_graphs: int = 24):
+    rng = random.Random(seed)
+    graphs = []
+    for g in range(n_graphs):
+        shape = rng.choice(["random", "chain", "star", "clique", "two_cliques"])
+        n = rng.randint(2, 24)
+        vs = list(range(n))
+        if shape == "random":
+            edges = [
+                tuple(rng.sample(vs, 2)) for _ in range(rng.randint(1, 2 * n))
+            ]
+        elif shape == "chain":
+            edges = [(i, i + 1) for i in range(n - 1)]
+        elif shape == "star":
+            edges = [(0, i) for i in range(1, n)]
+        elif shape == "clique":
+            edges = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        else:
+            h = n // 2
+            edges = [(i, j) for i in range(h) for j in range(i + 1, h)]
+            edges += [(i, j) for i in range(h, n) for j in range(i + 1, n)]
+            if not edges:
+                edges = [(0, 1)]
+        graphs.append((g, edges))
+    return graphs
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    base = 1_000_000  # namespace stride: graph g's vertex v -> g*base + v
+    all_edges = []
+    expected: dict[int, int] = {}
+    for g, edges in _random_graphs(seed=60):
+        ns_edges = [(g * base + a, g * base + b) for a, b in edges]
+        all_edges.extend(ns_edges)
+        for v, lbl in _union_find(ns_edges).items():
+            expected[v] = lbl
+    df = spark.createDataFrame(all_edges, "d1 long, d2 long")
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
