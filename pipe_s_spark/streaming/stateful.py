@@ -174,3 +174,80 @@ def apply_streaming_hll(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+class _TopKProcessor:
+    """StatefulProcessor for :func:`apply_streaming_topk` — defined at
+    module scope so it pickles cleanly to executors. Keeps the running
+    per-key top-k as ONE ValueState tuple of parallel arrays (ids,
+    metrics): O(k) state per key, merged with each batch's rows, the
+    streaming counterpart of window_topk_per_group."""
+
+    def __init__(self, key_col: str, id_col: str, value_col: str, k: int):
+        self._key_col = key_col
+        self._id_col = id_col
+        self._value_col = value_col
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "topk", "ids array<bigint>, vals array<double>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self._state.get() if self._state.exists() else None
+        ids = list(cur[0]) if cur else []
+        vals = list(cur[1]) if cur else []
+        for pdf in rows:
+            ids.extend(int(i) for i in pdf[self._id_col])
+            vals.extend(float(v) for v in pdf[self._value_col])
+        pairs = sorted(zip(vals, ids), key=lambda t: (-t[0], t[1]))[: self._k]
+        ids = [p[1] for p in pairs]
+        vals = [p[0] for p in pairs]
+        self._state.update((ids, vals))
+        yield pd.DataFrame(
+            {
+                self._key_col: [key[0]] * len(ids),
+                "rk": list(range(1, len(ids) + 1)),
+                self._id_col: ids,
+                self._value_col: vals,
+            }
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def apply_streaming_topk(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Running per-key top-k by ``value_col`` (ties broken by smaller
+    ``id_col``) via Spark 4's ``transformWithStateInPandas`` — the
+    arbitrary-stateful-operator API that supersedes
+    ``applyInPandasWithState`` (typed state handles, timers, TTL).
+    Each micro-batch RE-EMITS the refreshed top-k for every key that
+    received rows (update semantics); state is O(k) per key regardless
+    of stream length. Requires the RocksDB state store provider (set in
+    the caller's session conf) — the provider transformWithState is
+    built for, and the one a 100 TB keyed state would need anyway."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never hard-depends
+    # on the Spark-4-only symbol at module import time
+    proc = type("_TopKStatefulProcessor", (_TopKProcessor, StatefulProcessor), {})(
+        key_col, id_col, value_col, k
+    )
+    out_schema = f"{key_col} string, rk int, {id_col} bigint, {value_col} double"
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        proc, outputStructType=out_schema, outputMode="Update", timeMode="None"
+    )

@@ -784,3 +784,79 @@ def test_streaming_hll_matches_batch_after_each_prefix(spark, tmp_path):
     }
     assert want_prefix <= emitted
     assert want_final <= emitted
+
+
+def test_streaming_topk_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas top-k (Spark 4 arbitrary-state API):
+    events streamed file-by-file (two micro-batches so state genuinely
+    carries across batches); the last emission per key must equal the
+    batch window top-3 by value. Runs on the RocksDB state store
+    provider, which transformWithState requires.
+
+    Env-gated: transformWithState's Python driver worker needs
+    ``google.protobuf`` (state-server protocol), which this container
+    does not ship — skipped here, runs wherever protobuf is installed
+    (it is a stock dependency of any real PySpark deployment)."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from pipe_s_spark.streaming.stateful import apply_streaming_topk
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    half = ev.count() // 2
+    pdf = ev.orderBy("event_id").toPandas()
+    pdf.iloc[:half].to_parquet(d / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "b.parquet", index=False)
+    os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    results: list = []
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = apply_streaming_topk(stream, "event_type", "event_id", "value", k=3)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: results.append(df.toPandas().assign(bid=bid))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    assert allr["bid"].nunique() >= 2, "expected at least two micro-batches"
+    last = allr[allr.groupby("event_type")["bid"].transform("max") == allr["bid"]]
+    got = {
+        (r.event_type, r.rk): (r.event_id, round(r.value, 6))
+        for r in last.itertuples()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    want = {
+        (r["event_type"], r["rk"]): (r["event_id"], round(r["value"], 6))
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
