@@ -2554,6 +2554,70 @@ FROM est
 """
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the one-look
+    audit that catches boilerplate explosions (a 10k-doc cluster means
+    a template, not prose) before a keep-policy runs. Two tiny
+    aggregations over the session-materialized clusters table."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+WITH RECURSIVE {_MINHASH_SIMS_CTES},
+edges AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+_centroid_memo: dict[tuple, dict[int, list[float]]] = {}
+
+
+def _label_centroids_cached(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    """Per-label mean centroid vectors, computed once per (session,
+    sf_dir) — the "trained model" of the nearest-centroid classifier.
+    DECIMAL-exact component sums make each component deterministic
+    under any partitioning; the O(labels x dim) result is a bounded
+    metadata collect (the same driver-side literal-matrix pattern as
+    IVF's centroids)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _centroid_memo:
+        return _centroid_memo[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    )
+    cen_rows = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cen_rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = float(r["s"]) / r["n"]
+    cents = {
+        lab: [by_label[lab][p] for p in range(len(by_label[lab]))]
+        for lab in sorted(by_label)
+    }
+    _centroid_memo[key] = cents
+    return cents
+
+
 def q_sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification audit over the embedding corpus:
     per-label mean centroids (DECIMAL-exact component sums, so the
@@ -2569,21 +2633,8 @@ def q_sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals, so the assignment pass is a NARROW map over the corpus
     — zero shuffle, no per-row join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
-    )
-    cen_rows = (
-        ex.groupBy("label", "pos")
-        .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    by_label: dict[int, dict[int, float]] = {}
-    for r in cen_rows:
-        by_label.setdefault(r["label"], {})[r["pos"]] = float(r["s"]) / r["n"]
-    labels = sorted(by_label)
-    cents = {
-        lab: [by_label[lab][p] for p in range(len(by_label[lab]))] for lab in labels
-    }
+    cents = _label_centroids_cached(spark, sf_dir)
+    labels = sorted(cents)
     v = S.as_double_array("embedding")
     scored = F.array(
         *[
@@ -2820,6 +2871,7 @@ QUERIES = {
     "text_chunk_dedup": q_text_chunk_dedup,
     "sketch_kmv_setops": q_sketch_kmv_setops,
     "sim_centroid_confusion": q_sim_centroid_confusion,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
 }
 
 ORACLES = {
@@ -2881,4 +2933,5 @@ ORACLES = {
     "text_chunk_dedup": SQL_TEXT_CHUNK_DEDUP,
     "sketch_kmv_setops": _sql_sketch_kmv_setops(),
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
+    "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
 }
