@@ -886,6 +886,20 @@ FROM ranked
 """
 
 
+def _semantic_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized embedding-cosine threshold pairs (blocked
+    exact kernel, cosine >= 0.45) — the semantic edge list both
+    dedup_embedding and dedup_ensemble consume; pair-volume sized, so
+    it is exactly the persisted candidate table a production semantic
+    dedup writes."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return S.threshold_pairs_blocked(emb, threshold=0.45)
+
+    return SH.materialized(spark, ("semantic_pairs", sf_dir, 0.45), build)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with cluster resolution: exact
     threshold pairs (cosine >= 0.45 via the blocked numpy kernel — full
@@ -895,8 +909,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-estimated Jaccard; at corpus scale the candidate stage
     swaps to the LSH-bucketed path (sim_lsh_buckets' plan) with the
     identical downstream CC + keep policy."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.threshold_pairs_blocked(emb, threshold=0.45)
+    pairs = _semantic_pairs_cached(spark, sf_dir)
     comp = D.connected_components(pairs, src="id1", dst="id2")
     return comp.select(
         F.col("v").alias("vec_id"),
@@ -2027,9 +2040,9 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = q_dedup_minhash_lsh(spark, sf_dir).filter(
         F.col("est_jaccard") >= CLUSTER_EDGE_MIN
     ).select("d1", "d2")
-    sem = S.threshold_pairs_blocked(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
-    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    sem = _semantic_pairs_cached(spark, sf_dir).select(
+        F.col("id1").alias("d1"), F.col("id2").alias("d2")
+    )
     edges = lex.unionByName(sem)
     return D.connected_components(edges).select(F.col("v").alias("doc_id"), "component")
 
