@@ -353,8 +353,56 @@ FROM u GROUP BY col
 """
 
 
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over lineitem's three heavy-hitter
+    return-flag groups (operators.skew.salted_agg): phase 1 aggregates
+    (key, salt) so one hot key spreads across 16 reducers, phase 2
+    folds the ≤16 partials — the explicit mitigation for keys whose
+    rows exceed one executor even after AQE splits. The oracle is the
+    PLAIN group-by: salting must be invisible in the result, which the
+    decimal-exact sums make bit-checkable."""
+    from pipe_s_spark.operators import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_extendedprice").alias("praw"),
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sum_cols=["qty", "price"],
+        count_alias="n_rows",
+        min_cols=["praw"],
+        max_cols=["praw"],
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        F.col("min_praw").alias("min_price"),
+        F.col("max_praw").alias("max_price"),
+    )
+
+
+SQL_AGG_SALTED_SKEW = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
+    "agg_salted_skew": q_agg_salted_skew,
     "join_bloom_prune": q_join_bloom_prune,
     "stats_column_profile": q_stats_column_profile,
     "layout_zorder": q_layout_zorder,
@@ -368,6 +416,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
+    "agg_salted_skew": SQL_AGG_SALTED_SKEW,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "stats_column_profile": _sql_stats_column_profile(),
     "layout_zorder": SQL_LAYOUT_ZORDER,
