@@ -400,9 +400,42 @@ GROUP BY l_returnflag
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join (operators.skew.salted_join): lineitem joins
+    part on a salted (partkey, salt) key — each hot part key lands on
+    16 reducers, with the part side replicated 16x through a narrow
+    explode (the other-side-too-big-to-broadcast, hot-probe-key case
+    AQE's skew handling can't always fix). The oracle is the plain
+    join + aggregate: salting must be result-invisible. Revenue sums
+    are decimal-exact so the check is bit-strict."""
+    from pipe_s_spark.operators import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, on=["p_partkey"], n_salts=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+    )
+
+
+SQL_JOIN_SALTED_SKEW = """
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
     "agg_salted_skew": q_agg_salted_skew,
+    "join_salted_skew": q_join_salted_skew,
     "join_bloom_prune": q_join_bloom_prune,
     "stats_column_profile": q_stats_column_profile,
     "layout_zorder": q_layout_zorder,
@@ -417,6 +450,7 @@ QUERIES = {
 ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
     "agg_salted_skew": SQL_AGG_SALTED_SKEW,
+    "join_salted_skew": SQL_JOIN_SALTED_SKEW,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "stats_column_profile": _sql_stats_column_profile(),
     "layout_zorder": SQL_LAYOUT_ZORDER,
