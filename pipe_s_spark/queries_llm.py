@@ -2825,9 +2825,110 @@ FROM joined
 """
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED cells: the per-label mean centroids
+    (decimal-exact, collected once per session — see
+    _label_centroids_cached) play the role k-means cluster centers play
+    in a production IVF index, replacing sim_ivf_topk's deterministic
+    pseudo-random cells. Assignment and probe selection are NARROW
+    literal-matrix expressions (zero shuffle over the corpus); probes
+    broadcast onto the cell equi-join; exact cosine re-rank per query.
+    Ranking ties break toward the smaller cell/neighbor id on both
+    engines."""
+    cents = _label_centroids_cached(spark, sf_dir)
+    labels = sorted(cents)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                S.dot(v, F.array(*[F.lit(w) for w in cents[lab]])).alias("d"),
+                F.lit(-lab).alias("nc"),
+            )
+            for lab in labels
+        ]
+    )
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(scored)["nc"]).cast("int").alias("cell"),
+    )
+    top2 = F.slice(F.reverse(F.array_sort(scored)), 1, 2)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.transform(top2, lambda s: (-s["nc"]).cast("int"))).alias("cell"),
+    )
+    cand = F.broadcast(probes).join(corpus, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(S.cosine(S.as_double_array("q_emb"), v), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_sim_ivf_trained() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+    SELECT label,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cen AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, pos
+),
+cenarr AS (
+    SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cen GROUP BY label
+),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN cenarr cells
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_surprisal": q_text_surprisal,
+    "sim_ivf_trained": q_sim_ivf_trained,
     "dedup_est_calibration": q_dedup_est_calibration,
     "text_lang_summary": q_text_lang_summary,
     "text_fingerprint": q_text_fingerprint,
@@ -2890,6 +2991,7 @@ QUERIES = {
 ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "text_surprisal": SQL_TEXT_SURPRISAL,
+    "sim_ivf_trained": _sql_sim_ivf_trained(),
     "dedup_est_calibration": SQL_DEDUP_EST_CALIBRATION,
     "text_lang_summary": SQL_TEXT_LANG_SUMMARY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
