@@ -433,8 +433,51 @@ GROUP BY table_name
 )
 
 
+#: In-band DDL log for the schema-evolution query: (version,
+#: active_from_seq). Version 2 ALTERs sbtest1 to add the `value`
+#: column mid-stream. Inlined as expressions (the DDL log is O(ALTERs)
+#: — control metadata, exactly what operators.converter.apply_ddl_events
+#: collects driver-side and applies in seq order).
+SCHEMA_EVOLUTION_V2_FROM_SEQ = 2000
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-ERA application — the declarative form of the reference's
+    DDL invalidate-then-refetch (simple.go:72-166, binloginput.go:
+    477-502, mirrored imperatively by operators.converter
+    .apply_ddl_events): each DML row of sbtest1 parses its payload
+    under the schema ACTIVE AT ITS seq. Era v1 = {k}; the in-band
+    ALTER at seq SCHEMA_EVOLUTION_V2_FROM_SEQ widens to {k, value}, so
+    pre-ALTER rows surface `value` as NULL (the column did not exist in
+    their era). Era assignment is a narrow expression (at scale: a
+    broadcast range join against the tiny DDL log); nothing here
+    shuffles."""
+    cl = changelog(spark, sf_dir).filter(F.col("table_name") == "sbtest1")
+    v2 = F.col("seq") >= SCHEMA_EVOLUTION_V2_FROM_SEQ
+    return cl.select(
+        "seq",
+        "pk",
+        F.when(v2, F.lit(2)).otherwise(F.lit(1)).alias("schema_version"),
+        "k",
+        F.when(v2, F.col("value")).alias("value"),
+    )
+
+
+SQL_CDC_SCHEMA_EVOLUTION = _with_changelog(
+    f"""
+SELECT seq, pk,
+       CASE WHEN seq >= {SCHEMA_EVOLUTION_V2_FROM_SEQ} THEN 2 ELSE 1 END AS schema_version,
+       k,
+       CASE WHEN seq >= {SCHEMA_EVOLUTION_V2_FROM_SEQ} THEN value END AS value
+FROM changelog
+WHERE table_name = 'sbtest1'
+"""
+)
+
+
 QUERIES = {
     "cdc_filter": q_cdc_filter,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_validate": q_cdc_validate,
     "cdc_convert": q_cdc_convert,
     "cdc_map_names": q_cdc_map_names,
@@ -453,6 +496,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_filter": SQL_CDC_FILTER,
+    "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
     "cdc_validate": SQL_CDC_VALIDATE,
     "cdc_convert": SQL_CDC_CONVERT,
     "cdc_map_names": SQL_CDC_MAP_NAMES,
