@@ -936,14 +936,17 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last shipped part and the 2nd line's price per order. The
     full-partition frame for last_value/nth_value is the classic
     correctness trap (the default frame stops at CURRENT ROW); both
-    engines get the identical explicit frame. One partitioned window,
-    deterministic tie-break on (l_shipdate, l_linenumber)."""
+    engines get the identical explicit frame. One partitioned window.
+    The order key includes l_partkey and l_extendedprice because this
+    synthetic lineitem has duplicate (orderkey, linenumber) pairs —
+    without them the boundary rows are tie-ambiguous and the navigated
+    values nondeterministic per run."""
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_shipdate", "l_linenumber")
+        .orderBy("l_shipdate", "l_linenumber", "l_partkey", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return li.select(
@@ -962,7 +965,8 @@ SELECT l_orderkey, l_linenumber,
        NTH_VALUE(l_extendedprice, 2) OVER w AS second_price
 FROM lineitem
 WINDOW w AS (
-    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+    PARTITION BY l_orderkey
+    ORDER BY l_shipdate, l_linenumber, l_partkey, l_extendedprice
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
 )
 """
