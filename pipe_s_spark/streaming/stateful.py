@@ -251,3 +251,47 @@ def apply_streaming_topk(
     return stream.groupBy(key_col).transformWithStateInPandas(
         proc, outputStructType=out_schema, outputMode="Update", timeMode="None"
     )
+
+
+def apply_streaming_topk_legacy(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Running per-key top-k on ``applyInPandasWithState`` — identical
+    semantics to :func:`apply_streaming_topk` (same (value desc, id
+    asc) merge, same O(k) state) on the API generation that runs
+    without the protobuf state-server dependency; the e2e for THIS
+    variant runs in any container, pinning the semantics the
+    transformWithState version is gated on."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, vals = list(state.get[0]), list(state.get[1])
+        else:
+            ids, vals = [], []
+        for pdf in pdfs:
+            ids.extend(int(i) for i in pdf[id_col])
+            vals.extend(float(v) for v in pdf[value_col])
+        pairs = sorted(zip(vals, ids), key=lambda t: (-t[0], t[1]))[:k]
+        ids = [p[1] for p in pairs]
+        vals = [p[0] for p in pairs]
+        state.update((ids, vals))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ids),
+                "rk": list(range(1, len(ids) + 1)),
+                id_col: ids,
+                value_col: vals,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        f"{key_col} string, rk int, {id_col} bigint, {value_col} double",
+        "ids array<bigint>, vals array<double>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -860,3 +860,59 @@ def test_streaming_topk_transform_with_state(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_topk_legacy_matches_batch(spark, tmp_path):
+    """applyInPandasWithState top-k e2e (runs in this container): two
+    micro-batches via maxFilesPerTrigger=1, last emission per key must
+    equal the batch window top-3 — the same semantics the
+    transformWithState variant implements behind the protobuf gate."""
+    import pandas as pd
+
+    from pipe_s_spark.streaming.stateful import apply_streaming_topk_legacy
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    d = tmp_path / "tws_legacy_in"
+    d.mkdir()
+    half = ev.count() // 2
+    pdf = ev.orderBy("event_id").toPandas()
+    pdf.iloc[:half].to_parquet(d / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "b.parquet", index=False)
+    os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+
+    results: list = []
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = apply_streaming_topk_legacy(stream, "event_type", "event_id", "value", k=3)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: results.append(df.toPandas().assign(bid=bid))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_legacy_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    assert allr["bid"].nunique() >= 2, "expected at least two micro-batches"
+    last = allr[allr.groupby("event_type")["bid"].transform("max") == allr["bid"]]
+    got = {
+        (r.event_type, r.rk): (r.event_id, round(r.value, 6))
+        for r in last.itertuples()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    want = {
+        (r["event_type"], r["rk"]): (r["event_id"], round(r["value"], 6))
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
