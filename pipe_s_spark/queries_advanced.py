@@ -432,10 +432,209 @@ GROUP BY p.p_brand
 """
 
 
+#: Max parts per order admitted to pair generation — the same bounded
+#: fan-out guard as the dedup posting lists (one 10k-item order would
+#: otherwise emit C(10k,2) pairs on one key).
+BASKET_CAP = 50
+
+
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    together, with support counts and integer-micro-unit LIFT. Same
+    shuffle-minimal shape as the dedup posting lists: one groupBy
+    builds each order's (capped, sorted) item set, pairs generate
+    NARROWLY from the array (no self-join of lineitem), one pair
+    groupBy counts. Per-item supports join back onto the tiny top-k."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    supports = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    n_baskets = li.select("l_orderkey").distinct().count()
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= BASKET_CAP))
+    )
+    x = baskets.select(F.posexplode("items").alias("i", "p1"), "items")
+    pairs = x.select(
+        "p1",
+        F.explode(F.slice(F.col("items"), F.col("i") + F.lit(2), F.size("items"))).alias("p2"),
+    )
+    top = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .orderBy(F.desc("n_together"), "p1", "p2")
+        .limit(20)
+    )
+    s1 = supports.select(F.col("l_partkey").alias("p1"), F.col("n_orders").alias("s1"))
+    s2 = supports.select(F.col("l_partkey").alias("p2"), F.col("n_orders").alias("s2"))
+    return (
+        top.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_together",
+            F.expr(f"CAST(n_together * {n_baskets} * 1000000 DIV (s1 * s2) AS BIGINT)")
+            .alias("lift_x1m"),
+        )
+    )
+
+
+def _sql_orders_market_basket() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+supports AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY l_partkey),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+baskets AS (
+    SELECT l_orderkey, list_sort(list(l_partkey)) AS items
+    FROM li GROUP BY l_orderkey
+    HAVING COUNT(*) BETWEEN 2 AND {BASKET_CAP}
+),
+pairs AS (
+    SELECT items[i] AS p1, items[j] AS p2
+    FROM baskets,
+         LATERAL (SELECT unnest(range(1, len(items) + 1)) AS i),
+         LATERAL (SELECT unnest(range(1, len(items) + 1)) AS j)
+    WHERE j > i
+),
+top AS (
+    SELECT p1, p2, COUNT(*) AS n_together
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n_together DESC, p1, p2
+    LIMIT 20
+)
+SELECT t.p1, t.p2, t.n_together,
+       CAST(t.n_together * nb.n_baskets * 1000000
+            // (s1.n_orders * s2.n_orders) AS BIGINT) AS lift_x1m
+FROM top t
+JOIN supports s1 ON s1.l_partkey = t.p1
+JOIN supports s2 ON s2.l_partkey = t.p2
+CROSS JOIN nb
+"""
+
+
+def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    anomaly sniff test for synthetic/fabricated numeric columns. One
+    narrow digit extraction + a 9-row groupBy; observed shares and the
+    Benford expectation both in integer micro-units."""
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit").between(1, 9))
+    total = digits.count()
+    expected = {
+        d: int(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+    }
+    exp_col = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.expr(f"CAST(n * 1000000 DIV {total} AS BIGINT)").alias("observed_x1m"),
+            exp_col[F.col("digit")].cast("bigint").alias("benford_x1m"),
+        )
+    )
+
+
+def _sql_stats_benford() -> str:
+    import math
+
+    arms = " ".join(
+        f"WHEN {d} THEN {int(math.log10(1 + 1 / d) * 1_000_000)}" for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(ABS(o_totalprice) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders
+),
+d AS (SELECT digit FROM digits WHERE digit BETWEEN 1 AND 9),
+total AS (SELECT COUNT(*) AS t FROM d)
+SELECT digit, COUNT(*) AS n,
+       CAST(COUNT(*) * 1000000 // MAX(total.t) AS BIGINT) AS observed_x1m,
+       CAST(CASE digit {arms} END AS BIGINT) AS benford_x1m
+FROM d CROSS JOIN total
+GROUP BY digit
+"""
+
+
+def q_time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event revenue — the one-number
+    seasonality probe a forecasting pipeline starts from. Daily totals
+    are DECIMAL-exact; consecutive days pair via a self-join on day+1
+    (tiny table); the Pearson correlation over the paired series uses
+    the same decimal-exact closed form as stats_regression."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = a.join(b, F.date_add(F.col("a.d"), 1) == F.col("b.d")).select(
+        F.col("a.rev").alias("x"), F.col("b.rev").alias("y")
+    )
+    m = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("lag1_autocorr"),
+    )
+
+
+SQL_TIME_AUTOCORR = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, SUM(CAST(value AS DECIMAL(18,2))) AS rev
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+paired AS (
+    SELECT a.rev AS x, b.rev AS y
+    FROM daily a JOIN daily b ON a.d + 1 = b.d
+),
+m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM paired
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS lag1_autocorr
+FROM m
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": q_asof_join_purchase_click,
     "agg_salted_skew": q_agg_salted_skew,
     "join_salted_skew": q_join_salted_skew,
+    "orders_market_basket": q_orders_market_basket,
+    "stats_benford": q_stats_benford,
+    "time_autocorr": q_time_autocorr,
     "join_bloom_prune": q_join_bloom_prune,
     "stats_column_profile": q_stats_column_profile,
     "layout_zorder": q_layout_zorder,
@@ -451,6 +650,9 @@ ORACLES = {
     "asof_join_purchase_click": SQL_ASOF,
     "agg_salted_skew": SQL_AGG_SALTED_SKEW,
     "join_salted_skew": SQL_JOIN_SALTED_SKEW,
+    "orders_market_basket": _sql_orders_market_basket(),
+    "stats_benford": _sql_stats_benford(),
+    "time_autocorr": SQL_TIME_AUTOCORR,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "stats_column_profile": _sql_stats_column_profile(),
     "layout_zorder": SQL_LAYOUT_ZORDER,

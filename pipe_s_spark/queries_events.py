@@ -412,10 +412,70 @@ GROUP BY d.event_type
 """
 
 
+def q_events_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event (conversion latency) per signup cohort day: for
+    users whose FIRST event is a signup, the exact median/p90 hours
+    until their first subsequent purchase, plus the conversion count —
+    the survival-curve summary growth analytics starts from. One
+    user_id-keyed aggregate builds both timestamps in one shuffle;
+    percentiles are order statistics over integer hour-deltas
+    (deterministic, no float accumulation)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purchase_ts"),
+    )
+    cohort = per_user.filter(
+        F.col("signup_ts").isNotNull() & (F.col("signup_ts") == F.col("first_ts"))
+    ).select(
+        F.to_date("signup_ts").alias("cohort_day"),
+        F.when(
+            F.col("purchase_ts") > F.col("signup_ts"),
+            F.expr(
+                "CAST((unix_timestamp(purchase_ts) - unix_timestamp(signup_ts))"
+                " DIV 3600 AS BIGINT)"
+            ),
+        ).alias("hours_to_purchase"),
+    )
+    return cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("hours_to_purchase").alias("n_converted"),
+        F.round(F.expr("percentile(hours_to_purchase, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(hours_to_purchase, 0.9)"), 4).alias("p90_hours"),
+    )
+
+
+SQL_EVENTS_TIME_TO_EVENT = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS signup_ts,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+    FROM events GROUP BY user_id
+),
+cohort AS (
+    SELECT CAST(signup_ts AS DATE) AS cohort_day,
+           CASE WHEN purchase_ts > signup_ts
+                THEN CAST(date_diff('second', signup_ts, purchase_ts) // 3600 AS BIGINT)
+           END AS hours_to_purchase
+    FROM per_user
+    WHERE signup_ts IS NOT NULL AND signup_ts = first_ts
+)
+SELECT cohort_day,
+       COUNT(*) AS n_signups,
+       COUNT(hours_to_purchase) AS n_converted,
+       ROUND(quantile_cont(hours_to_purchase, 0.5), 4) AS p50_hours,
+       ROUND(quantile_cont(hours_to_purchase, 0.9), 4) AS p90_hours
+FROM cohort GROUP BY cohort_day
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_winsorized": q_events_winsorized,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "events_time_to_event": q_events_time_to_event,
     "graph_pagerank": q_graph_pagerank,
     "events_transitions": q_events_transitions,
     "events_rolling_active": q_events_rolling_active,
@@ -427,6 +487,7 @@ ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_winsorized": SQL_EVENTS_WINSORIZED,
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
+    "events_time_to_event": SQL_EVENTS_TIME_TO_EVENT,
     "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,

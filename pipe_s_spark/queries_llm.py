@@ -2598,6 +2598,44 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space homogeneity audit: of all cosine-threshold
+    pairs, how many connect vectors with the SAME gold label — the
+    pair-level purity number that tells you whether a similarity
+    threshold is tight enough to drive semantic dedup before any
+    clustering runs. Consumes the session-materialized semantic pair
+    table; two broadcast label lookups; one global count row."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    l1 = emb.select(F.col("vec_id").alias("id1"), F.col("label").alias("label1"))
+    l2 = emb.select(F.col("vec_id").alias("id2"), F.col("label").alias("label2"))
+    joined = pairs.join(F.broadcast(l1), "id1").join(F.broadcast(l2), "id2")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("label1") == F.col("label2")).cast("bigint")).alias("n_same_label"),
+        F.expr(
+            "CAST(SUM(CAST(label1 = label2 AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("agreement_x1m"),
+    )
+
+
+def _sql_sim_pair_label_agreement() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id1, a.label AS label1, b.vec_id AS id2, b.label AS label2
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS agreement_x1m
+FROM pairs
+"""
+
+
 _centroid_memo: dict[tuple, dict[int, list[float]]] = {}
 
 
@@ -2986,6 +3024,7 @@ QUERIES = {
     "sketch_kmv_setops": q_sketch_kmv_setops,
     "sim_centroid_confusion": q_sim_centroid_confusion,
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "sim_pair_label_agreement": q_sim_pair_label_agreement,
 }
 
 ORACLES = {
@@ -3049,4 +3088,5 @@ ORACLES = {
     "sketch_kmv_setops": _sql_sketch_kmv_setops(),
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
+    "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
 }
