@@ -215,6 +215,16 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             return None
         df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
         return None
+    if typ == "jsonl":
+        # training-data export: newline-delimited JSON, the interchange
+        # format most dataset tooling ingests; one file per partition
+        # (coalesce for a bounded file count)
+        w = df
+        n = cfg.get("numFiles")
+        if n:
+            w = w.coalesce(int(n))
+        w.write.mode(cfg.get("mode", "overwrite")).json(cfg["path"])
+        return None
     if typ == "noop":  # parity: DummyOutput (throughput measurement)
         df.write.format("noop").mode("overwrite").save()
         return None

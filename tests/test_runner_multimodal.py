@@ -345,3 +345,39 @@ def test_runner_sql_input(spark, tmp_path):
     )
     rows = out.collect()
     assert len(rows) > 0 and {"lang", "n"} == set(rows[0].asDict())
+
+
+def test_runner_jsonl_output(spark, tmp_path):
+    """'jsonl' output writes newline-delimited JSON (the dataset
+    interchange format) with a bounded file count."""
+    import glob
+    import json as jsonlib
+
+    path = str(tmp_path / "docs_jsonl")
+    run_pipeline(
+        spark,
+        {
+            "Input": {
+                "Type": "query",
+                "Config": {"name": "text_stats", "sfDir": "/root/testdata/sf0.001"},
+            },
+            "Output": {"Type": "jsonl", "Config": {"path": path, "numFiles": 2}},
+        },
+    )
+    files = glob.glob(f"{path}/part-*.json")
+    assert 0 < len(files) <= 2
+    rows = []
+    for fp in files:
+        with open(fp) as f:
+            rows += [jsonlib.loads(line) for line in f if line.strip()]
+    want = run_pipeline(
+        spark,
+        {
+            "Input": {
+                "Type": "query",
+                "Config": {"name": "text_stats", "sfDir": "/root/testdata/sf0.001"},
+            },
+            "Output": {"Type": "return"},
+        },
+    ).count()
+    assert len(rows) == want and "doc_id" in rows[0]
