@@ -2598,6 +2598,116 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+#: Absolute discount for the interpolated Kneser-Ney bigram model.
+KN_DISCOUNT = 0.75
+
+
+def q_text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    Ney 1995; Chen & Goodman 1999) — the fluency scorer a step up from
+    unigram surprisal (text_surprisal): P(w2|w1) = max(c12-δ,0)/c1 +
+    δ·N1+(w1·)/c1 · N1+(·w2)/D, self-trained on the corpus.
+
+    Scale shape: bigram INSTANCES come from the zero-shuffle shingle
+    kernel (k=2, with multiplicity); the model lives entirely on the
+    bigram-TYPE table (groupBy + two unordered partition windows for
+    the context/continuation counts — vocabulary-sized, not
+    corpus-sized); per-type surprisal is quantized to integer
+    micro-nats ONCE, so the per-doc aggregation is an exact BIGINT
+    mean, order-independent under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = D.shingles(docs, "doc_id", "text", k=2, distinct=False).select(
+        "doc_id", "shingle"
+    )
+
+    def build_counts() -> DataFrame:
+        return (
+            inst.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .withColumn("w1", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+            .withColumn("w2", F.split_part(F.col("shingle"), F.lit(" "), F.lit(2)))
+        )
+
+    # bigram-TYPE table: vocabulary-sized, feeds the model windows AND
+    # the type-count scalar — the persisted LM-counts table of a real
+    # pipeline (safe to materialize; the instance relation is not)
+    counts = SH.materialized(spark, ("kn_counts", sf_dir, 2), build_counts)
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    typed = (
+        counts.withColumn("c1", F.sum("c12").over(w1w))
+        .withColumn("n1_w1", F.count(F.lit(1)).over(w1w))
+        .withColumn("n1c_w2", F.count(F.lit(1)).over(w2w))
+    )
+    n_types = counts.count()
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0))
+        + d * F.col("n1_w1") * (F.col("n1c_w2") / F.lit(float(n_types)))
+    ) / F.col("c1")
+    model = typed.select(
+        "shingle",
+        (-F.log(p) * 1_000_000).alias("_s_raw"),
+    ).select(
+        "shingle",
+        F.expr("CAST(ROUND(_s_raw) AS BIGINT)").alias("s_x1m"),
+    )
+    return (
+        inst.join(model, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(SUM(s_x1m) DIV COUNT(1) AS BIGINT)").alias(
+                "mean_kn_surprisal_x1m"
+            ),
+        )
+    )
+
+
+def _sql_text_kn_bigram_score() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS bigram
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+inst AS (SELECT doc_id, bigram FROM bg WHERE bigram IS NOT NULL),
+counts AS (
+    SELECT bigram,
+           split_part(bigram, ' ', 1) AS w1,
+           split_part(bigram, ' ', 2) AS w2,
+           COUNT(*) AS c12
+    FROM inst GROUP BY bigram
+),
+typed AS (
+    SELECT bigram, c12,
+           SUM(c12) OVER (PARTITION BY w1)  AS c1,
+           COUNT(*) OVER (PARTITION BY w1)  AS n1_w1,
+           COUNT(*) OVER (PARTITION BY w2)  AS n1c_w2
+    FROM counts
+),
+d_total AS (SELECT COUNT(*) AS nt FROM counts),
+model AS (
+    SELECT bigram,
+           CAST(ROUND(-LN(
+               (GREATEST(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                + {KN_DISCOUNT} * n1_w1 * (CAST(n1c_w2 AS DOUBLE) / nt))
+               / c1) * 1000000) AS BIGINT) AS s_x1m
+    FROM typed CROSS JOIN d_total
+)
+SELECT i.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(m.s_x1m) // COUNT(*) AS BIGINT) AS mean_kn_surprisal_x1m
+FROM inst i JOIN model m ON i.bigram = m.bigram
+GROUP BY i.doc_id
+"""
+
+
 def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space homogeneity audit: of all cosine-threshold
     pairs, how many connect vectors with the SAME gold label — the
@@ -3025,6 +3135,7 @@ QUERIES = {
     "sim_centroid_confusion": q_sim_centroid_confusion,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
+    "text_kn_bigram_score": q_text_kn_bigram_score,
 }
 
 ORACLES = {
@@ -3089,4 +3200,5 @@ ORACLES = {
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
+    "text_kn_bigram_score": _sql_text_kn_bigram_score(),
 }
