@@ -2708,6 +2708,73 @@ GROUP BY i.doc_id
 """
 
 
+def q_sketch_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY as an oracle-checked property: two
+    independently-built per-half histogram sketches (order-key parity
+    split) merge by cellwise addition, and the quantile estimates read
+    off the MERGED sketch — the distributed-combine contract every
+    bounded-state sketch rests on (build per partition/day/shard, merge
+    cheaply, estimate once). Windows are partitioned by order status;
+    every shuffle payload is bounded by bins-per-group, never rows."""
+    from pyspark.sql.window import Window as W
+
+    bw = 1000.0
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderkey") % 2).alias("half"),
+        F.floor(F.col("o_totalprice") / F.lit(bw)).cast("long").alias("bin"),
+    )
+    # per-half sketches built separately, then cellwise merge
+    halves = orders.groupBy("o_orderstatus", "half", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = halves.groupBy("o_orderstatus", "bin").agg(F.sum("cnt").alias("cnt"))
+    wc = W.partitionBy("o_orderstatus").orderBy("bin")
+    wt = W.partitionBy("o_orderstatus")
+    h2 = merged.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    aggs = [F.max("total").alias("n_rows")]
+    for q in (0.5, 0.95, 0.99):
+        t = F.lit(q) * F.col("total")
+        est = F.round(
+            F.col("bin") * F.lit(bw)
+            + F.lit(bw) * (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+            6,
+        )
+        sel = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
+        aggs.append(F.max(F.when(sel, est)).alias(f"p{int(q * 100)}_est"))
+    return h2.groupBy("o_orderstatus").agg(*aggs)
+
+
+SQL_SKETCH_HISTOGRAM_MERGE = """
+WITH halves AS (
+    SELECT o_orderstatus, o_orderkey % 2 AS half,
+           CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus, half, bin
+),
+merged AS (
+    SELECT o_orderstatus, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM halves GROUP BY o_orderstatus, bin
+),
+h2 AS (
+    SELECT o_orderstatus, bin, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+    FROM merged
+)
+SELECT o_orderstatus, CAST(MAX(total) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN ((cum - cnt) < (0.5 * total) AND (0.5 * total) <= cum)
+           THEN ROUND(bin * 1000.0 + 1000.0 * ((0.5 * total) - (cum - cnt)) / cnt, 6) END) AS p50_est,
+       MAX(CASE WHEN ((cum - cnt) < (0.95 * total) AND (0.95 * total) <= cum)
+           THEN ROUND(bin * 1000.0 + 1000.0 * ((0.95 * total) - (cum - cnt)) / cnt, 6) END) AS p95_est,
+       MAX(CASE WHEN ((cum - cnt) < (0.99 * total) AND (0.99 * total) <= cum)
+           THEN ROUND(bin * 1000.0 + 1000.0 * ((0.99 * total) - (cum - cnt)) / cnt, 6) END) AS p99_est
+FROM h2 GROUP BY o_orderstatus
+"""
+
+
 def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space homogeneity audit: of all cosine-threshold
     pairs, how many connect vectors with the SAME gold label — the
@@ -3136,6 +3203,7 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
     "text_kn_bigram_score": q_text_kn_bigram_score,
+    "sketch_histogram_merge": q_sketch_histogram_merge,
 }
 
 ORACLES = {
@@ -3201,4 +3269,5 @@ ORACLES = {
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
+    "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
 }
