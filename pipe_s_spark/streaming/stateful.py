@@ -295,3 +295,69 @@ def apply_streaming_topk_legacy(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def apply_streaming_histogram(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    bin_width: float = 10.0,
+    quantiles: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """Streaming equi-width histogram quantile sketch: per-key state is
+    the (bin -> count) cell map — bounded by the bin count, never the
+    row count — merged by CELLWISE ADDITION each batch (the identical
+    merge functions.sketches.histogram_quantiles relies on, so batch
+    and streaming estimates agree bit-for-bit on the same prefix).
+    Emits refreshed quantile estimates per key per batch; estimate
+    arithmetic replicates the batch expression order exactly, with
+    explicit half-up rounding (Python round() is half-even, Spark's
+    ROUND is half-up)."""
+    import math
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            bins = list(state.get[0])
+            cnts = list(state.get[1])
+            cells = dict(zip(bins, cnts))
+        else:
+            cells = {}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                b = int(math.floor(float(v) / bin_width))
+                cells[b] = cells.get(b, 0) + 1
+        bins = sorted(cells)
+        cnts = [cells[b] for b in bins]
+        state.update((bins, cnts))
+        total = sum(cnts)
+        ests = []
+        for q in quantiles:
+            t = q * total
+            cum = 0
+            est = None
+            for b, c in zip(bins, cnts):
+                if cum < t <= cum + c:
+                    x = b * bin_width + bin_width * (t - cum) / c
+                    est = math.floor(x * 1e6 + 0.5) / 1e6
+                    break
+                cum += c
+            ests.append(est)
+        out = {c: [k] for c, k in zip(key_cols, key)}
+        out["n_rows"] = [total]
+        for q, e in zip(quantiles, ests):
+            out[f"p{int(q * 100)}_est"] = [e]
+        yield pd.DataFrame(out)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+        if f.name in key_cols
+    )
+    est_schema = ", ".join(f"p{int(q * 100)}_est double" for q in quantiles)
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        f"{key_schema}, n_rows long, {est_schema}",
+        "bins array<long>, cnts array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -916,3 +916,58 @@ def test_streaming_topk_legacy_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
+    """Streaming histogram sketch: two micro-batches of events, final
+    per-key emission must equal the BATCH histogram_quantiles sketch
+    over the full table — cellwise state merge is exactly the sketch's
+    mergeability contract."""
+    import pandas as pd
+
+    from pipe_s_spark.functions.sketches import histogram_quantiles
+    from pipe_s_spark.streaming.stateful import apply_streaming_histogram
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    d = tmp_path / "hist_in"
+    d.mkdir()
+    half = ev.count() // 2
+    pdf = ev.orderBy("event_id").toPandas()
+    pdf.iloc[:half].to_parquet(d / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "b.parquet", index=False)
+    os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+
+    results: list = []
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = apply_streaming_histogram(
+        stream, ["event_type"], "value", bin_width=10.0, quantiles=(0.5, 0.95)
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: results.append(df.toPandas().assign(bid=bid))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    assert allr["bid"].nunique() >= 2
+    last = allr[allr.groupby("event_type")["bid"].transform("max") == allr["bid"]]
+    got = {
+        r.event_type: (r.n_rows, r.p50_est, r.p95_est) for r in last.itertuples()
+    }
+    want = {
+        r["event_type"]: (r["n_rows"], r["p50_est"], r["p95_est"])
+        for r in histogram_quantiles(
+            ev, "value", ["event_type"], bin_width=10.0, quantiles=(0.5, 0.95)
+        ).collect()
+    }
+    assert got == want
