@@ -2708,6 +2708,88 @@ GROUP BY i.doc_id
 """
 
 
+def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift by document source: cosine of each
+    source's mean embedding against the global mean — the one-query
+    probe for "which domain's vectors sit away from the corpus center"
+    (domain shift / contamination triage on the semantic side,
+    complementing text_domain_divergence's token-level chi-square).
+    Vectors join documents on doc_id (= vec_id in this corpus); both
+    centroid levels come from one posexplode + groupBy with
+    DECIMAL-exact component sums, so every centroid is bit-stable
+    under any partitioning; the final cosine is O(sources x dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "source", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    )
+    per_src = ex.groupBy("source", "pos").agg(
+        F.sum(F.col("x").cast("decimal(30,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    comp = per_src.select(
+        "source",
+        "pos",
+        (F.col("s").cast("double") / F.col("n")).alias("c"),
+        "n",
+    )
+    # global centroid: 64 rows — bounded metadata collect, inlined as a
+    # literal array so the per-source cosine is a sequential array fold
+    # (deterministic evaluation order; a groupBy SUM of doubles would
+    # be partition-order sensitive)
+    glob_rows = (
+        per_src.groupBy("pos")
+        .agg((F.sum("s").cast("double") / F.sum("n")).alias("g"))
+        .collect()
+    )
+    g_sorted = [r["g"] for r in sorted(glob_rows, key=lambda r: r["pos"])]
+    g_arr = F.array(*[F.lit(v) for v in g_sorted])
+    src_arr = comp.groupBy("source").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]
+        ).alias("cv"),
+    )
+    return src_arr.select(
+        "source",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(S.cosine(F.col("cv"), g_arr), 6).alias("cos_to_global"),
+    )
+
+
+SQL_SIM_DOMAIN_DRIFT = f"""
+WITH ex AS (
+    SELECT d.source,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           generate_subscripts(e.embedding, 1) AS pos
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+per_src AS (
+    SELECT source, pos,
+           SUM(CAST(x AS DECIMAL(30,12))) AS s,
+           COUNT(*) AS n
+    FROM ex GROUP BY source, pos
+),
+comp AS (
+    SELECT source, pos, CAST(s AS DOUBLE) / n AS c, n FROM per_src
+),
+srcarr AS (
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list(c ORDER BY pos) AS cv
+    FROM comp GROUP BY source
+),
+globarr AS (
+    SELECT list(g ORDER BY pos) AS gv FROM (
+        SELECT pos, CAST(SUM(s) AS DOUBLE) / SUM(n) AS g
+        FROM per_src GROUP BY pos
+    )
+)
+SELECT s.source, s.n_vecs,
+       ROUND({S.cosine_sql('s.cv', 'ga.gv')}, 6) AS cos_to_global
+FROM srcarr s CROSS JOIN globarr ga
+"""
+
+
 def q_sketch_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGEABILITY as an oracle-checked property: two
     independently-built per-half histogram sketches (order-key parity
@@ -3204,6 +3286,7 @@ QUERIES = {
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
     "text_kn_bigram_score": q_text_kn_bigram_score,
     "sketch_histogram_merge": q_sketch_histogram_merge,
+    "sim_domain_drift": q_sim_domain_drift,
 }
 
 ORACLES = {
@@ -3270,4 +3353,5 @@ ORACLES = {
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
+    "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
 }
