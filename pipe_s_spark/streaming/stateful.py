@@ -361,3 +361,58 @@ def apply_streaming_histogram(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def apply_streaming_countmin(
+    stream: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    probe_items: list,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch per key: state is the depth x width
+    cell matrix (flat array — bounded by the sketch size, never the
+    stream), merged by CELLWISE ADDITION each batch (the sketch's
+    mergeability contract, identical to functions.sketches.cms_build
+    run over the union). Each batch emits the refreshed point-estimate
+    (min over rows, the count-min upper bound) for every probe item —
+    the streaming heavy-hitter monitor. Hashes replicate cms_bucket's
+    md5 derivation exactly, so estimates equal the batch sketch's."""
+    import hashlib
+
+    def bucket(row: int, item) -> int:
+        h = int(hashlib.md5(f"{row}:{item}".encode()).hexdigest()[:8], 16)
+        return h % width
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cells = list(state.get[0]) if state.exists else [0] * (depth * width)
+        for pdf in pdfs:
+            for item in pdf[item_col]:
+                for r in range(depth):
+                    cells[r * width + bucket(r, item)] += 1
+        state.update((cells,))
+        out = {c: [] for c in key_cols}
+        out["item"] = []
+        out["est_count"] = []
+        for item in probe_items:
+            for c, kv in zip(key_cols, key):
+                out[c].append(kv)
+            out["item"].append(str(item))
+            out["est_count"].append(
+                min(cells[r * width + bucket(r, item)] for r in range(depth))
+            )
+        yield pd.DataFrame(out)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream.schema.fields
+        if f.name in key_cols
+    )
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        f"{key_schema}, item string, est_count long",
+        "cells array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -971,3 +971,63 @@ def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """Streaming count-min: per-event-type cell matrices merge
+    cellwise across two micro-batches; the final point estimates must
+    equal the BATCH cms_build+cms_estimate over each key's full rows
+    (identical md5 hash family on both paths)."""
+    import pandas as pd
+
+    from pipe_s_spark.functions.sketches import cms_build, cms_estimate
+    from pipe_s_spark.streaming.stateful import apply_streaming_countmin
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "user_id")
+    probe_items = [r["user_id"] for r in ev.select("user_id").distinct().limit(5).collect()]
+    d = tmp_path / "cms_in"
+    d.mkdir()
+    half = ev.count() // 2
+    pdf = ev.orderBy("event_id").toPandas()
+    pdf.iloc[:half].to_parquet(d / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(d / "b.parquet", index=False)
+    os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+
+    results: list = []
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = apply_streaming_countmin(stream, ["event_type"], "user_id", probe_items)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: results.append(df.toPandas().assign(bid=bid))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    assert allr["bid"].nunique() >= 2
+    last = allr[allr.groupby("event_type")["bid"].transform("max") == allr["bid"]]
+    got = {
+        (r.event_type, r.item): r.est_count for r in last.itertuples()
+    }
+    want = {}
+    for et in [r["event_type"] for r in ev.select("event_type").distinct().collect()]:
+        sub = ev.filter(F.col("event_type") == et)
+        sketch = cms_build(sub, "user_id")
+        keys = spark.createDataFrame([(i,) for i in probe_items], "user_id long")
+        for r in cms_estimate(keys, sketch, "user_id").collect():
+            # unseen keys address empty cells: batch join finds no row
+            # (no estimate) while streaming reports 0 — both mean zero
+            want[(et, str(r["user_id"]))] = r["est_cnt"]
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    for k, v in got.items():
+        assert want.get(k, 0) == v, (k, v)
