@@ -2708,6 +2708,77 @@ GROUP BY i.doc_id
 """
 
 
+#: Fixed synchronous LPA iterations (unrolled identically in the
+#: oracle SQL — a convergence loop would not be SQL-expressible).
+LPA_ITERS = 3
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup graph
+    (Raghavan et al. 2007), deterministic variant: LPA_ITERS
+    synchronous rounds, each vertex adopting its neighbors' most
+    frequent label with ties broken toward the smaller label — the
+    soft-clustering complement to connected components (CC merges
+    everything reachable; LPA splits chains bridged by a single weak
+    edge). Per round: one join on the vertex + one grouped count + one
+    per-vertex window — all keyed on the vertex, so the partitioning
+    is reused; the graph is the band-cap-bounded candidate edge list."""
+    e = (
+        _minhash_pairs_cached(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_EDGE_MIN)
+        .select("d1", "d2")
+    )
+    und = (
+        e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(e.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), "nl")
+    for _ in range(LPA_ITERS):
+        labels = (
+            und.join(labels, und["b"] == labels["v"])
+            .select(F.col("a").alias("v"), F.col("label").alias("nl"))
+            .groupBy("v", "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("v", F.col("nl").alias("label"))
+        )
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("community"))
+
+
+def _sql_graph_communities() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        steps.append(
+            f"""l{i} AS (
+    SELECT v, nl AS label FROM (
+        SELECT u.a AS v, l.label AS nl, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY u.a
+                                  ORDER BY COUNT(*) DESC, l.label) AS rk
+        FROM und u JOIN {prev} l ON u.b = l.v
+        GROUP BY u.a, l.label
+    ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH {_MINHASH_SIMS_CTES},
+e AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+verts AS (SELECT DISTINCT a AS v FROM und),
+l0 AS (SELECT v, v AS label FROM verts),
+{joined}
+SELECT v AS doc_id, label AS community FROM {prev}
+"""
+
+
 def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift by document source: cosine of each
     source's mean embedding against the global mean — the one-query
@@ -3287,6 +3358,7 @@ QUERIES = {
     "text_kn_bigram_score": q_text_kn_bigram_score,
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
+    "graph_communities": q_graph_communities,
 }
 
 ORACLES = {
@@ -3354,4 +3426,5 @@ ORACLES = {
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
+    "graph_communities": _sql_graph_communities(),
 }
