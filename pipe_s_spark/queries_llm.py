@@ -2708,6 +2708,88 @@ GROUP BY i.doc_id
 """
 
 
+#: Ensemble-gate thresholds (integer micro-units; pinned so both
+#: engines evaluate the identical literals).
+ENSEMBLE_SURPRISAL_LO = 3_000_000
+ENSEMBLE_SURPRISAL_HI = 8_000_000
+ENSEMBLE_MIN_STOPWORD_X1M = 10_000
+ENSEMBLE_MIN_TOKENS = 10
+
+
+def q_text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: the keep/drop decision a production
+    curation run makes from SEVERAL weak signals at once — unigram-LM
+    surprisal inside a sane band (too low = boilerplate, too high =
+    noise), stopword density above a floor, and a minimum length. All
+    three signals are integer micro-units, so the gate is a pure
+    integer predicate — bit-identical on any engine, no float
+    thresholds to drift. One join between the surprisal view and the
+    narrow stats pass."""
+    surp = q_text_surprisal(spark, sf_dir)
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .transform(X.with_text_stats())
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.expr("CAST((n_stopwords * 1000000) DIV n_tokens AS BIGINT)").alias(
+                "stopword_x1m"
+            ),
+        )
+    )
+    j = surp.join(stats, "doc_id")
+    keep = (
+        F.col("mean_surprisal_x1m").between(
+            ENSEMBLE_SURPRISAL_LO, ENSEMBLE_SURPRISAL_HI
+        )
+        & (F.col("stopword_x1m") >= ENSEMBLE_MIN_STOPWORD_X1M)
+        & (F.col("n_tokens") >= ENSEMBLE_MIN_TOKENS)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "mean_surprisal_x1m",
+        "stopword_x1m",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def _sql_text_quality_ensemble() -> str:
+    stops = "|".join(X.EN_STOPWORDS)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+total AS (SELECT SUM(c) AS t FROM tf),
+terms AS (
+    SELECT term,
+           CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_x1m
+    FROM tf CROSS JOIN total
+),
+surp AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(s_x1m) // COUNT(*) AS BIGINT) AS mean_surprisal_x1m
+    FROM tok JOIN terms USING (term)
+    GROUP BY doc_id
+),
+stats AS (
+    SELECT doc_id,
+           CAST((CAST(len(regexp_extract_all(lower(text), '\\b({stops})\\b')) AS BIGINT)
+                 * 1000000) // CAST(len({TOKS_SQL}) AS BIGINT) AS BIGINT) AS stopword_x1m
+    FROM documents
+    WHERE len({TOKS_SQL}) > 0
+)
+SELECT s.doc_id, s.n_tokens, s.mean_surprisal_x1m, st.stopword_x1m,
+       CAST(CASE WHEN s.mean_surprisal_x1m BETWEEN {ENSEMBLE_SURPRISAL_LO} AND {ENSEMBLE_SURPRISAL_HI}
+                  AND st.stopword_x1m >= {ENSEMBLE_MIN_STOPWORD_X1M}
+                  AND s.n_tokens >= {ENSEMBLE_MIN_TOKENS}
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM surp s JOIN stats st USING (doc_id)
+"""
+
+
 #: Fixed synchronous LPA iterations (unrolled identically in the
 #: oracle SQL — a convergence loop would not be SQL-expressible).
 LPA_ITERS = 3
@@ -3359,6 +3441,7 @@ QUERIES = {
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
     "graph_communities": q_graph_communities,
+    "text_quality_ensemble": q_text_quality_ensemble,
 }
 
 ORACLES = {
@@ -3427,4 +3510,5 @@ ORACLES = {
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
     "graph_communities": _sql_graph_communities(),
+    "text_quality_ensemble": _sql_text_quality_ensemble(),
 }

@@ -42,6 +42,8 @@ SCALAR_OK = {
     "text_domain_divergence",
     # same shape: vocabulary surprisal divides by the corpus token total
     "text_surprisal",
+    # inherits text_surprisal's scalar token-total crossJoin
+    "text_quality_ensemble",
     # 1-row degree summary x 1-row triangle count: both sides are
     # single-row global aggregates, so the nested-loop join is a
     # broadcast of one row
