@@ -1009,8 +1009,104 @@ FROM daily
 """
 
 
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers bucketed 1-3 on Recency, Frequency
+    and Monetary at the exact corpus 33rd/66th percentiles, rolled up
+    to segment sizes and value — the classic retention-marketing cut.
+    Tertile thresholds are ONE exact-percentile row (rounded to 4 so
+    the bucket literals are bit-identical), collected driver-side and
+    inlined (bounded metadata collect); bucketing is then a narrow
+    expression and the rollup has at most 27 groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max(F.to_date("o_orderdate")).alias("m")).collect()[0]["m"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_date), F.max(F.to_date("o_orderdate"))).cast("long").alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("monetary_c"),
+    ).withColumn("monetary", F.col("monetary_c").cast("double") / 100.0)
+    th = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 4).alias(f"{c}_{int(q * 100)}")
+            for c in ("recency_d", "frequency", "monetary")
+            for q in (0.33, 0.66)
+        ]
+    ).collect()[0]
+
+    def score(col, lo, hi, invert=False):
+        s = (
+            F.when(F.col(col) <= F.lit(lo), 1)
+            .when(F.col(col) <= F.lit(hi), 2)
+            .otherwise(3)
+        )
+        return (4 - s) if invert else s
+
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_c",
+        # low recency_d = recently active = BEST (3)
+        score("recency_d", th["recency_d_33"], th["recency_d_66"], invert=True).alias("r"),
+        score("frequency", th["frequency_33"], th["frequency_66"]).alias("f"),
+        score("monetary", th["monetary_33"], th["monetary_66"]).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # integer cents: a ROUND of a double division here can split
+            # across engines on representation ties
+            F.expr("CAST(SUM(monetary_c) DIV COUNT(1) AS BIGINT)").alias(
+                "avg_monetary_x100"
+            ),
+        )
+    )
+
+
+SQL_ORDERS_RFM_SEGMENTS = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+per_cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), mx.m) AS BIGINT) AS recency_d,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_c,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+               / 100.0 AS monetary
+    FROM orders CROSS JOIN mx
+    GROUP BY o_custkey, mx.m
+),
+th AS (
+    SELECT ROUND(quantile_cont(recency_d, 0.33), 4) AS r33,
+           ROUND(quantile_cont(recency_d, 0.66), 4) AS r66,
+           ROUND(quantile_cont(frequency, 0.33), 4) AS f33,
+           ROUND(quantile_cont(frequency, 0.66), 4) AS f66,
+           ROUND(quantile_cont(monetary, 0.33), 4)  AS m33,
+           ROUND(quantile_cont(monetary, 0.66), 4)  AS m66
+    FROM per_cust
+),
+scored AS (
+    SELECT o_custkey, monetary_c,
+           4 - (CASE WHEN recency_d <= r33 THEN 1
+                     WHEN recency_d <= r66 THEN 2 ELSE 3 END) AS r,
+           CASE WHEN frequency <= f33 THEN 1
+                WHEN frequency <= f66 THEN 2 ELSE 3 END AS f,
+           CASE WHEN monetary <= m33 THEN 1
+                WHEN monetary <= m66 THEN 2 ELSE 3 END AS m
+    FROM per_cust CROSS JOIN th
+)
+SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary_c) // COUNT(*) AS BIGINT) AS avg_monetary_x100
+FROM scored
+GROUP BY r, f, m
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "orders_rfm_segments": q_orders_rfm_segments,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
     "window_first_last": q_window_first_last,
@@ -1045,6 +1141,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": SQL_Q1,
+    "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
     "stats_regression": SQL_STATS_REGRESSION,
     "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
     "window_first_last": SQL_WINDOW_FIRST_LAST,

@@ -471,11 +471,54 @@ FROM cohort GROUP BY cohort_day
 """
 
 
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: exact median /
+    p90 seconds between a user's consecutive events of that type —
+    the burstiness profile capacity planning and bot detection read.
+    One lag window keyed (user, type) + a per-type percentile over
+    integer second gaps (order statistics — deterministic)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+SQL_EVENTS_INTER_ARRIVAL = """
+WITH gaps AS (
+    SELECT event_type,
+           CAST(date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_s
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
     "events_winsorized": q_events_winsorized,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_time_to_event": q_events_time_to_event,
+    "events_inter_arrival": q_events_inter_arrival,
     "graph_pagerank": q_graph_pagerank,
     "events_transitions": q_events_transitions,
     "events_rolling_active": q_events_rolling_active,
@@ -488,6 +531,7 @@ ORACLES = {
     "events_winsorized": SQL_EVENTS_WINSORIZED,
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
     "events_time_to_event": SQL_EVENTS_TIME_TO_EVENT,
+    "events_inter_arrival": SQL_EVENTS_INTER_ARRIVAL,
     "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
