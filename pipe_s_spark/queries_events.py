@@ -513,8 +513,34 @@ GROUP BY event_type
 """
 
 
+def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: events and revenue by day-of-week
+    (1=Sunday..7=Saturday, pinned across engines — Spark's dayofweek
+    numbering vs DuckDB's %w is the classic off-by-one). Revenue stays
+    in integer cents; one map-side-combinable 7-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.dayofweek("ts").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_x100"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_WEEKDAY_PROFILE = """
+SELECT CAST(strftime(ts, '%w') AS INTEGER) + 1 AS weekday,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_x100,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY weekday
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_weekday_profile": q_events_weekday_profile,
     "events_winsorized": q_events_winsorized,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_time_to_event": q_events_time_to_event,
@@ -532,6 +558,7 @@ ORACLES = {
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
     "events_time_to_event": SQL_EVENTS_TIME_TO_EVENT,
     "events_inter_arrival": SQL_EVENTS_INTER_ARRIVAL,
+    "events_weekday_profile": SQL_EVENTS_WEEKDAY_PROFILE,
     "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
