@@ -1104,8 +1104,44 @@ GROUP BY r, f, m
 """
 
 
+def q_orders_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume trend per priority class: monthly
+    counts plus the MoM delta via a lag window PARTITIONED by priority
+    (months per priority are unique, so the order key is total). The
+    time-bucketed trend-with-delta shape every ops dashboard renders."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("mom_delta"),
+    )
+
+
+SQL_ORDERS_PRIORITY_TREND = """
+WITH monthly AS (
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority, month
+)
+SELECT o_orderpriority, month, n_orders,
+       n_orders - LAG(n_orders) OVER (
+           PARTITION BY o_orderpriority ORDER BY month) AS mom_delta
+FROM monthly
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
@@ -1142,6 +1178,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": SQL_Q1,
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
+    "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "stats_regression": SQL_STATS_REGRESSION,
     "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
     "window_first_last": SQL_WINDOW_FIRST_LAST,

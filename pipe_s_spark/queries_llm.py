@@ -2708,6 +2708,44 @@ GROUP BY i.doc_id
 """
 
 
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical novelty per document: the share of token INSTANCES that
+    are corpus hapax legomena (corpus frequency 1) — high hapax density
+    flags OCR noise / mojibake / random strings, near-zero flags
+    templated text; a vocabulary-level companion to the shingle-based
+    ngram novelty. One token groupBy builds the (vocabulary-sized)
+    frequency table; the per-doc roll-up is an integer micro-ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(tf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+            F.expr(
+                "CAST(SUM(CAST(c = 1 AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+            ).alias("hapax_x1m"),
+        )
+    )
+
+
+SQL_TEXT_HAPAX_RATIO = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS hapax_x1m
+FROM tok JOIN tf USING (term)
+GROUP BY doc_id
+"""
+
+
 #: Ensemble-gate thresholds (integer micro-units; pinned so both
 #: engines evaluate the identical literals).
 ENSEMBLE_SURPRISAL_LO = 3_000_000
@@ -3442,6 +3480,7 @@ QUERIES = {
     "sim_domain_drift": q_sim_domain_drift,
     "graph_communities": q_graph_communities,
     "text_quality_ensemble": q_text_quality_ensemble,
+    "text_hapax_ratio": q_text_hapax_ratio,
 }
 
 ORACLES = {
@@ -3511,4 +3550,5 @@ ORACLES = {
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
     "graph_communities": _sql_graph_communities(),
     "text_quality_ensemble": _sql_text_quality_ensemble(),
+    "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
 }
