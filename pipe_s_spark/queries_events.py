@@ -538,8 +538,44 @@ GROUP BY weekday
 """
 
 
+def q_events_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load profile: for every calendar day, the hour with the
+    most distinct active users (ties to the earlier hour) and its
+    headcount — the capacity number an on-call dashboard leads with.
+    Hourly distinct counts (one groupBy), then a per-day window
+    ranked (users desc, hour asc)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("hr")
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+    w = Window.partitionBy("d").orderBy(F.desc("n_users"), "hr")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("d", F.col("hr").alias("peak_hour"), F.col("n_users").alias("peak_users"))
+    )
+
+
+SQL_EVENTS_PEAK_HOUR = """
+WITH hourly AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY d, hr
+),
+ranked AS (
+    SELECT d, hr, n_users,
+           ROW_NUMBER() OVER (PARTITION BY d ORDER BY n_users DESC, hr) AS rk
+    FROM hourly
+)
+SELECT d, hr AS peak_hour, n_users AS peak_users
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "events_funnel": q_events_funnel,
+    "events_peak_hour": q_events_peak_hour,
     "events_weekday_profile": q_events_weekday_profile,
     "events_winsorized": q_events_winsorized,
     "events_anomaly_mad": q_events_anomaly_mad,
@@ -559,6 +595,7 @@ ORACLES = {
     "events_time_to_event": SQL_EVENTS_TIME_TO_EVENT,
     "events_inter_arrival": SQL_EVENTS_INTER_ARRIVAL,
     "events_weekday_profile": SQL_EVENTS_WEEKDAY_PROFILE,
+    "events_peak_hour": SQL_EVENTS_PEAK_HOUR,
     "graph_pagerank": _sql_graph_pagerank(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
