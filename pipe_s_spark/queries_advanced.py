@@ -512,6 +512,47 @@ CROSS JOIN nb
 """
 
 
+def q_stats_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl-Hirschman index of
+    brand share within each part type, in integer micro-units (share
+    and HHI never touch a float) — the \"is this segment dominated by
+    one supplier\" screen. One groupBy + an unordered partition window
+    for the type totals; output is O(types)."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql.window import Window as W
+
+    counts = part.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy("p_type")
+    shares = counts.withColumn("total", F.sum("c").over(wt)).withColumn(
+        "share_x1m", F.expr("CAST(c * 1000000 DIV total AS BIGINT)")
+    )
+    return shares.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.max("total").alias("n_parts"),
+        F.expr("CAST(SUM(share_x1m * share_x1m) DIV 1000000 AS BIGINT)").alias(
+            "hhi_x1m"
+        ),
+    )
+
+
+SQL_STATS_BRAND_CONCENTRATION = """
+WITH counts AS (
+    SELECT p_type, p_brand, COUNT(*) AS c FROM part GROUP BY p_type, p_brand
+),
+shares AS (
+    SELECT p_type, c,
+           SUM(c) OVER (PARTITION BY p_type) AS total,
+           CAST(c * 1000000 // SUM(c) OVER (PARTITION BY p_type) AS BIGINT) AS share_x1m
+    FROM counts
+)
+SELECT p_type,
+       COUNT(*) AS n_brands,
+       CAST(MAX(total) AS BIGINT) AS n_parts,
+       CAST(SUM(share_x1m * share_x1m) // 1000000 AS BIGINT) AS hhi_x1m
+FROM shares GROUP BY p_type
+"""
+
+
 def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen over order totals — the classic
     anomaly sniff test for synthetic/fabricated numeric columns. One
@@ -634,6 +675,7 @@ QUERIES = {
     "join_salted_skew": q_join_salted_skew,
     "orders_market_basket": q_orders_market_basket,
     "stats_benford": q_stats_benford,
+    "stats_brand_concentration": q_stats_brand_concentration,
     "time_autocorr": q_time_autocorr,
     "join_bloom_prune": q_join_bloom_prune,
     "stats_column_profile": q_stats_column_profile,
@@ -652,6 +694,7 @@ ORACLES = {
     "join_salted_skew": SQL_JOIN_SALTED_SKEW,
     "orders_market_basket": _sql_orders_market_basket(),
     "stats_benford": _sql_stats_benford(),
+    "stats_brand_concentration": SQL_STATS_BRAND_CONCENTRATION,
     "time_autocorr": SQL_TIME_AUTOCORR,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "stats_column_profile": _sql_stats_column_profile(),
