@@ -2708,6 +2708,67 @@ GROUP BY i.doc_id
 """
 
 
+def q_text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus duplication dashboard: document count, exact-dup
+    share, near-dup cluster count and coverage, and the corpus-mean
+    shared-chunk density — the summary a curation run prints before
+    and after every pass. Stitches the session-materialized clusters
+    table and the chunk-dedup stats into four scalar aggregates (each
+    side is one row; the cross joins combine O(1) rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_exact_dup_docs"),
+    )
+    cl = q_dedup_clusters(spark, sf_dir).agg(
+        F.count_distinct("component").alias("n_near_dup_clusters"),
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+    )
+    ch = q_text_chunk_dedup(spark, sf_dir).agg(
+        F.expr(
+            "CAST(SUM(n_shared_chunks) * 1000000 DIV SUM(n_chunks) AS BIGINT)"
+        ).alias("shared_chunk_x1m")
+    )
+    return exact.crossJoin(cl).crossJoin(ch)
+
+
+SQL_TEXT_CORPUS_HEALTH = f"""
+WITH RECURSIVE {_MINHASH_SIMS_CTES},
+edges AS (SELECT d1, d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}),
+und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(a, b) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+cl AS (
+    SELECT COUNT(DISTINCT component) AS n_near_dup_clusters,
+           COUNT(*) AS n_clustered_docs
+    FROM comp
+),
+exact AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs
+    FROM documents
+),
+ch AS ({SQL_TEXT_CHUNKS}),
+dpc AS (
+    SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_md5
+),
+chs AS (
+    SELECT CAST(SUM(CASE WHEN dpc.nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS shared_chunk_x1m
+    FROM ch JOIN dpc USING (chunk_md5)
+)
+SELECT exact.n_docs, exact.n_exact_dup_docs,
+       cl.n_near_dup_clusters, CAST(cl.n_clustered_docs AS BIGINT) AS n_clustered_docs,
+       chs.shared_chunk_x1m
+FROM exact CROSS JOIN cl CROSS JOIN chs
+"""
+
+
 def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical novelty per document: the share of token INSTANCES that
     are corpus hapax legomena (corpus frequency 1) — high hapax density
@@ -3481,6 +3542,7 @@ QUERIES = {
     "graph_communities": q_graph_communities,
     "text_quality_ensemble": q_text_quality_ensemble,
     "text_hapax_ratio": q_text_hapax_ratio,
+    "text_corpus_health": q_text_corpus_health,
 }
 
 ORACLES = {
@@ -3551,4 +3613,5 @@ ORACLES = {
     "graph_communities": _sql_graph_communities(),
     "text_quality_ensemble": _sql_text_quality_ensemble(),
     "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
+    "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
 }

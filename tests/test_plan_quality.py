@@ -51,6 +51,8 @@ SCALAR_OK = {
     # 1-row sketch x 1-row sketch: each side is one k-element KMV
     # array, the cross join combines exactly two rows
     "sketch_kmv_setops",
+    # corpus dashboard: three single-row scalar aggregates cross-joined
+    "text_corpus_health",
 }
 
 _QUERIES = sorted(entrymod.queries().items())
