@@ -512,6 +512,61 @@ CROSS JOIN nb
 """
 
 
+def q_supplier_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational lag per supplier: order-to-ship latency summary
+    (exact integer-day mean via DIV, exact interpolated p90) with the
+    nation dimension broadcast — the supplier-scorecard query. One
+    fact-fact equi-join on the order key, then a supplier-keyed
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_d")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lag = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_suppkey", F.datediff("ship_d", "order_d").cast("long").alias("lag_d"))
+    )
+    per_supp = lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("CAST(SUM(lag_d) DIV COUNT(1) AS BIGINT)").alias("mean_lag_d"),
+        F.round(F.expr("percentile(lag_d, 0.9)"), 4).alias("p90_lag_d"),
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier), per_supp["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "n_name", "n_lines", "mean_lag_d", "p90_lag_d")
+    )
+
+
+SQL_SUPPLIER_FULFILLMENT_LAG = """
+WITH lag AS (
+    SELECT l.l_suppkey,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_supp AS (
+    SELECT l_suppkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(lag_d) // COUNT(*) AS BIGINT) AS mean_lag_d,
+           ROUND(quantile_cont(lag_d, 0.9), 4) AS p90_lag_d
+    FROM lag GROUP BY l_suppkey
+)
+SELECT s.s_name, n.n_name, p.n_lines, p.mean_lag_d, p.p90_lag_d
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
 def q_stats_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration audit: the Herfindahl-Hirschman index of
     brand share within each part type, in integer micro-units (share
@@ -676,6 +731,7 @@ QUERIES = {
     "orders_market_basket": q_orders_market_basket,
     "stats_benford": q_stats_benford,
     "stats_brand_concentration": q_stats_brand_concentration,
+    "supplier_fulfillment_lag": q_supplier_fulfillment_lag,
     "time_autocorr": q_time_autocorr,
     "join_bloom_prune": q_join_bloom_prune,
     "stats_column_profile": q_stats_column_profile,
@@ -695,6 +751,7 @@ ORACLES = {
     "orders_market_basket": _sql_orders_market_basket(),
     "stats_benford": _sql_stats_benford(),
     "stats_brand_concentration": SQL_STATS_BRAND_CONCENTRATION,
+    "supplier_fulfillment_lag": SQL_SUPPLIER_FULFILLMENT_LAG,
     "time_autocorr": SQL_TIME_AUTOCORR,
     "join_bloom_prune": SQL_JOIN_BLOOM_PRUNE,
     "stats_column_profile": _sql_stats_column_profile(),
