@@ -2708,6 +2708,106 @@ GROUP BY i.doc_id
 """
 
 
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVAL as an oracle-checked query: per probe, the
+    recall@5 of the hyperplane-LSH bucket candidates against the exact
+    brute-force top-5 — the eval harness every approximate index needs
+    before it replaces the exact path, runnable as one query per
+    parameter setting. Exact side = broadcast brute force over 10
+    probes (the allowlisted baseline pattern); candidate side = the
+    capped bucket equi-join; recall is an integer micro-ratio."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    e = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("v")
+    ).withColumn("bucket", S.lsh_bucket(F.col("v")))
+    e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
+    p = e.filter(F.col("vec_id") < 10).alias("p")
+    c = e.alias("c")
+    cand = (
+        p.join(
+            c,
+            (F.col("p.bucket") == F.col("c.bucket"))
+            & (F.col("p.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        hits.join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_LSH_RECALL = f"""
+WITH e0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+    FROM embeddings
+),
+ec AS (
+    SELECT vec_id, v, bucket FROM (
+        SELECT vec_id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS gs FROM e0
+    ) WHERE gs <= {SIM_BUCKET_CAP}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM ec p JOIN ec c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+),
+n_cand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+),
+hits AS (
+    SELECT x.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+)
+SELECT h.query_id, h.n_exact,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hits h LEFT JOIN n_cand n USING (query_id)
+"""
+
+
 def q_text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus duplication dashboard: document count, exact-dup
     share, near-dup cluster count and coverage, and the corpus-mean
@@ -3543,6 +3643,7 @@ QUERIES = {
     "text_quality_ensemble": q_text_quality_ensemble,
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_corpus_health": q_text_corpus_health,
+    "sim_lsh_recall": q_sim_lsh_recall,
 }
 
 ORACLES = {
@@ -3614,4 +3715,5 @@ ORACLES = {
     "text_quality_ensemble": _sql_text_quality_ensemble(),
     "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
     "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
+    "sim_lsh_recall": SQL_SIM_LSH_RECALL,
 }

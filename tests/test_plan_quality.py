@@ -27,7 +27,11 @@ SF = "/root/testdata/sf0.001"
 
 #: Queries whose cross product is the documented intent (broadcast
 #: query-side baselines where the corpus streams map-side).
-CROSS_OK = {"sim_cosine_topk"}
+CROSS_OK = {
+    "sim_cosine_topk",
+    # recall eval's exact side is the same broadcast brute-force baseline
+    "sim_lsh_recall",
+}
 
 #: Scalar-subquery shapes: the nested-loop join's build side is a
 #: broadcast SINGLE-ROW global aggregate (verified in plan) — the
