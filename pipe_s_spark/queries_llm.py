@@ -2808,6 +2808,104 @@ FROM hits h LEFT JOIN n_cand n USING (query_id)
 """
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF counterpart of sim_lsh_recall: recall@5 of the
+    nprobe=2 cell candidates against the exact brute-force top-5, per
+    probe — together the two queries make the standard ANN
+    index-tuning report (bucketed LSH vs partitioned IVF) an
+    oracle-checked artifact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    v = S.as_double_array("embedding")
+    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(S.ivf_probes(v, nprobe=2)).alias("cell"),
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        hits.join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_IVF_RECALL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+n_cand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+),
+hits AS (
+    SELECT x.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+)
+SELECT h.query_id, h.n_exact,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hits h LEFT JOIN n_cand n USING (query_id)
+"""
+
+
 def q_text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus duplication dashboard: document count, exact-dup
     share, near-dup cluster count and coverage, and the corpus-mean
@@ -3644,6 +3742,7 @@ QUERIES = {
     "text_hapax_ratio": q_text_hapax_ratio,
     "text_corpus_health": q_text_corpus_health,
     "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_recall": q_sim_ivf_recall,
 }
 
 ORACLES = {
@@ -3716,4 +3815,5 @@ ORACLES = {
     "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
     "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
+    "sim_ivf_recall": SQL_SIM_IVF_RECALL,
 }

@@ -29,8 +29,9 @@ SF = "/root/testdata/sf0.001"
 #: query-side baselines where the corpus streams map-side).
 CROSS_OK = {
     "sim_cosine_topk",
-    # recall eval's exact side is the same broadcast brute-force baseline
+    # recall evals' exact side is the same broadcast brute-force baseline
     "sim_lsh_recall",
+    "sim_ivf_recall",
 }
 
 #: Scalar-subquery shapes: the nested-loop join's build side is a
