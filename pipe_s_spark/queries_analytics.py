@@ -1139,8 +1139,111 @@ FROM monthly
 """
 
 
+def q_orders_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk signal: per customer, the count of ordering gaps
+    longer than 60 days and the longest gap — the re-engagement
+    trigger list. One lag window PARTITIONED by customer (ordered by
+    date + order key, total), then a customer-keyed rollup; only
+    customers with at least one long gap are emitted."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select("o_custkey", F.datediff("d", "prev_d").cast("long").alias("gap_d"))
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum((F.col("gap_d") > 60).cast("bigint")).alias("n_long_gaps"),
+            F.max("gap_d").alias("max_gap_d"),
+        )
+        .filter(F.col("n_long_gaps") > 0)
+    )
+
+
+SQL_ORDERS_GAP_DETECTION = """
+WITH gaps AS (
+    SELECT o_custkey,
+           CAST(date_diff('day',
+                LAG(CAST(o_orderdate AS DATE)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+    FROM orders
+)
+SELECT o_custkey,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_d > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_gaps,
+       MAX(gap_d) AS max_gap_d
+FROM gaps WHERE gap_d IS NOT NULL
+GROUP BY o_custkey
+HAVING SUM(CASE WHEN gap_d > 60 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_lineitem_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier counts of unit price per return flag
+    — the box-plot robust-outlier rule, complementing the MAD detector
+    on events. Exact interpolated quartiles (order statistics, rounded
+    to 4 so both engines' fences are bit-identical) broadcast back for
+    a single counting pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    qs = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(unit_price, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(unit_price, 0.75)"), 4).alias("q3"),
+    )
+    j = li.join(F.broadcast(qs), "l_returnflag").withColumn(
+        "iqr", F.col("q3") - F.col("q1")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q1").alias("q1"),
+        F.min("q3").alias("q3"),
+        F.sum(
+            (F.col("unit_price") < F.col("q1") - 1.5 * F.col("iqr")).cast("bigint")
+        ).alias("n_low_outliers"),
+        F.sum(
+            (F.col("unit_price") > F.col("q3") + 1.5 * F.col("iqr")).cast("bigint")
+        ).alias("n_high_outliers"),
+    )
+
+
+SQL_LINEITEM_IQR_OUTLIERS = """
+WITH li AS (
+    SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price FROM lineitem
+),
+qs AS (
+    SELECT l_returnflag,
+           ROUND(quantile_cont(unit_price, 0.25), 4) AS q1,
+           ROUND(quantile_cont(unit_price, 0.75), 4) AS q3
+    FROM li GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       COUNT(*) AS n,
+       MIN(qs.q1) AS q1,
+       MIN(qs.q3) AS q3,
+       CAST(SUM(CASE WHEN unit_price < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN unit_price > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM li JOIN qs USING (l_returnflag)
+GROUP BY li.l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "orders_gap_detection": q_orders_gap_detection,
+    "lineitem_iqr_outliers": q_lineitem_iqr_outliers,
     "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
     "stats_regression": q_stats_regression,
@@ -1179,6 +1282,8 @@ ORACLES = {
     "q1_pricing_summary": SQL_Q1,
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
+    "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
+    "lineitem_iqr_outliers": SQL_LINEITEM_IQR_OUTLIERS,
     "stats_regression": SQL_STATS_REGRESSION,
     "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
