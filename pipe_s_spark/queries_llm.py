@@ -3158,6 +3158,56 @@ SELECT v AS doc_id, label AS community FROM {prev}
 """
 
 
+def q_sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning data: the distribution of semantic
+    pair cosines in 0.05 bands (from the materialized >= 0.45 pair
+    table) with per-band same-label agreement — the two columns you
+    plot to pick a dedup threshold (volume vs purity per band)."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    l1 = emb.select(F.col("vec_id").alias("id1"), F.col("label").alias("label1"))
+    l2 = emb.select(F.col("vec_id").alias("id2"), F.col("label").alias("label2"))
+    j = pairs.join(F.broadcast(l1), "id1").join(F.broadcast(l2), "id2")
+    band = F.floor(F.col("cos_sim") * 20).cast("long")  # 0.05-wide bands
+    return (
+        j.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(CAST(label1 = label2 AS BIGINT)) * 1000000"
+                " DIV COUNT(1) AS BIGINT)"
+            ).alias("same_label_x1m"),
+        )
+        .select(
+            "band",
+            F.round(F.col("band") / 20.0, 2).alias("band_lo"),
+            "n_pairs",
+            "same_label_x1m",
+        )
+    )
+
+
+def _sql_sim_pair_histogram() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id1, a.label AS label1, b.vec_id AS id2, b.label AS label2,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+)
+SELECT CAST(FLOOR(cos * 20) AS BIGINT) AS band,
+       ROUND(CAST(FLOOR(cos * 20) AS BIGINT) / 20.0, 2) AS band_lo,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS same_label_x1m
+FROM pairs
+GROUP BY band
+"""
+
+
 def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift by document source: cosine of each
     source's mean embedding against the global mean — the one-query
@@ -3743,6 +3793,7 @@ QUERIES = {
     "text_corpus_health": q_text_corpus_health,
     "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_pair_histogram": q_sim_pair_histogram,
 }
 
 ORACLES = {
@@ -3816,4 +3867,5 @@ ORACLES = {
     "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
+    "sim_pair_histogram": _sql_sim_pair_histogram(),
 }
