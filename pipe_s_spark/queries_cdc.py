@@ -475,9 +475,45 @@ WHERE table_name = 'sbtest1'
 )
 
 
+def q_cdc_op_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily operation-mix trend per replicated table: insert/update/
+    delete counts and the delete share in micro-units — the time-series
+    view of cdc_lag_metrics' aggregate op mix (a delete-share spike on
+    one day is how a bad upstream migration shows up first). One
+    map-side-combinable aggregate over (table, day)."""
+    cl = changelog(spark, sf_dir)
+    day = F.to_date(F.timestamp_millis(F.col("ts_ms")))
+    return cl.groupBy("table_name", day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum((F.col("op") == "insert").cast("bigint")).alias("n_insert"),
+        F.sum((F.col("op") == "update").cast("bigint")).alias("n_update"),
+        F.sum((F.col("op") == "delete").cast("bigint")).alias("n_delete"),
+        F.expr(
+            "CAST(SUM(CAST(op = 'delete' AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("delete_x1m"),
+    )
+
+
+SQL_CDC_OP_TREND = _with_changelog(
+    """
+SELECT table_name,
+       CAST(epoch_ms(ts_ms) AS DATE) AS d,
+       COUNT(*) AS n_ops,
+       CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS delete_x1m
+FROM changelog
+GROUP BY table_name, d
+"""
+)
+
+
 QUERIES = {
     "cdc_filter": q_cdc_filter,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_op_trend": q_cdc_op_trend,
     "cdc_validate": q_cdc_validate,
     "cdc_convert": q_cdc_convert,
     "cdc_map_names": q_cdc_map_names,
@@ -497,6 +533,7 @@ QUERIES = {
 ORACLES = {
     "cdc_filter": SQL_CDC_FILTER,
     "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
+    "cdc_op_trend": SQL_CDC_OP_TREND,
     "cdc_validate": SQL_CDC_VALIDATE,
     "cdc_convert": SQL_CDC_CONVERT,
     "cdc_map_names": SQL_CDC_MAP_NAMES,
