@@ -2967,6 +2967,49 @@ FROM exact CROSS JOIN cl CROSS JOIN chs
 """
 
 
+def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source: Shannon entropy of the lang
+    distribution in integer micro-nats (each (source, lang) cell's
+    -p·ln(p) contribution is quantized once, so the per-source total is
+    an exact BIGINT sum) — sources feeding one language score 0,
+    balanced multilingual feeds score ln(k). The mixture-monitoring
+    stat a multilingual curation run tracks per crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source")
+    with_tot = cells.withColumn("t", F.sum("c").over(w))
+    contrib = with_tot.withColumn(
+        "e_x1m",
+        F.expr(
+            "CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)"
+        ),
+    )
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max("t").alias("n_docs"),
+        F.sum("e_x1m").cast("bigint").alias("lang_entropy_x1m"),
+    )
+
+
+SQL_TEXT_SOURCE_DIVERSITY = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+),
+with_tot AS (
+    SELECT source, lang, c, SUM(c) OVER (PARTITION BY source) AS t FROM cells
+)
+SELECT source,
+       COUNT(*) AS n_langs,
+       CAST(MAX(t) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                           * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                           * 1000000) AS BIGINT)) AS BIGINT) AS lang_entropy_x1m
+FROM with_tot
+GROUP BY source
+"""
+
+
 def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical novelty per document: the share of token INSTANCES that
     are corpus hapax legomena (corpus frequency 1) — high hapax density
@@ -3794,6 +3837,7 @@ QUERIES = {
     "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_recall": q_sim_ivf_recall,
     "sim_pair_histogram": q_sim_pair_histogram,
+    "text_source_diversity": q_text_source_diversity,
 }
 
 ORACLES = {
@@ -3868,4 +3912,5 @@ ORACLES = {
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "sim_pair_histogram": _sql_sim_pair_histogram(),
+    "text_source_diversity": SQL_TEXT_SOURCE_DIVERSITY,
 }
