@@ -1139,6 +1139,47 @@ FROM monthly
 """
 
 
+def q_customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue contribution by market segment: customers, orders, and
+    integer-cent revenue per segment with each segment's micro-share of
+    the total — the mix report a revenue dashboard leads with. One
+    broadcast dim join + one segment rollup; the scalar total is a
+    bounded driver collect inlined as a literal (no scalar cross
+    join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("revenue_x100"),
+    )
+    total = seg.agg(F.sum("revenue_x100")).collect()[0][0]
+    return seg.withColumn(
+        "share_x1m", F.expr(f"CAST(revenue_x100 * 1000000 DIV {total} AS BIGINT)")
+    )
+
+
+SQL_CUSTOMER_SEGMENT_VALUE = """
+WITH seg AS (
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revenue_x100
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+),
+total AS (SELECT SUM(revenue_x100) AS t FROM seg)
+SELECT c_mktsegment, n_customers, n_orders, revenue_x100,
+       CAST(revenue_x100 * 1000000 // MAX(total.t) AS BIGINT) AS share_x1m
+FROM seg CROSS JOIN total
+GROUP BY c_mktsegment, n_customers, n_orders, revenue_x100
+"""
+
+
 def q_orders_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn-risk signal: per customer, the count of ordering gaps
     longer than 60 days and the longest gap — the re-engagement
@@ -1243,6 +1284,7 @@ GROUP BY li.l_returnflag
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "orders_gap_detection": q_orders_gap_detection,
+    "customer_segment_value": q_customer_segment_value,
     "lineitem_iqr_outliers": q_lineitem_iqr_outliers,
     "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
@@ -1283,6 +1325,7 @@ ORACLES = {
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
+    "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
     "lineitem_iqr_outliers": SQL_LINEITEM_IQR_OUTLIERS,
     "stats_regression": SQL_STATS_REGRESSION,
     "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
