@@ -2967,6 +2967,64 @@ FROM exact CROSS JOIN cl CROSS JOIN chs
 """
 
 
+#: Head sizes for the vocabulary coverage curve.
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary compression curve: the share of all token instances
+    covered by the top-K most frequent tokens, for K in
+    VOCAB_COVERAGE_KS — the Zipf-head summary that sizes tokenizer
+    vocabularies and stopword lists. Each head is a TakeOrdered top-K
+    (no global window) over the vocabulary-sized frequency table; the
+    output is |Ks| rows of integer micro-shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c")).collect()[0][0]
+    heads = []
+    for k in VOCAB_COVERAGE_KS:
+        head = (
+            tf.orderBy(F.desc("c"), "term")
+            .limit(k)
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("c").cast("bigint").alias("covered"),
+            )
+        )
+        heads.append(head)
+    out = heads[0]
+    for h in heads[1:]:
+        out = out.unionByName(h)
+    return out.withColumn(
+        "coverage_x1m", F.expr(f"CAST(covered * 1000000 DIV {total} AS BIGINT)")
+    )
+
+
+def _sql_text_vocab_coverage() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k, COUNT(*) AS n_terms,
+       CAST(SUM(c) AS BIGINT) AS covered
+FROM (SELECT c FROM tf ORDER BY c DESC, term LIMIT {k})"""
+        for k in VOCAB_COVERAGE_KS
+    )
+    return f"""
+WITH tok AS (
+    SELECT unnest({TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+total AS (SELECT SUM(c) AS t FROM tf),
+heads AS (
+{arms}
+)
+SELECT k, n_terms, covered,
+       CAST(covered * 1000000 // MAX(total.t) AS BIGINT) AS coverage_x1m
+FROM heads CROSS JOIN total
+GROUP BY k, n_terms, covered
+"""
+
+
 def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mix diversity per source: Shannon entropy of the lang
     distribution in integer micro-nats (each (source, lang) cell's
@@ -3838,6 +3896,7 @@ QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "sim_pair_histogram": q_sim_pair_histogram,
     "text_source_diversity": q_text_source_diversity,
+    "text_vocab_coverage": q_text_vocab_coverage,
 }
 
 ORACLES = {
@@ -3913,4 +3972,5 @@ ORACLES = {
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "sim_pair_histogram": _sql_sim_pair_histogram(),
     "text_source_diversity": SQL_TEXT_SOURCE_DIVERSITY,
+    "text_vocab_coverage": _sql_text_vocab_coverage(),
 }
