@@ -1139,6 +1139,100 @@ FROM monthly
 """
 
 
+def q_customer_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance health per nation: negative-balance share in
+    micro-units, exact median balance, and the integer-cent mean —
+    the receivables-risk cut of the customer dimension. One broadcast
+    dim join + per-nation aggregate (median is an order statistic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("c_acctbal") < 0).cast("bigint")).alias("n_negative"),
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal < 0 AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("negative_x1m"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50_balance"),
+        # exact integer cents; no mean division (negative sums would hit
+        # the truncate-vs-floor integer-division divergence)
+        F.sum((F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("decimal(28,0)"))
+        .cast("bigint")
+        .alias("sum_balance_x100"),
+    )
+
+
+SQL_CUSTOMER_BALANCE_PROFILE = """
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS negative_x1m,
+       ROUND(quantile_cont(c.c_acctbal, 0.5), 4) AS p50_balance,
+       CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(28,0)))
+            AS BIGINT) AS sum_balance_x100
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_part_markup_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-vs-list pricing per brand: the micro-ratio of sold
+    extended price to list price x quantity — where discounting
+    actually lands by brand. Fact-dim broadcast join; numerator and
+    denominator are exact integer cents, so the markup needs no float
+    at all."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    sold_c = F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(28,0)"))
+    list_c = F.sum(
+        (
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+            * 100
+        ).cast("decimal(28,0)")
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            sold_c.cast("bigint").alias("sold_x100"),
+            list_c.cast("bigint").alias("list_x100"),
+        )
+        # BIGINT floor division on positive cents — identical on both
+        # engines (decimal division rounds at engine-specific scales)
+        .withColumn(
+            "realized_x1m",
+            F.expr("CAST(sold_x100 * 1000000 DIV list_x100 AS BIGINT)"),
+        )
+    )
+
+
+SQL_PART_MARKUP_BY_BRAND = """
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS DECIMAL(28,0))) AS BIGINT) AS sold_x100,
+       CAST(SUM(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                     * CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                     AS DECIMAL(28,0))) AS BIGINT) AS list_x100,
+       CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS DECIMAL(28,0))) AS BIGINT)
+            * 1000000
+            // CAST(SUM(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                             * CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(28,0))) AS BIGINT)
+            AS BIGINT) AS realized_x1m
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 def q_customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue contribution by market segment: customers, orders, and
     integer-cent revenue per segment with each segment's micro-share of
@@ -1285,6 +1379,8 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "orders_gap_detection": q_orders_gap_detection,
     "customer_segment_value": q_customer_segment_value,
+    "customer_balance_profile": q_customer_balance_profile,
+    "part_markup_by_brand": q_part_markup_by_brand,
     "lineitem_iqr_outliers": q_lineitem_iqr_outliers,
     "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
@@ -1326,6 +1422,8 @@ ORACLES = {
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
+    "customer_balance_profile": SQL_CUSTOMER_BALANCE_PROFILE,
+    "part_markup_by_brand": SQL_PART_MARKUP_BY_BRAND,
     "lineitem_iqr_outliers": SQL_LINEITEM_IQR_OUTLIERS,
     "stats_regression": SQL_STATS_REGRESSION,
     "join_existence_semi": SQL_JOIN_EXISTENCE_SEMI,
