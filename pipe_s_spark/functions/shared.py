@@ -36,10 +36,23 @@ from collections.abc import Callable, Hashable
 from pyspark.sql import DataFrame, SparkSession
 
 #: Max live entries; each is a narrow checkpointed table (a few MB at
-#: bench scale). FIFO eviction unpersists the evicted RDD.
+#: bench scale). FIFO eviction drops the memo entry but does NOT
+#: unpersist: localCheckpoint truncates lineage, so a caller (or a
+#: derived lazy plan) still holding an evicted handle would fail with
+#: lost-block errors instead of recomputing. Evicted handles park in
+#: ``_evicted`` and are reclaimed by ``clear()`` / session teardown —
+#: safe because every entry is a narrow table of a few MB, and the
+#: registered query surface keeps live keys (~7 per sf_dir) far below
+#: this bound (asserted in tests/test_shared_cache.py).
 MAX_ENTRIES = 32
 
 _memo: OrderedDict[tuple, DataFrame] = OrderedDict()
+#: Evicted-but-possibly-still-referenced checkpoints, reclaimed in clear().
+_evicted: list[DataFrame] = []
+#: Callbacks invoked by clear() — lets sibling driver-side memos
+#: (e.g. the centroid literal-matrix cache) share this module's
+#: teardown hook instead of growing unbounded across sessions.
+_clear_hooks: list[Callable[[], None]] = []
 
 
 def materialized(
@@ -59,19 +72,30 @@ def materialized(
     df = builder().localCheckpoint(eager=True)
     _memo[full_key] = df
     while len(_memo) > MAX_ENTRIES:
+        # Deliberately no unpersist here — see MAX_ENTRIES comment:
+        # an evicted checkpoint may still back a caller's lazy plan.
         _, old = _memo.popitem(last=False)
+        _evicted.append(old)
+    return df
+
+
+def on_clear(hook: Callable[[], None]) -> None:
+    """Register a teardown callback run by :func:`clear` (idempotent)."""
+    if hook not in _clear_hooks:
+        _clear_hooks.append(hook)
+
+
+def clear() -> None:
+    """Drop every memo entry, reclaim evicted checkpoints, and run
+    registered sibling-cache hooks (tests; session teardown)."""
+    while _memo:
+        _, old = _memo.popitem(last=False)
+        _evicted.append(old)
+    while _evicted:
+        old = _evicted.pop()
         try:
             old.unpersist()
         except Exception:  # session may already be stopped
             pass
-    return df
-
-
-def clear() -> None:
-    """Drop every memo entry (tests; session teardown)."""
-    while _memo:
-        _, old = _memo.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    for hook in _clear_hooks:
+        hook()

@@ -9,6 +9,8 @@ summation-order ulps (see functions.similarity docstring).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2977,10 +2979,19 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCAB_COVERAGE_KS — the Zipf-head summary that sizes tokenizer
     vocabularies and stopword lists. Each head is a TakeOrdered top-K
     (no global window) over the vocabulary-sized frequency table; the
-    output is |Ks| rows of integer micro-shares."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(X.tokens("text")).alias("term"))
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    output is |Ks| rows of integer micro-shares.
+
+    The corpus is tokenized ONCE: tf is the vocabulary-sized narrow
+    table functions.shared exists for, so the three heads and the
+    total all read the same checkpointed table instead of four full
+    corpus scans."""
+
+    def _build_tf() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+        return tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+
+    tf = SH.materialized(spark, ("vocab_tf", sf_dir), _build_tf)
     total = tf.agg(F.sum("c")).collect()[0][0]
     heads = []
     for k in VOCAB_COVERAGE_KS:
@@ -3496,7 +3507,13 @@ FROM pairs
 """
 
 
-_centroid_memo: dict[tuple, dict[int, list[float]]] = {}
+#: Bounded per-(session, sf_dir) centroid cache: FIFO-capped so a
+#: long-lived driver process cycling many sessions/sf_dirs cannot
+#: accumulate stale entries, and wired into SH.clear() so session
+#: teardown reclaims it alongside the DataFrame memo.
+_CENTROID_MEMO_MAX = 8
+_centroid_memo: "OrderedDict[tuple, dict[int, list[float]]]" = OrderedDict()
+SH.on_clear(_centroid_memo.clear)
 
 
 def _label_centroids_cached(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
@@ -3526,6 +3543,8 @@ def _label_centroids_cached(spark: SparkSession, sf_dir: str) -> dict[int, list[
         for lab in sorted(by_label)
     }
     _centroid_memo[key] = cents
+    while len(_centroid_memo) > _CENTROID_MEMO_MAX:
+        _centroid_memo.popitem(last=False)
     return cents
 
 

@@ -17,6 +17,7 @@ survives restarts via the checkpoint. Two operators:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -24,6 +25,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _round6_half_up(x: float) -> float:
+    """ROUND(x, 6) with Spark/DuckDB semantics: half-up AWAY FROM
+    ZERO for both signs (plain ``floor(x*1e6+0.5)`` would round
+    negative estimates toward +inf instead)."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def _dedup_fn(
@@ -313,7 +321,6 @@ def apply_streaming_histogram(
     arithmetic replicates the batch expression order exactly, with
     explicit half-up rounding (Python round() is half-even, Spark's
     ROUND is half-up)."""
-    import math
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -338,7 +345,7 @@ def apply_streaming_histogram(
             for b, c in zip(bins, cnts):
                 if cum < t <= cum + c:
                     x = b * bin_width + bin_width * (t - cum) / c
-                    est = math.floor(x * 1e6 + 0.5) / 1e6
+                    est = _round6_half_up(x)
                     break
                 cum += c
             ests.append(est)

@@ -49,6 +49,39 @@ def test_fifo_eviction_bounds_entries(spark):
         SH.clear()
 
 
+def test_evicted_handles_stay_usable(spark):
+    """Eviction must not unpersist: localCheckpoint truncates lineage,
+    so an evicted handle a caller still holds cannot recompute — it
+    must keep answering until clear()/teardown reclaims it."""
+    SH.clear()
+    old_max = SH.MAX_ENTRIES
+    SH.MAX_ENTRIES = 2
+    try:
+        held = SH.materialized(spark, ("hold", 0), lambda: spark.range(7))
+        for i in range(1, 4):
+            SH.materialized(spark, ("hold", i), lambda i=i: spark.range(i))
+        assert len(SH._memo) == 2  # ("hold", 0) evicted
+        assert held.count() == 7  # evicted handle still answers
+        assert len(SH._evicted) >= 1
+    finally:
+        SH.MAX_ENTRIES = old_max
+        SH.clear()
+        assert not SH._evicted
+
+
+def test_on_clear_hook_runs_and_is_idempotent(spark):
+    side = {"n": 0}
+
+    def hook():
+        side["n"] += 1
+
+    SH.on_clear(hook)
+    SH.on_clear(hook)  # duplicate registration is a no-op
+    SH.clear()
+    assert side["n"] == 1
+    SH._clear_hooks.remove(hook)
+
+
 def test_result_is_checkpointed(spark):
     df = SH.materialized(spark, ("chk",), lambda: spark.range(3))
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -918,6 +918,21 @@ def test_streaming_topk_legacy_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_round6_half_up_matches_engine_round_for_negatives(spark):
+    """The histogram sketch's rounding helper must match Spark ROUND
+    half-up-away-from-zero on BOTH signs (a plain floor(x*1e6+0.5)
+    rounds negatives toward +inf)."""
+    from pipe_s_spark.streaming.stateful import _round6_half_up
+
+    vals = [1.2345675, -1.2345675, -0.0000005, 0.0000005, -1.9999995, 2.5e-7]
+    got = [_round6_half_up(v) for v in vals]
+    rows = spark.createDataFrame([(v,) for v in vals], "x double").selectExpr(
+        "round(x, 6) AS r"
+    )
+    want = [r["r"] for r in rows.collect()]
+    assert got == want, (got, want)
+
+
 def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
     """Streaming histogram sketch: two micro-batches of events, final
     per-key emission must equal the BATCH histogram_quantiles sketch

@@ -28,6 +28,12 @@ def main() -> int:
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
+    if not common or t_old == 0:
+        print(
+            f"no comparable data: {len(common)} common queries, "
+            f"old total {t_old:.1f}s — artifacts are disjoint or zero-time"
+        )
+        return 1
     print(
         f"common queries: {len(common)}  old={t_old:.1f}s new={t_new:.1f}s "
         f"ratio={t_new / t_old:.2f}"
