@@ -113,7 +113,12 @@ GROUP BY t.tier_id
 
 
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of order value per status."""
+    """Exact linear-interpolation percentiles of order value per status.
+
+    Deliberately the NAIVE builtin form (per-group value buffer in
+    executor memory) kept as the baseline; `percentiles_distributed`
+    is the bounded-memory twin — same math, two-shuffle shape — that
+    fact-table-sized groups must use (see functions.quantile)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
@@ -129,6 +134,39 @@ SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders
 GROUP BY o_orderstatus
+"""
+
+
+def q_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles via the BOUNDED-MEMORY distributed
+    algorithm (functions.quantile.dquantiles): per-distinct-value
+    counts + a partitioned cumulative window + one interpolating
+    aggregate — no per-group value buffer anywhere, unlike the builtin
+    ``percentile()`` which holds every group value in executor memory
+    and cannot survive a billion-row group. The ORACLE is the plain
+    ``quantile_cont``: like the salted-skew queries, the scale-hardened
+    rewrite must be result-indistinguishable from the naive form."""
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dquantiles(
+        li,
+        keys=["l_returnflag"],
+        value_col="l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.9),
+        aliases=("p25", "p50", "p75", "p90"),
+        round_to=4,
+    )
+
+
+SQL_PERCENTILES_DISTRIBUTED = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90
+FROM lineitem
+GROUP BY l_returnflag
 """
 
 
@@ -441,17 +479,27 @@ BASKET_CAP = 50
 def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the 20 part pairs most often bought
     together, with support counts and integer-micro-unit LIFT. Same
-    shuffle-minimal shape as the dedup posting lists: one groupBy
-    builds each order's (capped, sorted) item set, pairs generate
-    NARROWLY from the array (no self-join of lineitem), one pair
-    groupBy counts. Per-item supports join back onto the tiny top-k."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    supports = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    n_baskets = li.select("l_orderkey").distinct().count()
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-        .filter((F.size("items") >= 2) & (F.size("items") <= BASKET_CAP))
+    shuffle-minimal shape as the dedup posting lists: ONE groupBy
+    builds each order's sorted item set (collect_set dedups, so no
+    separate distinct shuffle), and supports, the basket count, and
+    the pair counts all derive from that one aggregate — the three
+    branches share an identical scan+shuffle subplan, so ReuseExchange
+    runs it once per action instead of three scans + a separate
+    count() job. Pairs generate NARROWLY from the (capped) array (no
+    self-join of lineitem); the basket total rides along as a
+    broadcast single-row aggregate instead of a driver literal."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets_all = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    supports = (
+        baskets_all.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    nb = baskets_all.agg(F.count(F.lit(1)).alias("n_baskets"))
+    baskets = baskets_all.filter(
+        (F.size("items") >= 2) & (F.size("items") <= BASKET_CAP)
     )
     x = baskets.select(F.posexplode("items").alias("i", "p1"), "items")
     pairs = x.select(
@@ -469,11 +517,12 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.join(F.broadcast(s1), "p1")
         .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(nb))
         .select(
             "p1",
             "p2",
             "n_together",
-            F.expr(f"CAST(n_together * {n_baskets} * 1000000 DIV (s1 * s2) AS BIGINT)")
+            F.expr("CAST(n_together * n_baskets * 1000000 DIV (s1 * s2) AS BIGINT)")
             .alias("lift_x1m"),
         )
     )
@@ -740,6 +789,7 @@ QUERIES = {
     "range_join_price_bands": q_range_join_price_bands,
     "range_join_explode_quantity": q_range_join_explode_quantity,
     "percentiles_exact": q_percentiles_exact,
+    "percentiles_distributed": q_percentiles_distributed,
     "stats_agg": q_stats_agg,
     "window_dist_funcs": q_window_dist_funcs,
 }
@@ -760,6 +810,7 @@ ORACLES = {
     "range_join_price_bands": SQL_RANGE_BANDS,
     "range_join_explode_quantity": SQL_RANGE_EXPLODE,
     "percentiles_exact": SQL_PERCENTILES,
+    "percentiles_distributed": SQL_PERCENTILES_DISTRIBUTED,
     "stats_agg": SQL_STATS,
     "window_dist_funcs": SQL_WINDOW_DIST,
 }

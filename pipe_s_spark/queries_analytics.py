@@ -1332,9 +1332,14 @@ def q_lineitem_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    qs = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(unit_price, 0.25)"), 4).alias("q1"),
-        F.round(F.expr("percentile(unit_price, 0.75)"), 4).alias("q3"),
+    # dquantiles, not percentile(): 3 groups x the whole fact table is
+    # exactly the shape where the builtin's per-group value buffer
+    # OOMs at scale; the distributed form is bit-identical (see
+    # functions.quantile / percentiles_distributed).
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    qs = dquantiles(
+        li, ["l_returnflag"], "unit_price", (0.25, 0.75), aliases=("q1", "q3")
     )
     j = li.join(F.broadcast(qs), "l_returnflag").withColumn(
         "iqr", F.col("q3") - F.col("q1")

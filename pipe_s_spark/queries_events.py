@@ -314,9 +314,13 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregation — two small shuffles total, no
     window over the raw rows."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    stats = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.01)"), 4).alias("p01"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    # dquantiles, not percentile(): whole-table values into a handful
+    # of groups is the per-group-buffer OOM shape at scale (see
+    # functions.quantile); bit-identical to the builtin.
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    stats = dquantiles(
+        ev, ["event_type"], "value", (0.01, 0.99), aliases=("p01", "p99")
     )
     clipped = ev.join(F.broadcast(stats), "event_type").withColumn(
         "v_w", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
@@ -365,17 +369,25 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation, deterministic on both engines) rounded to 4 so the
     5xMAD threshold is bit-identical; the flag pass is a narrow
     broadcast-join + filter."""
+    from pipe_s_spark.functions.quantile import dquantiles
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
-    )
+    # both medians via the bounded-memory distributed quantile (the
+    # builtin percentile() buffers every group value; see
+    # functions.quantile) — bit-identical results
+    med = dquantiles(ev, ["event_type"], "value", (0.5,), aliases=("med",))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.min("med").alias("med"),
-        F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
-        F.count(F.lit(1)).alias("n"),
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.min("med").alias("med"), F.count(F.lit(1)).alias("n"))
+        .join(
+            F.broadcast(
+                dquantiles(dev, ["event_type"], "adev", (0.5,), aliases=("mad",))
+            ),
+            "event_type",
+        )
     )
     flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(

@@ -727,3 +727,53 @@ def test_pagerank_int_matches_python_replica_random_graphs(spark):
         want = replica(weighted)
         assert got == want
         assert all(0 < v <= SCALE for v in got.values())
+
+
+def test_dquantiles_matches_builtin_percentile(spark):
+    """functions.quantile.dquantiles (bounded-memory two-shuffle form)
+    must reproduce the builtin in-memory percentile() exactly —
+    including duplicate-heavy, negative, and single-row groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(rng.randint(1, 400)):
+            # duplicates on purpose: quantize to .5 steps
+            rows.append((g, round(rng.uniform(-50, 50) * 2) / 2))
+    rows.append(("solo", 3.25))  # n=1 group: every quantile = the value
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = {
+        r["k"]: tuple(r[f"q{i}"] for i in range(len(qs)))
+        for r in dquantiles(
+            df, ["k"], "v", qs, aliases=[f"q{i}" for i in range(len(qs))], round_to=6
+        ).collect()
+    }
+    want = {
+        r["k"]: tuple(r[f"q{i}"] for i in range(len(qs)))
+        for r in df.groupBy("k")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(v, {q})"), 6).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_dquantiles_ignores_nulls(spark):
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)], "k string, v double"
+    )
+    out = {r["k"]: r["p50"] for r in dquantiles(df, ["k"], "v", (0.5,)).collect()}
+    assert out["a"] == 2.0
+    assert "b" not in out or out["b"] is None
