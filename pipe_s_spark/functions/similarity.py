@@ -559,3 +559,46 @@ def lsh_candidates_multi(
         "id2",
         F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def sq8_bounds(emb: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension global (min, max) of the corpus — the "trained"
+    parameters of the int8 scalar quantizer. An O(dim) metadata collect
+    (same driver-side literal pattern as the IVF centroid matrix): the
+    aggregation itself is a narrow posexplode + groupBy(pos) with
+    map-side combine, so the corpus never shuffles by row."""
+    ex = emb.select(F.posexplode(as_double_array(vec_col)).alias("pos", "x"))
+    rows = sorted(
+        ex.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi")).collect(),
+        key=lambda r: r["pos"],
+    )
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def sq8_quantize(vec: Column, lo: list, hi: list) -> Column:
+    """int8 scalar quantization: q[i] = floor((x - lo[i]) * scale[i]
+    + 0.5) with scale[i] = 255/(hi-lo) (0 for constant dims), mapping
+    each component onto 0..255. All arithmetic is plain IEEE double →
+    the oracle reproduces the codes bit-for-bit; the quantized dot
+    product downstream is pure int64 math, so candidate ranking has NO
+    float-comparison hazard at all. Memory: 64 bytes/vec instead of
+    512 — the difference between an in-RAM and a spilled ANN index at
+    corpus scale."""
+    scale = [255.0 / (h - l) if h > l else 0.0 for l, h in zip(lo, hi)]
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    sc_arr = F.array(*[F.lit(v) for v in scale])
+    return F.transform(
+        vec,
+        lambda x, i: F.floor(
+            (x - F.element_at(lo_arr, i + 1)) * F.element_at(sc_arr, i + 1) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int-code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

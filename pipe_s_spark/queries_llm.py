@@ -2908,6 +2908,212 @@ FROM hits h LEFT JOIN n_cand n USING (query_id)
 """
 
 
+def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION eval: recall@5 of top-5-by-quantized-
+    dot-product against the exact brute-force cosine top-5, per probe —
+    the third leg of the ANN tuning report (LSH buckets / IVF cells /
+    compressed codes). Per-dimension global min/max "train" the
+    quantizer (an O(dim) metadata collect, like the IVF centroid
+    matrix); each vector becomes 64 one-byte codes — 8x smaller than
+    float64, which at corpus scale is the difference between an in-RAM
+    and a spilled index. The quantized ranking is PURE int64 dot
+    products: no float comparisons anywhere in the candidate order, so
+    the top-5 is deterministic by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    lo, hi = S.sq8_bounds(emb)
+    e = emb.select("vec_id", S.sq8_quantize(S.as_double_array("embedding"), lo, hi).alias("qv"))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.int_dot(F.col("qv"), F.col("pv")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    approx = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_SQ8_RECALL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+    SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+    FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+),
+dimsc AS (
+    SELECT i, lo, CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END AS sc
+    FROM dims
+),
+qe AS (
+    SELECT e.vec_id, d.i,
+           CAST(FLOOR((e.v[d.i] - d.lo) * d.sc + 0.5) AS BIGINT) AS q
+    FROM e CROSS JOIN dimsc d
+),
+scores AS (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(p.q * c.q) AS qdot
+    FROM qe p JOIN qe c ON p.i = c.i AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+    GROUP BY p.vec_id, c.vec_id
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rk
+        FROM scores
+    ) WHERE rk <= 5
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+exact_scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({{cos}}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM exact_scored
+    ) WHERE rk <= 5
+)
+SELECT x.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_x1m
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""".replace("{cos}", S.cosine_sql("q.v", "e.v"))
+
+
+#: Candidate pool size for the SQ8 serving path (re-ranked exactly).
+SQ8_CAND_K = 50
+
+
+def q_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SERVING path: candidates = top-SQ8_CAND_K by int8 quantized
+    dot product (pure int64 ranking — deterministic with no float
+    anywhere), then EXACT cosine re-rank of only those candidates to
+    top-5. This is the standard compressed-index serving shape
+    (quantized scan for recall, exact re-rank for precision): the full
+    corpus is touched only through 64-byte codes; the 512-byte float
+    vectors are fetched for SQ8_CAND_K rows per query via an equi-join
+    — at corpus scale that is the difference between streaming the
+    whole corpus and reading k rows per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = S.sq8_bounds(emb)
+    e = emb.select("vec_id", S.sq8_quantize(S.as_double_array("embedding"), lo, hi).alias("qv"))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.int_dot(F.col("qv"), F.col("pv")).alias("qdot"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    cand = (
+        scored.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= SQ8_CAND_K)
+        .select("query_id", "neighbor_id")
+    )
+    ev = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    rer = (
+        cand.join(ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+SQL_SIM_SQ8_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+    SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+    FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+),
+dimsc AS (
+    SELECT i, lo, CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END AS sc
+    FROM dims
+),
+qe AS (
+    SELECT e.vec_id, d.i,
+           CAST(FLOOR((e.v[d.i] - d.lo) * d.sc + 0.5) AS BIGINT) AS q
+    FROM e CROSS JOIN dimsc d
+),
+scores AS (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(p.q * c.q) AS qdot
+    FROM qe p JOIN qe c ON p.i = c.i AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+    GROUP BY p.vec_id, c.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS crk
+        FROM scores
+    ) WHERE crk <= {SQ8_CAND_K}
+),
+rer AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND({{cos}}, 6) AS cos_sim
+    FROM cand
+    JOIN e q ON q.vec_id = cand.query_id
+    JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM rer
+) WHERE rk <= 5
+""".replace("{cos}", S.cosine_sql("q.v", "c.v"))
+
+
 def q_text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus duplication dashboard: document count, exact-dup
     share, near-dup cluster count and coverage, and the corpus-mean
@@ -2973,6 +3179,19 @@ FROM exact CROSS JOIN cl CROSS JOIN chs
 VOCAB_COVERAGE_KS = (10, 100, 1000)
 
 
+def _vocab_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency table ``(term, c)`` — vocabulary-sized,
+    session-materialized so every vocabulary consumer (coverage curve,
+    BPE merge counting) tokenizes the corpus exactly once."""
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(F.explode(X.tokens("text")).alias("term"))
+        return tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+
+    return SH.materialized(spark, ("vocab_tf", sf_dir), _build)
+
+
 def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary compression curve: the share of all token instances
     covered by the top-K most frequent tokens, for K in
@@ -2985,13 +3204,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table functions.shared exists for, so the three heads and the
     total all read the same checkpointed table instead of four full
     corpus scans."""
-
-    def _build_tf() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        tok = docs.select(F.explode(X.tokens("text")).alias("term"))
-        return tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-
-    tf = SH.materialized(spark, ("vocab_tf", sf_dir), _build_tf)
+    tf = _vocab_tf(spark, sf_dir)
     total = tf.agg(F.sum("c")).collect()[0][0]
     heads = []
     for k in VOCAB_COVERAGE_KS:
@@ -3033,6 +3246,112 @@ SELECT k, n_terms, covered,
        CAST(covered * 1000000 // MAX(total.t) AS BIGINT) AS coverage_x1m
 FROM heads CROSS JOIN total
 GROUP BY k, n_terms, covered
+"""
+
+
+def q_text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step one: the 20 adjacent CHARACTER
+    pairs with the highest corpus frequency — exactly the candidate
+    table byte-pair-encoding's first merge rule is chosen from (Sennrich
+    et al. 2016: count symbol pairs over word frequencies, merge the
+    max). Runs entirely over the session-materialized vocabulary-sized
+    tf table — pair generation is a narrow explode of word POSITIONS
+    weighted by word frequency, so the corpus itself is never
+    re-tokenized and nothing here scales with corpus rows, only with
+    vocabulary size."""
+    tf = _vocab_tf(spark, sf_dir)
+    x = tf.filter(F.length("term") >= 2).select(
+        "term", "c", F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i")
+    )
+    pairs = x.select(
+        "c",
+        F.expr("substr(term, i, 1)").alias("c1"),
+        F.expr("substr(term, i + 1, 1)").alias("c2"),
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.sum("c").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "c1", "c2")
+        .limit(20)
+    )
+
+
+SQL_TEXT_BPE_FIRST_MERGES = f"""
+WITH tok AS (
+    SELECT unnest({{toks}}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+pairs AS (
+    SELECT substr(term, i, 1) AS c1, substr(term, i + 1, 1) AS c2, c
+    FROM tf, LATERAL (SELECT unnest(range(1, length(term))) AS i)
+    WHERE length(term) >= 2
+)
+SELECT c1, c2, CAST(SUM(c) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY c1, c2
+ORDER BY n_occurrences DESC, c1, c2
+LIMIT 20
+""".replace("{toks}", TOKS_SQL)
+
+
+def q_text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights: per source,
+    w(alpha) = n^alpha / sum(n^alpha) for alpha in {1, 0.5, 0.25} —
+    the standard smoothing family for corpus sampling (alpha=1 is
+    proportional, lower alpha up-weights small domains; the same
+    exponent family multilingual-corpus samplers use). Determinism per
+    the exact.py float policy: alpha=1 is pure integer DIV; the sqrt
+    arms go through DECIMAL(30,12) partial sums (order-independent)
+    with one final IEEE division, so both engines agree bit-exactly.
+    One groupBy over a domain-count table of O(sources) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = F.col("n_docs").cast("double")
+    arms = counts.select(
+        "source",
+        "n_docs",
+        F.sqrt(n).cast("decimal(30,12)").alias("w50"),
+        F.sqrt(F.sqrt(n)).cast("decimal(30,12)").alias("w25"),
+    )
+    tot = arms.agg(
+        F.sum("n_docs").alias("t1"),
+        F.sum("w50").alias("t50"),
+        F.sum("w25").alias("t25"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV t1 AS BIGINT)").alias("w_prop_x1m"),
+            F.round(
+                F.col("w50").cast("double") / F.col("t50").cast("double") * 1e6, 0
+            ).cast("bigint").alias("w_sqrt_x1m"),
+            F.round(
+                F.col("w25").cast("double") / F.col("t25").cast("double") * 1e6, 0
+            ).cast("bigint").alias("w_qrt_x1m"),
+        )
+    )
+
+
+SQL_TEXT_MIX_WEIGHTS = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+arms AS (
+    SELECT source, n_docs,
+           CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,12)) AS w50,
+           CAST(sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS DECIMAL(30,12)) AS w25
+    FROM counts
+),
+tot AS (SELECT SUM(n_docs) AS t1, SUM(w50) AS t50, SUM(w25) AS t25 FROM arms)
+SELECT source, n_docs,
+       CAST(n_docs * 1000000 // t1 AS BIGINT) AS w_prop_x1m,
+       CAST(ROUND(CAST(w50 AS DOUBLE) / CAST(t50 AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS w_sqrt_x1m,
+       CAST(ROUND(CAST(w25 AS DOUBLE) / CAST(t25 AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS w_qrt_x1m
+FROM arms CROSS JOIN tot
 """
 
 
@@ -3913,9 +4232,13 @@ QUERIES = {
     "text_corpus_health": q_text_corpus_health,
     "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_sq8_recall": q_sim_sq8_recall,
+    "sim_sq8_topk": q_sim_sq8_topk,
     "sim_pair_histogram": q_sim_pair_histogram,
     "text_source_diversity": q_text_source_diversity,
     "text_vocab_coverage": q_text_vocab_coverage,
+    "text_bpe_first_merges": q_text_bpe_first_merges,
+    "text_mix_weights": q_text_mix_weights,
 }
 
 ORACLES = {
@@ -3989,7 +4312,11 @@ ORACLES = {
     "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
+    "sim_sq8_recall": SQL_SIM_SQ8_RECALL,
+    "sim_sq8_topk": SQL_SIM_SQ8_TOPK,
     "sim_pair_histogram": _sql_sim_pair_histogram(),
     "text_source_diversity": SQL_TEXT_SOURCE_DIVERSITY,
     "text_vocab_coverage": _sql_text_vocab_coverage(),
+    "text_bpe_first_merges": SQL_TEXT_BPE_FIRST_MERGES,
+    "text_mix_weights": SQL_TEXT_MIX_WEIGHTS,
 }

@@ -32,6 +32,10 @@ CROSS_OK = {
     # recall evals' exact side is the same broadcast brute-force baseline
     "sim_lsh_recall",
     "sim_ivf_recall",
+    # sq8 eval: quantized ranking is the same broadcast brute-force
+    # baseline (the compressed-codes leg of the ANN tuning report)
+    "sim_sq8_recall",
+    "sim_sq8_topk",
 }
 
 #: Scalar-subquery shapes: the nested-loop join's build side is a
@@ -58,6 +62,11 @@ SCALAR_OK = {
     "sketch_kmv_setops",
     # corpus dashboard: three single-row scalar aggregates cross-joined
     "text_corpus_health",
+    # basket total: crossJoin(broadcast(1-row count)) — the lift
+    # denominator, derived from the same reused basket exchange
+    "orders_market_basket",
+    # mixture-weight denominators: crossJoin(broadcast(1-row sums))
+    "text_mix_weights",
 }
 
 _QUERIES = sorted(entrymod.queries().items())
