@@ -1046,3 +1046,129 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
         assert got[k] == v, (k, got[k], v)
     for k, v in got.items():
         assert want.get(k, 0) == v, (k, v)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream event-time interval join: purchases attributed to
+    same-user clicks within the preceding hour, fed as two 2-file
+    streams — the union of all emitted batches must equal the batch
+    join over the full tables (generous watermark: nothing evicted
+    before its partner can arrive)."""
+    import pandas as pd
+
+    from pipe_s_spark.streaming.joins import stream_stream_interval_join
+
+    ev = load_table(spark, SF, "events")
+    # watermarks require TIMESTAMP (session pins UTC, so the NTZ cast
+    # is stable)
+    ts = F.col("ts").cast("timestamp")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("uid"), ts.alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("uid"), ts.alias("c_ts")
+    )
+
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in purchases.join(clicks, "uid")
+        .filter(
+            (F.col("c_ts") >= F.expr("p_ts - INTERVAL 3600 SECONDS"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .collect()
+    }
+    assert want  # sanity: the synthetic stream does produce matches
+
+    def _spool(df, name):
+        d = tmp_path / name
+        d.mkdir()
+        pdf = df.toPandas()
+        for c in pdf.columns:  # tz-aware so pyarrow writes TIMESTAMP
+            if pdf[c].dtype.kind == "M":  # (isAdjustedToUTC), matching
+                pdf[c] = pdf[c].dt.tz_localize("UTC")  # the stream schema
+        half = len(pdf) // 2
+        pdf.iloc[:half].to_parquet(
+            d / "a.parquet", index=False, coerce_timestamps="us"
+        )
+        pdf.iloc[half:].to_parquet(
+            d / "b.parquet", index=False, coerce_timestamps="us"
+        )
+        os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+        os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    ps = _spool(purchases, "purch")
+    cs = _spool(clicks, "click")
+    joined = stream_stream_interval_join(
+        ps,
+        cs,
+        on="uid",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=-3600,
+        upper_s=0,
+        watermark_s=100 * 24 * 3600,
+    )
+    results: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: results.append(df.toPandas())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    got = {(r.p_id, r.c_id) for r in allr.itertuples()}
+    assert got == want
+    # exactly-once per pair: no batch emitted a duplicate
+    assert len(allr) == len(got)
+
+
+def test_dedup_within_watermark_drops_replayed_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark wrapper: a second file replaying
+    the same rows (an at-least-once retry burst) must be fully
+    suppressed — output equals the distinct of the first file."""
+    import pandas as pd
+
+    from pipe_s_spark.streaming.joins import dedup_within_watermark
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+        .limit(200)
+    )
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    pdf.to_parquet(d / "a.parquet", index=False, coerce_timestamps="us")
+    pdf.to_parquet(d / "b.parquet", index=False, coerce_timestamps="us")  # exact replay
+    os.utime(d / "a.parquet", (1_600_000_000, 1_600_000_000))
+    os.utime(d / "b.parquet", (1_600_000_100, 1_600_000_100))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = dedup_within_watermark(
+        stream, ["event_id"], "ts", watermark_s=100 * 24 * 3600
+    )
+    results: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: results.append(df.toPandas()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    allr = pd.concat([r for r in results if len(r)], ignore_index=True)
+    assert sorted(allr["event_id"]) == sorted(pdf["event_id"].unique())
