@@ -694,6 +694,60 @@ SELECT d1, d2, est_jaccard FROM sims
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: candidate pairs for an ARRIVING BATCH
+    (doc_id % 5 == 4 plays the new-arrivals role) against the existing
+    corpus — only pairs touching at least one new document. The batch
+    band table equi-joins the full band table (in production the
+    corpus side is the PERSISTED band/signature parquet this session's
+    materialized tables stand in for), so per-ingest cost scales with
+    the batch, never the corpus — the shape that makes continuous
+    dedup affordable at 100 TB. The oracle is the full-recompute pair
+    table restricted to new-doc pairs: incremental must be
+    result-identical to recompute."""
+    sig = _minhash_sig_cached(spark, sf_dir)
+    bands = D.cap_group_size(
+        D.lsh_bands(sig, "doc_id", _MINHASH_N, _MINHASH_BANDS),
+        ["band_id", "band_sig"],
+        LSH_BAND_CAP,
+    )
+    new_bands = bands.filter(F.col("doc_id") % 5 == 4).alias("a")
+    all_bands = bands.alias("b")
+    cand = (
+        new_bands.join(
+            all_bands,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_N)
+    )
+    return (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1", "d2", F.round(matches / F.lit(float(_MINHASH_N)), 6).alias("est_jaccard")
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_MINHASH_SIMS_CTES}
+SELECT d1, d2, est_jaccard FROM sims
+WHERE d1 % 5 = 4 OR d2 % 5 = 4
+"""
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup verify stage: MinHash-LSH candidate pairs verified
     by TRUE edit distance (JVM-native levenshtein on both engines) over
@@ -4179,6 +4233,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4259,6 +4314,7 @@ ORACLES = {
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_cross_corpus": SQL_DEDUP_CROSS_CORPUS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
