@@ -120,6 +120,21 @@ def _p_unmarshal(cfg: Mapping[str, Any]) -> Transform:
     return unmarshal_json(cfg["schema"], cfg.get("inCol", "value"))
 
 
+@register_processor("sql")
+def _p_sql(cfg: Mapping[str, Any]) -> Transform:
+    """Arbitrary Spark SQL over the piped DataFrame, referenced as
+    ``__input__`` — the escape hatch that lets a JSON pipeline express
+    any transform the library hasn't wrapped (Catalyst still plans
+    it, so pushdown/pruning apply as usual)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        view = cfg.get("view", "__input__")
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(cfg["query"])
+
+    return t
+
+
 @register_processor("compact")
 def _p_compact(cfg: Mapping[str, Any]) -> Transform:
     def t(df: DataFrame) -> DataFrame:

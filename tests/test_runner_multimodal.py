@@ -381,3 +381,27 @@ def test_runner_jsonl_output(spark, tmp_path):
         },
     ).count()
     assert len(rows) == want and "doc_id" in rows[0]
+
+
+def test_runner_sql_processor(spark):
+    """The `sql` processor applies arbitrary Spark SQL to the piped
+    DataFrame (exposed as __input__), composing with other steps."""
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [
+            {
+                "Type": "sql",
+                "Config": {
+                    "query": "SELECT event_type, COUNT(*) AS n FROM __input__ "
+                    "GROUP BY event_type"
+                },
+            },
+            {
+                "Type": "sql",
+                "Config": {"query": "SELECT event_type FROM __input__ WHERE n > 0"},
+            },
+        ],
+    }
+    df = run_pipeline(spark, spec)
+    types = sorted(r.event_type for r in df.collect())
+    assert types and types == sorted(set(types))
