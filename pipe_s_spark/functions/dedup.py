@@ -457,3 +457,70 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("v"), F.col("label").alias("component"))
+
+
+def tfidf_cosine_pairs(
+    sh: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    df_cap: int = 100,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """IDF-weighted cosine similarity pairs over distinct-shingle sets
+    — the SPARSE-vector leg between set-overlap dedup (jaccard_pairs:
+    every shingle counts equally) and dense-embedding cosine: a shared
+    RARE shingle is strong evidence of duplication, a shared common one
+    almost none, and idf^2 weighting encodes exactly that.
+
+    Same df-capped inverted-list core as :func:`jaccard_pairs` (two
+    shuffles, narrow pair generation, fan-out <= C(df_cap, 2) per
+    shingle). Determinism: idf is quantized to integer milli-nats ONCE
+    per shingle (the text_surprisal pattern), so dot products and
+    squared norms are exact BIGINT sums — the only floats are two
+    sqrts and one division at the very end, rounded to 6.
+    """
+    inv = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+        .withColumn(
+            "idf_x1k",
+            F.expr(
+                f"CAST(ROUND(LN(CAST({n_docs} AS DOUBLE) / CAST(size(docs) AS DOUBLE))"
+                " * 1000) AS BIGINT)"
+            ),
+        )
+        .withColumn("idf2", F.col("idf_x1k") * F.col("idf_x1k"))
+    )
+    norms = (
+        inv.select(F.explode("docs").alias("d"), "idf2")
+        .groupBy("d")
+        .agg(F.sum("idf2").alias("nrm2"))
+        .filter(F.col("nrm2") > 0)
+    )
+    x = inv.select(F.posexplode("docs").alias("i", "d1"), "docs", "idf2")
+    dots = (
+        x.select(
+            "d1",
+            F.explode(F.slice(F.col("docs"), F.col("i") + F.lit(2), F.size("docs"))).alias("d2"),
+            "idf2",
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum("idf2").alias("dot"))
+    )
+    n1 = norms.select(F.col("d").alias("d1"), F.col("nrm2").alias("nrm1"))
+    n2 = norms.select(F.col("d").alias("d2"), F.col("nrm2").alias("nrm2"))
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nrm1").cast("double")) * F.sqrt(F.col("nrm2").cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

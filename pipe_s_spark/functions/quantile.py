@@ -1,26 +1,37 @@
-"""Distributed EXACT interpolated quantiles with bounded memory.
+"""Distributed EXACT interpolated quantiles with bounded memory AND
+bounded-skew parallelism.
 
 Spark's built-in ``percentile()`` aggregate is exact but buffers every
 value of a group in executor memory (an ObjectHashAggregate over an
 OpenHashMap) — fine at bench scale, an OOM at 100 TB where one group
 can hold billions of rows. This module computes the SAME interpolated
-order statistic out of two shuffles whose per-task state is bounded:
+order statistic from counting passes whose per-task state is bounded:
 
 1. ``groupBy(keys, value)`` — per-distinct-value counts (map-side
    combine collapses each task's contribution before the shuffle; the
    shuffled relation is one row per DISTINCT value, not per row);
-2. a ``partitionBy(keys)`` ordered window computes cumulative counts
-   (sort-based, spillable), after which the row covering each target
-   rank is selected with a narrow filter and one final ``groupBy(keys)``
-   interpolates ``v_lo + frac * (v_hi - v_lo)`` — the formula both
-   Spark ``percentile`` and DuckDB ``quantile_cont`` use, so results
-   are bit-compatible with the in-memory builtin (asserted in
+2. each distinct value is assigned a RANGE BUCKET (monotone in the
+   value, boundaries from a cheap per-key min/max), per-bucket totals
+   are prefix-summed over the ≤NUM_BUCKETS rows per key, and the
+   within-bucket cumulative window partitions by ``(keys, bucket)`` —
+   so the sort parallelism is keys x buckets, not keys. A 3-group
+   fact-table quantile would otherwise serialize each group's distinct
+   values through ONE reducer (exactly the single-reducer shape
+   tests/test_plan_quality.py bans for global windows);
+3. the row covering each target rank is selected with a narrow filter
+   and one final ``groupBy(keys)`` interpolates
+   ``v_lo + frac * (v_hi - v_lo)`` — the formula both Spark
+   ``percentile`` and DuckDB ``quantile_cont`` use, so results are
+   bit-compatible with the in-memory builtin (asserted in
    tests/test_operators.py and by the ``percentiles_distributed``
    oracle, whose DuckDB side is the plain ``quantile_cont``).
 
-This is the quantile analog of operators.skew.salted_agg: a
-scale-hardened rewrite whose output must be indistinguishable from the
-naive form.
+Bucketing only affects PARTITIONING, never results: the bucket id is
+monotone in the value, all rank arithmetic is integer, and the values
+interpolated are untouched — the decomposition is exact by
+construction. This is the quantile analog of operators.skew.salted_agg:
+a scale-hardened rewrite whose output must be indistinguishable from
+the naive form.
 """
 
 from __future__ import annotations
@@ -30,6 +41,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: Range buckets per key group: parallelism of the within-bucket sort
+#: and the cap on the per-key bucket-prefix relation (256 rows/key).
+NUM_BUCKETS = 256
 
 
 def dquantiles(
@@ -45,9 +60,10 @@ def dquantiles(
 
     Null values are ignored (matching ``percentile()``); a group with
     only nulls is dropped from the output (the builtin would emit a
-    null-estimate row — filter upstream if that distinction matters). ``aliases`` names the output
-    columns (default ``p{int(q*100)}``); ``round_to`` applies
-    ``ROUND(est, round_to)`` so cross-engine comparisons are stable.
+    null-estimate row — filter upstream if that distinction matters).
+    ``aliases`` names the output columns (default ``p{int(q*100)}``);
+    ``round_to`` applies ``ROUND(est, round_to)`` so cross-engine
+    comparisons are stable.
     """
     keys = list(keys)
     if aliases is None:
@@ -60,10 +76,41 @@ def dquantiles(
         .groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    w_ord = Window.partitionBy(*keys).orderBy(value_col)
-    w_all = Window.partitionBy(*keys)
-    vc = vc.withColumn("_cum", F.sum("_c").over(w_ord)).withColumn(
-        "_n", F.sum("_c").over(w_all)
+
+    # Monotone range bucket per key: floor((v - min) * B / (max - min)),
+    # clamped to [0, B-1]. min/max come from a tiny per-key aggregate of
+    # the distinct-value table (vocabulary-sized, not row-sized); the
+    # bucket id exists only to partition the sort — results cannot
+    # depend on it because it is monotone in the value.
+    v = F.col(value_col).cast("double")
+    bounds = vc.groupBy(*keys).agg(
+        F.min(v).alias("_vmin"), F.max(v).alias("_vmax")
+    )
+    vc = vc.join(F.broadcast(bounds), keys)
+    span = F.col("_vmax") - F.col("_vmin")
+    raw = F.when(span > 0, F.floor((v - F.col("_vmin")) / span * NUM_BUCKETS)).otherwise(
+        F.lit(0)
+    )
+    vc = vc.withColumn(
+        "_bkt", F.least(F.greatest(raw, F.lit(0)), F.lit(NUM_BUCKETS - 1)).cast("int")
+    ).drop("_vmin", "_vmax")
+
+    # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
+    # _base = ranks preceding the bucket, _n = group total.
+    bt = vc.groupBy(*keys, "_bkt").agg(F.sum("_c").alias("_bc"))
+    w_bkt = Window.partitionBy(*keys).orderBy("_bkt")
+    w_key = Window.partitionBy(*keys)
+    bt = bt.withColumn("_base", F.sum("_bc").over(w_bkt) - F.col("_bc")).withColumn(
+        "_n", F.sum("_bc").over(w_key)
+    )
+
+    # Within-bucket cumulative counts: the ordered window partitions by
+    # (keys, bucket) — parallel across buckets, spillable within one.
+    w_in = Window.partitionBy(*keys, "_bkt").orderBy(value_col)
+    vc = (
+        vc.withColumn("_cumb", F.sum("_c").over(w_in))
+        .join(F.broadcast(bt.select(*keys, "_bkt", "_base", "_n")), [*keys, "_bkt"])
+        .withColumn("_cum", F.col("_base") + F.col("_cumb"))
     )
 
     # Row r covers the 0-based sorted ranks [_cum - _c, _cum - 1]; the
@@ -78,7 +125,6 @@ def dquantiles(
         hi = F.ceil(pos).cast("long")
         covers_lo = (F.col("_cum") - F.col("_c") <= lo) & (lo < F.col("_cum"))
         covers_hi = (F.col("_cum") - F.col("_c") <= hi) & (hi < F.col("_cum"))
-        v = F.col(value_col).cast("double")
         v_lo = F.max(F.when(covers_lo, v))
         v_hi = F.max(F.when(covers_hi, v))
         frac = F.max(F.when(covers_lo, pos - lo.cast("double")))

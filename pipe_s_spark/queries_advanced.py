@@ -391,6 +391,46 @@ FROM u GROUP BY col
 """
 
 
+def q_stats_median_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile companion to stats_column_profile: exact interpolated
+    p25/p50/p75 per numeric lineitem column — the robust half of an
+    ANALYZE pass (min/max/mean say little under skew; the quartiles
+    are what histogram-free optimizers and data-quality monitors
+    actually want). Runs on functions.quantile.dquantiles: the
+    unpivoted relation is 4x the fact table with only 4 groups, the
+    exact shape where the builtin percentile()'s per-group buffer and
+    single-reducer sort both fail at scale."""
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    unp = li.unpivot(
+        [],
+        [F.col(c).cast("double").alias(c) for c in _PROFILE_COLS],
+        "col",
+        "v",
+    )
+    return dquantiles(
+        unp, ["col"], "v", (0.25, 0.5, 0.75), aliases=("p25", "p50", "p75")
+    )
+
+
+def _sql_stats_median_profile() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH u AS (
+{arms}
+)
+SELECT col,
+       ROUND(quantile_cont(v, 0.25), 4) AS p25,
+       ROUND(quantile_cont(v, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(v, 0.75), 4) AS p75
+FROM u GROUP BY col
+"""
+
+
 def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation over lineitem's three heavy-hitter
     return-flag groups (operators.skew.salted_agg): phase 1 aggregates
@@ -790,6 +830,7 @@ QUERIES = {
     "range_join_explode_quantity": q_range_join_explode_quantity,
     "percentiles_exact": q_percentiles_exact,
     "percentiles_distributed": q_percentiles_distributed,
+    "stats_median_profile": q_stats_median_profile,
     "stats_agg": q_stats_agg,
     "window_dist_funcs": q_window_dist_funcs,
 }
@@ -811,6 +852,7 @@ ORACLES = {
     "range_join_explode_quantity": SQL_RANGE_EXPLODE,
     "percentiles_exact": SQL_PERCENTILES,
     "percentiles_distributed": SQL_PERCENTILES_DISTRIBUTED,
+    "stats_median_profile": _sql_stats_median_profile(),
     "stats_agg": SQL_STATS,
     "window_dist_funcs": SQL_WINDOW_DIST,
 }

@@ -489,6 +489,63 @@ def _posting_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.materialized(spark, ("posting_counts", sf_dir, 3, JACCARD_DF_CAP), build)
 
 
+#: df cap / rounded-cosine threshold for the TF-IDF sparse-vector pairs.
+TFIDF_DF_CAP = 100
+TFIDF_COS_MIN = 0.3
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted cosine near-dup pairs over distinct-shingle sets —
+    the SPARSE-vector similarity leg between plain set overlap
+    (dedup_jaccard_pairs, every shingle equal) and dense embeddings
+    (dedup_embedding): shared RARE shingles dominate the score, shared
+    boilerplate contributes almost nothing. Same df-capped inverted
+    posting-list shape as the Jaccard query (two shuffles, narrow pair
+    generation); idf is quantized to integer milli-nats once per
+    shingle so dots and norms are exact BIGINT sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    sh = D.shingles(docs, "doc_id", "text", k=3)
+    return D.tfidf_cosine_pairs(
+        sh, n_docs, df_cap=TFIDF_DF_CAP, threshold=TFIDF_COS_MIN
+    )
+
+
+SQL_DEDUP_TFIDF_COSINE = f"""
+WITH {{sh}},
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfr AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY shingle),
+terms AS (
+    SELECT shingle,
+           CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) * 1000) AS BIGINT)
+               AS idf_x1k
+    FROM dfr CROSS JOIN nd WHERE dfc <= {TFIDF_DF_CAP}
+),
+w AS (
+    SELECT sh.doc_id, sh.shingle, idf_x1k, idf_x1k * idf_x1k AS idf2
+    FROM sh JOIN terms USING (shingle)
+),
+norms AS (
+    SELECT doc_id, SUM(idf2) AS nrm2 FROM w GROUP BY doc_id HAVING SUM(idf2) > 0
+),
+dots AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.idf_x1k * b.idf_x1k) AS dot
+    FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n1.nrm2 AS DOUBLE)) * sqrt(CAST(n2.nrm2 AS DOUBLE))),
+             6) AS cos_sim
+FROM dots
+JOIN norms n1 ON n1.doc_id = d1
+JOIN norms n2 ON n2.doc_id = d2
+WHERE ROUND(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(n1.nrm2 AS DOUBLE)) * sqrt(CAST(n2.nrm2 AS DOUBLE))),
+            6) >= {TFIDF_COS_MIN}
+""".replace("{sh}", SQL_SHINGLES)
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via a df-capped inverted posting
     list (see functions.dedup.jaccard_pairs — no self-join, bounded
@@ -4231,6 +4288,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -4312,6 +4370,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
+    "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
