@@ -1,0 +1,205 @@
+"""Declarative data-expectations suite (the Deequ / Great-Expectations
+shape): a set of named constraints over one table, COMPILED INTO A
+SINGLE AGGREGATE PASS so the whole suite costs one scan of the fact
+table no matter how many checks it carries.
+
+Reference parity: this is the batch generalization of
+`pkg/output/mysql/checkoutput.go:293-445` (MysqlCheckOutput), whose
+job is "verify what landed matches what was expected" row-by-row; here
+the expectations are column-level invariants (nullability, uniqueness,
+domains, ranges, referential integrity) evaluated corpus-wide, the way
+an ingestion gate or a nightly data-quality monitor runs them.
+
+At-scale design
+---------------
+- Every row-local check (not_null / in_set / in_range / matches /
+  custom predicate) becomes one conditional-count column in ONE
+  ``df.agg(...)`` — map-side partial aggregation collapses each task to
+  a single row, the shuffle moves #checks integers per task.
+- ``unique`` compiles to ``COUNT(*) - COUNT(DISTINCT struct(cols))``
+  inside the same aggregate (Catalyst's Expand; still one scan).
+- ``foreign_key`` joins the fact side against the broadcast DISTINCT
+  key set of the dimension BEFORE the aggregate, so N referential
+  checks + M row checks are still one scan: fact -> N broadcast left
+  joins -> one agg. No driver-side count() actions anywhere; ``run``
+  returns a lazy DataFrame.
+- The report is vocabulary-sized (one row per check): collect-safe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _RowCheck:
+    name: str
+    violation: Column  # boolean: True = this row violates the check
+
+
+@dataclass
+class _UniqueCheck:
+    name: str
+    cols: tuple[str, ...]
+
+
+@dataclass
+class _FkCheck:
+    name: str
+    col: str
+    dim: DataFrame
+    dim_col: str
+
+
+@dataclass
+class ExpectationSuite:
+    """Named constraints over one table; ``run(df)`` emits the report.
+
+    Report schema: ``check`` (string), ``violations`` (bigint, rows
+    failing the constraint), ``total`` (bigint, rows scanned),
+    ``passed`` (boolean, violations == 0).
+    """
+
+    table: str
+    _rows: list[_RowCheck] = field(default_factory=list)
+    _uniques: list[_UniqueCheck] = field(default_factory=list)
+    _fks: list[_FkCheck] = field(default_factory=list)
+
+    # -- constraint builders (fluent) -----------------------------------
+    def not_null(self, col: str) -> "ExpectationSuite":
+        self._rows.append(_RowCheck(f"not_null:{col}", F.col(col).isNull()))
+        return self
+
+    def in_set(self, col: str, values: Sequence) -> "ExpectationSuite":
+        self._rows.append(
+            _RowCheck(
+                f"in_set:{col}",
+                F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+            )
+        )
+        return self
+
+    def in_range(self, col: str, lo=None, hi=None) -> "ExpectationSuite":
+        c = F.col(col)
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (c < F.lit(lo))
+        if hi is not None:
+            bad = bad | (c > F.lit(hi))
+        self._rows.append(_RowCheck(f"in_range:{col}", c.isNotNull() & bad))
+        return self
+
+    def matches(self, col: str, regex: str) -> "ExpectationSuite":
+        self._rows.append(
+            _RowCheck(f"matches:{col}", F.col(col).isNotNull() & ~F.col(col).rlike(regex))
+        )
+        return self
+
+    def satisfies(self, name: str, predicate: Column) -> "ExpectationSuite":
+        """Custom row-level constraint: ``predicate`` is the PASS
+        condition; null predicate results count as violations."""
+        self._rows.append(
+            _RowCheck(f"satisfies:{name}", ~F.coalesce(predicate, F.lit(False)))
+        )
+        return self
+
+    def unique(self, *cols: str) -> "ExpectationSuite":
+        self._uniques.append(_UniqueCheck("unique:" + ",".join(cols), tuple(cols)))
+        return self
+
+    def foreign_key(self, col: str, dim: DataFrame, dim_col: str) -> "ExpectationSuite":
+        self._fks.append(_FkCheck(f"foreign_key:{col}", col, dim, dim_col))
+        return self
+
+    # -- compilation ----------------------------------------------------
+    def run(self, df: DataFrame) -> DataFrame:
+        """Compile the suite to one aggregate over ``df`` and return the
+        lazy report DataFrame (one row per check)."""
+        enriched = df
+        fk_flags: list[tuple[str, str]] = []
+        for i, fk in enumerate(self._fks):
+            marker = f"__fk_hit_{i}"
+            keys = F.broadcast(
+                fk.dim.select(F.col(fk.dim_col).alias(f"__fk_key_{i}"))
+                .where(F.col(fk.dim_col).isNotNull())
+                .distinct()
+                .withColumn(marker, F.lit(True))
+            )
+            enriched = enriched.join(
+                keys, F.col(fk.col) == F.col(f"__fk_key_{i}"), "left"
+            ).drop(f"__fk_key_{i}")
+            fk_flags.append((fk.name, marker))
+
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        names: list[str] = []
+        for rc in self._rows:
+            alias = f"__v_{len(names)}"
+            aggs.append(
+                F.sum(F.when(rc.violation, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(alias)
+            )
+            names.append(rc.name)
+        for uq in self._uniques:
+            alias = f"__v_{len(names)}"
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(c) for c in uq.cols]))
+                )
+                .cast("long")
+                .alias(alias)
+            )
+            names.append(uq.name)
+        for i, (fk_name, marker) in enumerate(fk_flags):
+            alias = f"__v_{len(names)}"
+            # A fact row violates the FK when its key is non-null and no
+            # dimension key matched; null FKs are not-null's business.
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(marker).isNull() & F.col(self._fks[i].col).isNotNull(),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(alias)
+            )
+            names.append(fk_name)
+
+        one = enriched.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check"), F.col(f"__v_{i}").alias("violations")
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+        return (
+            one.select(F.col("__total"), F.explode(pairs).alias("p"))
+            .select(
+                F.lit(self.table).alias("tbl"),
+                F.col("p.check").alias("check"),
+                F.col("p.violations").alias("violations"),
+                F.col("__total").cast("long").alias("total"),
+                (F.col("p.violations") == 0).alias("passed"),
+            )
+        )
+
+
+def run_suites(suites: Sequence[tuple[ExpectationSuite, DataFrame]]) -> DataFrame:
+    """Union the reports of several (suite, table-DataFrame) pairs into
+    one cross-table data-quality report — each table still costs exactly
+    one scan."""
+    out = None
+    for suite, df in suites:
+        rep = suite.run(df)
+        out = rep if out is None else out.unionByName(rep)
+    if out is None:
+        raise ValueError("no suites given")
+    return out

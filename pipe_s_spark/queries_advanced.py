@@ -431,6 +431,144 @@ FROM u GROUP BY col
 """
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-expectations report (the Deequ shape, see
+    operators.expectations): nullability, uniqueness, value domains,
+    ranges, format regexes, a custom invariant and referential
+    integrity over orders / customer / documents — each table's whole
+    suite compiled into ONE aggregate pass (row checks are conditional
+    counts, unique is COUNT(*)-COUNT(DISTINCT) in the same agg, the FK
+    check is a broadcast dim-key left join folded into the same scan).
+    The c_acctbal >= 0 expectation genuinely fails on this corpus
+    (negative balances exist) — the report shows real violation counts,
+    not a wall of greens."""
+    from pipe_s_spark.operators.expectations import ExpectationSuite, run_suites
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    documents = load_table(spark, sf_dir, "documents")
+    s_orders = (
+        ExpectationSuite("orders")
+        .not_null("o_orderkey")
+        .unique("o_orderkey")
+        .in_set("o_orderstatus", ["O", "F", "P"])
+        .in_range("o_totalprice", lo=0.0)
+        .matches("o_orderpriority", r"^[1-5]-")
+        .foreign_key("o_custkey", customer, "c_custkey")
+    )
+    s_customer = (
+        ExpectationSuite("customer")
+        .not_null("c_custkey")
+        .unique("c_custkey")
+        .in_set(
+            "c_mktsegment",
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        )
+        .in_range("c_acctbal", lo=0.0)
+    )
+    s_documents = (
+        ExpectationSuite("documents")
+        .not_null("text")
+        .unique("doc_id")
+        .in_set("lang", ["en", "es", "zh", "de", "fr"])
+        .satisfies("n_chars_consistent", F.col("n_chars") == F.length("text"))
+    )
+    return run_suites(
+        [(s_orders, orders), (s_customer, customer), (s_documents, documents)]
+    )
+
+
+SQL_DQ_EXPECTATIONS = """
+SELECT 'orders' AS tbl, 'not_null:o_orderkey' AS "check",
+       COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations,
+       COUNT(*) AS total,
+       COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders', 'unique:o_orderkey',
+       COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'in_set:o_orderstatus',
+       COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'in_range:o_totalprice',
+       COUNT(*) FILTER (WHERE o_totalprice < 0),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE o_totalprice < 0) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'matches:o_orderpriority',
+       COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'foreign_key:o_custkey',
+       COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+FROM orders
+UNION ALL
+SELECT 'customer', 'not_null:c_custkey',
+       COUNT(*) FILTER (WHERE c_custkey IS NULL), COUNT(*),
+       COUNT(*) FILTER (WHERE c_custkey IS NULL) = 0
+FROM customer
+UNION ALL
+SELECT 'customer', 'unique:c_custkey',
+       COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*),
+       COUNT(*) - COUNT(DISTINCT c_custkey) = 0
+FROM customer
+UNION ALL
+SELECT 'customer', 'in_set:c_mktsegment',
+       COUNT(*) FILTER (WHERE c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+           ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+           ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) = 0
+FROM customer
+UNION ALL
+SELECT 'customer', 'in_range:c_acctbal',
+       COUNT(*) FILTER (WHERE c_acctbal < 0), COUNT(*),
+       COUNT(*) FILTER (WHERE c_acctbal < 0) = 0
+FROM customer
+UNION ALL
+SELECT 'documents', 'not_null:text',
+       COUNT(*) FILTER (WHERE text IS NULL), COUNT(*),
+       COUNT(*) FILTER (WHERE text IS NULL) = 0
+FROM documents
+UNION ALL
+SELECT 'documents', 'unique:doc_id',
+       COUNT(*) - COUNT(DISTINCT doc_id), COUNT(*),
+       COUNT(*) - COUNT(DISTINCT doc_id) = 0
+FROM documents
+UNION ALL
+SELECT 'documents', 'in_set:lang',
+       COUNT(*) FILTER (WHERE lang IS NOT NULL
+                          AND lang NOT IN ('en','es','zh','de','fr')),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE lang IS NOT NULL
+                          AND lang NOT IN ('en','es','zh','de','fr')) = 0
+FROM documents
+UNION ALL
+SELECT 'documents', 'satisfies:n_chars_consistent',
+       COUNT(*) FILTER (WHERE NOT COALESCE(n_chars = LENGTH(text), FALSE)),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE NOT COALESCE(n_chars = LENGTH(text), FALSE)) = 0
+FROM documents
+"""
+
+
 def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation over lineitem's three heavy-hitter
     return-flag groups (operators.skew.salted_agg): phase 1 aggregates
@@ -831,6 +969,7 @@ QUERIES = {
     "percentiles_exact": q_percentiles_exact,
     "percentiles_distributed": q_percentiles_distributed,
     "stats_median_profile": q_stats_median_profile,
+    "dq_expectations": q_dq_expectations,
     "stats_agg": q_stats_agg,
     "window_dist_funcs": q_window_dist_funcs,
 }
@@ -853,6 +992,7 @@ ORACLES = {
     "percentiles_exact": SQL_PERCENTILES,
     "percentiles_distributed": SQL_PERCENTILES_DISTRIBUTED,
     "stats_median_profile": _sql_stats_median_profile(),
+    "dq_expectations": SQL_DQ_EXPECTATIONS,
     "stats_agg": SQL_STATS,
     "window_dist_funcs": SQL_WINDOW_DIST,
 }

@@ -1,0 +1,92 @@
+"""operators.expectations: the suite must count violations exactly,
+fold every check into one aggregate pass, and never trigger a driver
+action inside ``run``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipe_s_spark.operators.expectations import ExpectationSuite, run_suites
+
+
+def _report(df):
+    return {r["check"]: (r["violations"], r["total"], r["passed"]) for r in df.collect()}
+
+
+def test_row_checks_count_exact_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, "ok-1"),
+            (2, None, -3.0, "ok-2"),
+            (3, "B", 12.0, "bad"),
+            (4, "Z", None, "ok-4"),
+            (4, "A", 1.0, "ok-5"),
+        ],
+        "id long, cat string, v double, tag string",
+    )
+    rep = _report(
+        ExpectationSuite("t")
+        .not_null("cat")
+        .in_set("cat", ["A", "B"])
+        .in_range("v", lo=0.0, hi=10.0)
+        .matches("tag", r"^ok-")
+        .unique("id")
+        .satisfies("v_positive", F.col("v") > 0)
+        .run(df)
+    )
+    assert rep["not_null:cat"] == (1, 5, False)
+    # null cat is not an in_set violation (not_null's business)
+    assert rep["in_set:cat"] == (1, 5, False)
+    # null v skipped; -3 below lo, 12 above hi
+    assert rep["in_range:v"] == (2, 5, False)
+    assert rep["matches:tag"] == (1, 5, False)
+    assert rep["unique:id"] == (1, 5, False)
+    # null predicate counts as violation: -3 fails, None fails
+    assert rep["satisfies:v_positive"] == (2, 5, False)
+
+
+def test_foreign_key_and_multi_table_union(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (20,)], "pk long")
+    rep = _report(
+        ExpectationSuite("fact").foreign_key("fk", dim, "pk").not_null("fk").run(fact)
+    )
+    # 99 misses; NULL fk is not an FK violation
+    assert rep["foreign_key:fk"] == (1, 4, False)
+    assert rep["not_null:fk"] == (1, 4, False)
+
+    ok = spark.createDataFrame([(1,), (2,)], "id long")
+    out = run_suites(
+        [
+            (ExpectationSuite("fact").not_null("fk"), fact),
+            (ExpectationSuite("ok").not_null("id").unique("id"), ok),
+        ]
+    )
+    rows = {(r["tbl"], r["check"]): r["passed"] for r in out.collect()}
+    assert rows[("fact", "not_null:fk")] is False
+    assert rows[("ok", "not_null:id")] is True
+    assert rows[("ok", "unique:id")] is True
+
+
+def test_single_scan_compilation(spark):
+    """All row checks + unique + FK compile to one scan of the fact
+    side: exactly one scan of `fact` appears in the physical plan and
+    the FK dim arrives broadcast."""
+    fact = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("fk"), (F.col("id") % 3).alias("c")
+    )
+    dim = spark.range(10).select(F.col("id").alias("pk"))
+    rep = (
+        ExpectationSuite("t")
+        .not_null("c")
+        .in_range("c", lo=0)
+        .unique("id")
+        .foreign_key("fk", dim, "pk")
+        .run(fact)
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    rows = _report(rep)
+    assert all(v[2] for v in rows.values())
