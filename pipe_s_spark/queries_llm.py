@@ -805,6 +805,77 @@ WHERE d1 % 5 = 4 OR d2 % 5 = 4
 """
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VERSION DIFF: classify every document across two corpus
+    snapshots as added / removed / changed / unchanged by comparing
+    content digests through one full-outer join on the document key —
+    the audit a dataset-versioning layer (lakeFS / DVC / Delta time
+    travel) runs between releases, and the input to incremental
+    retraining decisions ("how much actually changed?").
+
+    Snapshot construction is deterministic from the documents table:
+    v1 lacks doc_id % 7 == 3 (those are ADDED in v2), v2 lacks
+    doc_id % 11 == 5 (REMOVED), and v2 rewrites the text of
+    doc_id % 5 == 2 (CHANGED).
+
+    At 100 TB: each side reduces to (key, 16-byte digest, lang) before
+    the join — the shuffle moves digests, never documents; with both
+    snapshots bucketed by doc_id (sources.layout.write_bucketed) the
+    full-outer join runs zero-shuffle. One join + one vocabulary-sized
+    rollup, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", F.md5(F.col("text")).alias("dig1"), F.col("lang").alias("lang1")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 5)
+        .withColumn(
+            "text2",
+            F.when(
+                F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", F.md5(F.col("text2")).alias("dig2"), F.col("lang").alias("lang2"))
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("dig1").isNull(), F.lit("added"))
+        .when(F.col("dig2").isNull(), F.lit("removed"))
+        .when(F.col("dig1") != F.col("dig2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), F.coalesce("lang2", "lang1").alias("lang"))
+        .groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_CORPUS_SNAPSHOT_DIFF = """
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS dig1, lang AS lang1
+    FROM documents WHERE doc_id % 7 <> 3
+),
+v2 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 2 THEN text || ' [rev2]' ELSE text END) AS dig2,
+           lang AS lang2
+    FROM documents WHERE doc_id % 11 <> 5
+),
+j AS (
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           dig1, dig2, COALESCE(lang2, lang1) AS lang
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT CASE WHEN dig1 IS NULL THEN 'added'
+            WHEN dig2 IS NULL THEN 'removed'
+            WHEN dig1 <> dig2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       lang, COUNT(*) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup verify stage: MinHash-LSH candidate pairs verified
     by TRUE edit distance (JVM-native levenshtein on both engines) over
@@ -4292,6 +4363,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4374,6 +4446,7 @@ ORACLES = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "corpus_snapshot_diff": SQL_CORPUS_SNAPSHOT_DIFF,
     "dedup_cross_corpus": SQL_DEDUP_CROSS_CORPUS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
