@@ -71,33 +71,35 @@ def dquantiles(
     if len(aliases) != len(qs):
         raise ValueError("aliases must match qs")
 
-    vc = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, value_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    src = df.filter(F.col(value_col).isNotNull()).select(*keys, value_col)
 
     # Monotone range bucket per key: floor((v - min) * B / (max - min)),
-    # clamped to [0, B-1]. min/max come from a tiny per-key aggregate of
-    # the distinct-value table (vocabulary-sized, not row-sized); the
-    # bucket id exists only to partition the sort — results cannot
-    # depend on it because it is monotone in the value.
+    # clamped to [0, B-1]. min/max come from a cheap min/max aggregate
+    # of the RAW input (map-side combine; one tiny row per key — no
+    # distinct-value shuffle on this path); the bucket id exists only
+    # to partition the sort — results cannot depend on it because it
+    # is monotone in the value.
     v = F.col(value_col).cast("double")
-    bounds = vc.groupBy(*keys).agg(
-        F.min(v).alias("_vmin"), F.max(v).alias("_vmax")
-    )
-    vc = vc.join(F.broadcast(bounds), keys)
+    bounds = src.groupBy(*keys).agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
+    src = src.join(F.broadcast(bounds), keys)
     span = F.col("_vmax") - F.col("_vmin")
     raw = F.when(span > 0, F.floor((v - F.col("_vmin")) / span * NUM_BUCKETS)).otherwise(
         F.lit(0)
     )
-    vc = vc.withColumn(
+    src = src.withColumn(
         "_bkt", F.least(F.greatest(raw, F.lit(0)), F.lit(NUM_BUCKETS - 1)).cast("int")
     ).drop("_vmin", "_vmax")
 
+    # The distinct-value relation — the ONLY large shuffle in the
+    # whole computation (one row per distinct (keys, value); map-side
+    # combine collapses duplicates before the wire).
+    vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
+
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
-    # _base = ranks preceding the bucket, _n = group total.
-    bt = vc.groupBy(*keys, "_bkt").agg(F.sum("_c").alias("_bc"))
+    # _base = ranks preceding the bucket, _n = group total. Derived
+    # from bucketed RAW rows (map-side combine to <= B rows per key
+    # per task), not from vc — so no second distinct-value shuffle.
+    bt = src.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
     w_bkt = Window.partitionBy(*keys).orderBy("_bkt")
     w_key = Window.partitionBy(*keys)
     bt = bt.withColumn("_base", F.sum("_bc").over(w_bkt) - F.col("_bc")).withColumn(
