@@ -192,6 +192,49 @@ class ExpectationSuite:
         )
 
 
+    def tag(self, df: DataFrame, tag_col: str = "_violated") -> DataFrame:
+        """ROW-LEVEL compilation: append ``tag_col`` — the array of
+        check names each row violates (empty array = clean row). This
+        is the quarantine/dead-letter form (Delta Live Tables'
+        expectations): rows are routed, not just counted, so it works
+        on unbounded streams too (FK checks become stream-static
+        broadcast joins; ``unique`` has no row-local meaning and is
+        rejected)."""
+        if self._uniques:
+            raise ValueError(
+                "unique checks are corpus-level, not row-level; "
+                "use run() for the aggregate report"
+            )
+        enriched = df
+        flags: list[tuple[str, Column]] = [
+            (rc.name, rc.violation) for rc in self._rows
+        ]
+        for i, fk in enumerate(self._fks):
+            marker = f"__fk_hit_{i}"
+            keys = F.broadcast(
+                fk.dim.select(F.col(fk.dim_col).alias(f"__fk_key_{i}"))
+                .where(F.col(fk.dim_col).isNotNull())
+                .distinct()
+                .withColumn(marker, F.lit(True))
+            )
+            enriched = enriched.join(
+                keys, F.col(fk.col) == F.col(f"__fk_key_{i}"), "left"
+            ).drop(f"__fk_key_{i}")
+            flags.append(
+                (fk.name, F.col(marker).isNull() & F.col(fk.col).isNotNull())
+            )
+        tags = F.filter(
+            F.array(
+                *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in flags]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        out = enriched.withColumn(tag_col, tags)
+        for i in range(len(self._fks)):
+            out = out.drop(f"__fk_hit_{i}")
+        return out
+
+
 def run_suites(suites: Sequence[tuple[ExpectationSuite, DataFrame]]) -> DataFrame:
     """Union the reports of several (suite, table-DataFrame) pairs into
     one cross-table data-quality report — each table still costs exactly

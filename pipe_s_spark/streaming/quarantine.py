@@ -1,0 +1,86 @@
+"""Streaming data-quality gate with dead-letter routing: every
+micro-batch is tagged by an ExpectationSuite's row-level checks, clean
+rows flow to the main sink, violating rows land in a QUARANTINE sink
+carrying the list of failed checks, and a per-batch metrics ledger
+records violation counts per check — the Delta-Live-Tables
+"expectations" semantics (warn / drop / quarantine) on plain
+Structured Streaming.
+
+Reference parity: the streaming sibling of
+`pkg/output/mysql/checkoutput.go:293-445` — where MysqlCheckOutput
+verifies landed rows after the fact, the gate verifies them in-flight
+and refuses to land the bad ones.
+
+At-scale notes: the tag pass is narrow (conditional expressions plus
+broadcast stream-static joins for FK checks); each batch is persisted
+once so the good/bad split and the metrics rollup read one
+materialization, not three recomputes; the metrics ledger appends one
+row per (batch, check) — vocabulary-sized, never row-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipe_s_spark.operators.expectations import ExpectationSuite
+
+
+def run_quarantine_gate(
+    stream: DataFrame,
+    suite: ExpectationSuite,
+    good_path: str,
+    quarantine_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    await_seconds: int | None = None,
+):
+    """Start (and optionally await) the gate on ``stream``.
+
+    Clean rows (no violated checks) are appended to ``good_path``
+    without the tag column; violating rows go to ``quarantine_path``
+    with ``_violated`` rendered as a sorted comma-joined string (stable
+    for downstream grouping); ``metrics_path`` accrues one row per
+    (batch_id, check) with that batch's violation count and row total.
+    All three writes happen inside one ``foreachBatch``, so a replayed
+    epoch rewrites deterministically from the same batch data.
+    """
+    for p in (good_path, quarantine_path, metrics_path):
+        os.makedirs(p, exist_ok=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = suite.tag(batch_df).persist()
+        try:
+            n_total = tagged.count()
+            good = tagged.filter(F.size("_violated") == 0).drop("_violated")
+            bad = tagged.filter(F.size("_violated") > 0).withColumn(
+                "_violated", F.array_join(F.array_sort("_violated"), ",")
+            )
+            good.write.mode("append").parquet(good_path)
+            bad.write.mode("append").parquet(quarantine_path)
+            metrics = (
+                tagged.select(F.explode("_violated").alias("check"))
+                .groupBy("check")
+                .agg(F.count(F.lit(1)).alias("violations"))
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "check",
+                    "violations",
+                    F.lit(n_total).cast("long").alias("batch_rows"),
+                )
+            )
+            metrics.write.mode("append").parquet(metrics_path)
+        finally:
+            tagged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is not None:
+        q.awaitTermination(await_seconds)
+    return q
