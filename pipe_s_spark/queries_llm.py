@@ -3821,6 +3821,61 @@ GROUP BY band
 """
 
 
+def q_sim_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table HEALTH PROFILE per label: vector count,
+    dimension consistency (distinct dims — anything but 1 means a
+    broken encoder batch), zero-vector count (failed inference rows),
+    and the norm distribution (min / exact-decimal mean / max of the
+    L2 norm) — the ANALYZE pass for a vector column, run before any
+    index build trusts the data. One narrow pass: per-vector norm is a
+    fold over the array (no explode, no shuffle until the tiny
+    per-label rollup); norms are rounded to 6 then summed through
+    DECIMAL(18,6) so the mean is order-independent and bit-identical
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm2), 6).alias("nrm"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("dim")).alias("n_dims"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.min("nrm").alias("min_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+SQL_SIM_EMBEDDING_PROFILE = """
+WITH v AS (
+    SELECT label, len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT dim) AS n_dims,
+       CAST(COUNT(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero,
+       MIN(nrm) AS min_norm,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_norm,
+       MAX(nrm) AS max_norm
+FROM v GROUP BY label
+"""
+
+
 def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift by document source: cosine of each
     source's mean embedding against the global mean — the one-query
@@ -4411,6 +4466,7 @@ QUERIES = {
     "text_kn_bigram_score": q_text_kn_bigram_score,
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
+    "sim_embedding_profile": q_sim_embedding_profile,
     "graph_communities": q_graph_communities,
     "text_quality_ensemble": q_text_quality_ensemble,
     "text_hapax_ratio": q_text_hapax_ratio,
@@ -4494,6 +4550,7 @@ ORACLES = {
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
+    "sim_embedding_profile": SQL_SIM_EMBEDDING_PROFILE,
     "graph_communities": _sql_graph_communities(),
     "text_quality_ensemble": _sql_text_quality_ensemble(),
     "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
