@@ -479,7 +479,18 @@ def tfidf_cosine_pairs(
     squared norms are exact BIGINT sums — the only floats are two
     sqrts and one division at the very end, rounded to 6.
     """
-    inv = (
+    inv = tfidf_inverted(sh, n_docs, id_col=id_col, df_cap=df_cap)
+    return tfidf_pairs_from_inverted(inv, threshold=threshold)
+
+
+def tfidf_inverted(
+    sh: DataFrame, n_docs: int, id_col: str = "doc_id", df_cap: int = 100
+) -> DataFrame:
+    """The df-capped idf-weighted inverted index (shingle -> sorted doc
+    array + integer milli-nat idf) — the narrow, postings-bounded table
+    a cluster job persists once and session callers memoize
+    (functions.shared), exactly like the jaccard posting counts."""
+    return (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("docs"))
         .filter(F.size("docs") <= df_cap)
@@ -492,6 +503,11 @@ def tfidf_cosine_pairs(
         )
         .withColumn("idf2", F.col("idf_x1k") * F.col("idf_x1k"))
     )
+
+
+def tfidf_pairs_from_inverted(inv: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Pair generation + cosine scoring over a prebuilt
+    :func:`tfidf_inverted` table."""
     norms = (
         inv.select(F.explode("docs").alias("d"), "idf2")
         .groupBy("d")

@@ -502,13 +502,21 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate contributes almost nothing. Same df-capped inverted
     posting-list shape as the Jaccard query (two shuffles, narrow pair
     generation); idf is quantized to integer milli-nats once per
-    shingle so dots and norms are exact BIGINT sums."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    sh = D.shingles(docs, "doc_id", "text", k=3)
-    return D.tfidf_cosine_pairs(
-        sh, n_docs, df_cap=TFIDF_DF_CAP, threshold=TFIDF_COS_MIN
-    )
+    shingle so dots and norms are exact BIGINT sums. The inverted
+    index is session-materialized (functions.shared) like the jaccard
+    posting counts — at scale it is the persisted artifact."""
+    inv = _tfidf_inv_cached(spark, sf_dir)
+    return D.tfidf_pairs_from_inverted(inv, threshold=TFIDF_COS_MIN)
+
+
+def _tfidf_inv_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        sh = D.shingles(docs, "doc_id", "text", k=3)
+        return D.tfidf_inverted(sh, n_docs, df_cap=TFIDF_DF_CAP)
+
+    return SH.materialized(spark, ("tfidf_inv", sf_dir, 3, TFIDF_DF_CAP), build)
 
 
 SQL_DEDUP_TFIDF_COSINE = f"""
