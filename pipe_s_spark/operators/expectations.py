@@ -235,6 +235,37 @@ class ExpectationSuite:
         return out
 
 
+def suite_from_spec(spec: Sequence[dict], table: str = "t", spark=None) -> ExpectationSuite:
+    """Build a suite from a JSON-able check list (the pipeline-runner
+    front-end; mirrors how every reference component is configured by
+    `Configure(StringMap)`, `pkg/utils/config.go:80-82`). Kinds:
+    ``not_null`` / ``in_set`` / ``in_range`` / ``matches`` /
+    ``satisfies`` (SQL expr = pass condition) / ``foreign_key``
+    (``dimPath`` parquet + ``dimCol``; needs ``spark``)."""
+    s = ExpectationSuite(table)
+    for c in spec:
+        kind = c.get("kind")
+        if kind == "not_null":
+            s.not_null(c["col"])
+        elif kind == "in_set":
+            s.in_set(c["col"], c["values"])
+        elif kind == "in_range":
+            s.in_range(c["col"], c.get("lo"), c.get("hi"))
+        elif kind == "matches":
+            s.matches(c["col"], c["regex"])
+        elif kind == "satisfies":
+            s.satisfies(c["name"], F.expr(c["expr"]))
+        elif kind == "unique":
+            s.unique(*c["cols"])
+        elif kind == "foreign_key":
+            if spark is None:
+                raise ValueError("foreign_key in a spec needs a SparkSession")
+            s.foreign_key(c["col"], spark.read.parquet(c["dimPath"]), c["dimCol"])
+        else:
+            raise ValueError(f"unknown check kind: {kind!r}")
+    return s
+
+
 def run_suites(suites: Sequence[tuple[ExpectationSuite, DataFrame]]) -> DataFrame:
     """Union the reports of several (suite, table-DataFrame) pairs into
     one cross-table data-quality report — each table still costs exactly

@@ -28,6 +28,7 @@ from collections.abc import Callable, Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipe_s_spark.model import changelog_from_events
@@ -131,6 +132,38 @@ def _p_sql(cfg: Mapping[str, Any]) -> Transform:
         view = cfg.get("view", "__input__")
         df.createOrReplaceTempView(view)
         return df.sparkSession.sql(cfg["query"])
+
+    return t
+
+
+@register_processor("expect")
+def _p_expect(cfg: Mapping[str, Any]) -> Transform:
+    """Data-expectations gate as a pipeline stage (see
+    operators.expectations). ``checks`` is the JSON check list;
+    ``mode`` picks the routing semantics: ``tag`` appends the
+    ``_violated`` array, ``drop`` keeps only clean rows (Delta Live
+    Tables' "expect or drop"), ``quarantine`` keeps only VIOLATING
+    rows with the failed-check list as a sorted string — compose
+    ``drop`` and ``quarantine`` branches under a ``fork`` output for
+    full dead-letter routing in one pass."""
+
+    def t(df: DataFrame) -> DataFrame:
+        from pipe_s_spark.operators.expectations import suite_from_spec
+
+        suite = suite_from_spec(
+            cfg["checks"], table=cfg.get("table", "t"), spark=df.sparkSession
+        )
+        tagged = suite.tag(df)
+        mode = cfg.get("mode", "tag")
+        if mode == "tag":
+            return tagged
+        if mode == "drop":
+            return tagged.filter(F.size("_violated") == 0).drop("_violated")
+        if mode == "quarantine":
+            return tagged.filter(F.size("_violated") > 0).withColumn(
+                "_violated", F.array_join(F.array_sort("_violated"), ",")
+            )
+        raise PipelineSpecError(f"unknown expect mode: {mode!r}")
 
     return t
 

@@ -405,3 +405,48 @@ def test_runner_sql_processor(spark):
     df = run_pipeline(spark, spec)
     types = sorted(r.event_type for r in df.collect())
     assert types and types == sorted(set(types))
+
+
+def test_runner_expect_gate_fork(spark, tmp_path):
+    """The expect processor + fork output = declarative quarantine
+    routing (examples/expect_gate_fork.json): clean rows to the main
+    sink, violating rows to the dead-letter sink with their failed
+    checks — and every row lands in exactly one of the two."""
+    import json
+
+    spec = json.load(open("examples/expect_gate_fork.json"))
+    good_p, bad_p = str(tmp_path / "clean"), str(tmp_path / "quar")
+    spec["Output"]["Outputs"][0]["Output"]["Config"]["path"] = good_p
+    spec["Output"]["Outputs"][1]["Output"]["Config"]["path"] = bad_p
+    assert run_pipeline(spark, spec) is None
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    good = spark.read.parquet(good_p).count()
+    bad = spark.read.parquet(bad_p)
+    assert good + bad.count() == total
+    assert "violated" in bad.columns
+
+
+def test_runner_expect_drop_and_quarantine_modes(spark):
+    df_spec = {"Type": "parquet", "Config": {"sfDir": SF, "table": "customer"}}
+    checks = [{"kind": "in_range", "col": "c_acctbal", "lo": 0}]
+    kept = run_pipeline(
+        spark,
+        {
+            "Input": df_spec,
+            "Processors": [{"Type": "expect", "Config": {"checks": checks, "mode": "drop"}}],
+            "Output": {"Type": "return"},
+        },
+    )
+    quar = run_pipeline(
+        spark,
+        {
+            "Input": df_spec,
+            "Processors": [{"Type": "expect", "Config": {"checks": checks, "mode": "quarantine"}}],
+            "Output": {"Type": "return"},
+        },
+    )
+    total = spark.read.parquet(f"{SF}/customer.parquet").count()
+    nk, nq = kept.count(), quar.count()
+    assert nk + nq == total and nq > 0
+    assert "_violated" not in kept.columns
+    assert quar.select("_violated").distinct().collect()[0][0] == "in_range:c_acctbal"
