@@ -777,3 +777,38 @@ def test_dquantiles_ignores_nulls(spark):
     out = {r["k"]: r["p50"] for r in dquantiles(df, ["k"], "v", (0.5,)).collect()}
     assert out["a"] == 2.0
     assert "b" not in out or out["b"] is None
+
+
+def test_dquantiles_bucketing_edge_cases(spark):
+    """The range-bucketed decomposition must stay exact when the
+    bucketing degenerates: constant groups (span=0 -> one bucket),
+    one value holding 99% of the mass (one distinct row covers many
+    target ranks), and values packed so tightly that float bucket
+    boundaries collide."""
+    from pyspark.sql import functions as F
+
+    from pipe_s_spark.functions.quantile import dquantiles
+
+    rows = []
+    rows += [("const", 7.25)] * 50
+    rows += [("skew", 1.0)] * 990 + [("skew", float(i)) for i in range(2, 12)]
+    rows += [("tight", 1.0 + i * 1e-12) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = (0.01, 0.5, 0.99)
+    aliases = ["a", "b", "c"]
+    got = {
+        r["k"]: (r["a"], r["b"], r["c"])
+        for r in dquantiles(df, ["k"], "v", qs, aliases=aliases, round_to=8).collect()
+    }
+    want = {
+        r["k"]: (r["a"], r["b"], r["c"])
+        for r in df.groupBy("k")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(v, {q})"), 8).alias(a)
+                for q, a in zip(qs, aliases)
+            ]
+        )
+        .collect()
+    }
+    assert got == want
