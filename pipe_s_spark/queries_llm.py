@@ -4033,6 +4033,65 @@ FROM h2 GROUP BY o_orderstatus
 """
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per anchor
+    vector, the top-3 most-similar vectors carrying a DIFFERENT gold
+    label — the "close but wrong" examples a contrastive or reranker
+    trainer needs most (easy negatives teach nothing; in-batch random
+    negatives are mostly easy). Mined from the session-materialized
+    cosine-threshold pair table (only pairs >= 0.45 qualify as hard),
+    so the cost beyond the cached kernel is: direction-doubling
+    (narrow), two broadcast label joins, and a per-anchor rank window
+    — parallel across anchors, never global."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    both = pairs.select(
+        F.col("id1").alias("anchor_id"), F.col("id2").alias("negative_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("anchor_id"), F.col("id1").alias("negative_id"), "cos_sim"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+    ln = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("negative_label")
+    )
+    hard = (
+        both.join(F.broadcast(la), "anchor_id")
+        .join(F.broadcast(ln), "negative_id")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        hard.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "anchor_id", "negative_id", "anchor_label", "negative_label", "cos_sim", "rk"
+        )
+    )
+
+
+def _sql_sim_hard_negatives() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+           a.label AS anchor_label, b.label AS negative_label,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, negative_id) AS rk
+    FROM cand WHERE cos_sim >= 0.45
+)
+SELECT anchor_id, negative_id, anchor_label, negative_label, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space homogeneity audit: of all cosine-threshold
     pairs, how many connect vectors with the SAME gold label — the
@@ -4471,6 +4530,7 @@ QUERIES = {
     "sim_centroid_confusion": q_sim_centroid_confusion,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
+    "sim_hard_negatives": q_sim_hard_negatives,
     "text_kn_bigram_score": q_text_kn_bigram_score,
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
@@ -4555,6 +4615,7 @@ ORACLES = {
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
+    "sim_hard_negatives": _sql_sim_hard_negatives(),
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
