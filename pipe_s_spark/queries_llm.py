@@ -4092,6 +4092,95 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_sim_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING: one (anchor, positive, negative) row per anchor
+    that has both — positive = its most-similar SAME-label vector,
+    negative = its most-similar DIFFERENT-label vector (both from the
+    cached >= 0.45 pair table, so the negative is hard by
+    construction), plus the margin (pos_cos - neg_cos) in integer
+    micro-units: the margin distribution is exactly what you inspect
+    to set a triplet-loss margin. Anchors whose hardest negative beats
+    their best positive show up with a NEGATIVE margin — the
+    label-noise suspects. Same cached-kernel + broadcast-label +
+    per-anchor-window shape as sim_hard_negatives; the extra cost is
+    one self-join of two one-row-per-anchor tables."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    both = pairs.select(
+        F.col("id1").alias("anchor_id"), F.col("id2").alias("other_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("anchor_id"), F.col("id1").alias("other_id"), "cos_sim"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+    lo = emb.select(F.col("vec_id").alias("other_id"), F.col("label").alias("other_label"))
+    lab = both.join(F.broadcast(la), "anchor_id").join(F.broadcast(lo), "other_id")
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "other_id")
+    pos = (
+        lab.filter(F.col("anchor_label") == F.col("other_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("other_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = (
+        lab.filter(F.col("anchor_label") != F.col("other_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        F.expr("CAST(ROUND((pos_cos - neg_cos) * 1000000) AS BIGINT)").alias(
+            "margin_x1m"
+        ),
+    )
+
+
+def _sql_sim_triplets() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+           b.vec_id AS other_id, b.label AS other_label,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+hard AS (SELECT * FROM cand WHERE cos_sim >= 0.45),
+pos AS (
+    SELECT anchor_id, anchor_label, other_id AS positive_id, cos_sim AS pos_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, other_id) AS rk
+          FROM hard WHERE anchor_label = other_label)
+    WHERE rk = 1
+),
+neg AS (
+    SELECT anchor_id, other_id AS negative_id, cos_sim AS neg_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, other_id) AS rk
+          FROM hard WHERE anchor_label <> other_label)
+    WHERE rk = 1
+)
+SELECT anchor_id, anchor_label, positive_id, negative_id, pos_cos, neg_cos,
+       CAST(ROUND((pos_cos - neg_cos) * 1000000) AS BIGINT) AS margin_x1m
+FROM pos JOIN neg USING (anchor_id)
+"""
+
+
 def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space homogeneity audit: of all cosine-threshold
     pairs, how many connect vectors with the SAME gold label — the
@@ -4531,6 +4620,7 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
     "sim_hard_negatives": q_sim_hard_negatives,
+    "sim_triplets": q_sim_triplets,
     "text_kn_bigram_score": q_text_kn_bigram_score,
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
@@ -4616,6 +4706,7 @@ ORACLES = {
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
     "sim_hard_negatives": _sql_sim_hard_negatives(),
+    "sim_triplets": _sql_sim_triplets(),
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
