@@ -585,7 +585,94 @@ FROM ranked WHERE rk = 1
 """
 
 
+#: PSI value-bin width / bin count for the weekly drift monitor.
+PSI_BIN_W = 50.0
+PSI_BINS = 10
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT monitor: the Population Stability Index of
+    the event-value distribution for every calendar week against week
+    0 — the standard "has my feature/traffic distribution moved"
+    number an ML-ops monitor alerts on (rule of thumb: PSI > 0.2 =
+    investigate). Values are binned into 10 fixed $50 buckets; both
+    weeks' shares are add-one smoothed over the SAME 10-bin spine (so
+    empty bins are defined, and the spine join is a 10-row broadcast);
+    each bin's (q-p)*ln(q/p) term is quantized to integer NANO-units
+    once, so the 10-term sum is order-independent and the whole
+    output is engine-exact. One fact-table aggregate (week x bin, map-
+    side combinable) — everything after it is vocabulary-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor((F.dayofmonth("ts") - 1) / 7).cast("int")
+    bin_ = F.least(
+        F.floor(F.col("value") / PSI_BIN_W), F.lit(PSI_BINS - 1)
+    ).cast("int")
+    counts = (
+        ev.select(wk.alias("wk"), bin_.alias("bin"))
+        .groupBy("wk", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        counts.select("wk").distinct()
+        .select("wk", F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"))
+    )
+    full = (
+        spine.join(counts, ["wk", "bin"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("wk")))
+    )
+    ref = full.filter(F.col("wk") == 0).select(
+        "bin", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    cmp_ = full.filter(F.col("wk") > 0).join(F.broadcast(ref), "bin")
+    p = (F.col("c0") + 1).cast("double") / (F.col("n0") + PSI_BINS).cast("double")
+    q = (F.col("c") + 1).cast("double") / (F.col("n") + PSI_BINS).cast("double")
+    cmp_ = cmp_.withColumn(
+        "term_x1e9",
+        F.round(((q - p) * F.log(q / p)) * F.lit(1e9)).cast("long"),
+    )
+    return cmp_.groupBy("wk").agg(
+        F.max("n").alias("n_events"),
+        F.sum("term_x1e9").alias("psi_x1e9"),
+    )
+
+
+SQL_EVENTS_PSI_DRIFT = f"""
+WITH binned AS (
+    SELECT CAST(FLOOR((EXTRACT(day FROM ts) - 1) / 7) AS INTEGER) AS wk,
+           CAST(LEAST(FLOOR(value / {PSI_BIN_W}), {PSI_BINS - 1}) AS INTEGER) AS bin
+    FROM events
+),
+counts AS (SELECT wk, bin, COUNT(*) AS c FROM binned GROUP BY wk, bin),
+spine AS (
+    SELECT wk, i AS bin
+    FROM (SELECT DISTINCT wk FROM counts)
+    CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS i)
+),
+full_c AS (
+    SELECT s.wk, s.bin, COALESCE(c.c, 0) AS c,
+           CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY s.wk) AS BIGINT) AS n
+    FROM spine s LEFT JOIN counts c ON s.wk = c.wk AND s.bin = c.bin
+),
+ref AS (SELECT bin, c AS c0, n AS n0 FROM full_c WHERE wk = 0),
+terms AS (
+    SELECT f.wk, f.n,
+           CAST(ROUND((
+               (CAST(f.c + 1 AS DOUBLE) / CAST(f.n + {PSI_BINS} AS DOUBLE)
+                - CAST(r.c0 + 1 AS DOUBLE) / CAST(r.n0 + {PSI_BINS} AS DOUBLE))
+               * LN((CAST(f.c + 1 AS DOUBLE) / CAST(f.n + {PSI_BINS} AS DOUBLE))
+                    / (CAST(r.c0 + 1 AS DOUBLE) / CAST(r.n0 + {PSI_BINS} AS DOUBLE)))
+           ) * 1e9) AS BIGINT) AS term_x1e9
+    FROM full_c f JOIN ref r ON f.bin = r.bin
+    WHERE f.wk > 0
+)
+SELECT wk, MAX(n) AS n_events, CAST(SUM(term_x1e9) AS BIGINT) AS psi_x1e9
+FROM terms GROUP BY wk
+"""
+
+
 QUERIES = {
+    "events_psi_drift": q_events_psi_drift,
     "events_funnel": q_events_funnel,
     "events_peak_hour": q_events_peak_hour,
     "events_weekday_profile": q_events_weekday_profile,
@@ -601,6 +688,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_winsorized": SQL_EVENTS_WINSORIZED,
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
