@@ -22,11 +22,15 @@ def filter_dml(
     op_col: str = "op",
     db_col: str | None = None,
     db_regex: str | None = None,
+    full_name_regex: str | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Build a composable filter: ``df.transform(filter_dml(...))``.
 
     ``table_regex`` is matched against the table name (use
     ``db_col``/``db_regex`` for a separate database predicate);
+    ``full_name_regex`` matches the reference's
+    ``FullTableNamePattern`` semantics — the regex runs against
+    ``db.table`` (`pkg/processor/filter/mysqldml.go:50-63`);
     ``ops`` restricts operations (insert/update/delete).
     """
 
@@ -36,6 +40,9 @@ def filter_dml(
             cond = cond & F.col(table_col).rlike(table_regex)
         if db_regex is not None and db_col is not None:
             cond = cond & F.col(db_col).rlike(db_regex)
+        if full_name_regex is not None:
+            full = F.concat_ws(".", F.col(db_col or "db"), F.col(table_col))
+            cond = cond & full.rlike(full_name_regex)
         if ops is not None:
             cond = cond & F.col(op_col).isin(list(ops))
         return df.filter(cond)

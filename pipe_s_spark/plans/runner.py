@@ -74,6 +74,9 @@ def _p_filter(cfg: Mapping[str, Any]) -> Transform:
         ops=cfg.get("ops"),
         table_col=cfg.get("tableCol", "table_name"),
         op_col=cfg.get("opCol", "op"),
+        db_col=cfg.get("dbCol"),
+        db_regex=cfg.get("dbRegex"),
+        full_name_regex=cfg.get("fullNameRegex"),
     )
 
 
