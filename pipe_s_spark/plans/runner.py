@@ -354,6 +354,14 @@ def main(argv: list[str] | None = None) -> int:
         for path in args.configs:
             with open(path) as f:
                 spec = json.load(f)
+            if "Task" in spec:
+                # a reference-engine config file — translate it
+                # (plans.compat), announcing every endpoint stand-in
+                from pipe_s_spark.plans.compat import translate_reference_config
+
+                spec, notes = translate_reference_config(spec)
+                for n in notes:
+                    print(f"[compat] {n}")
             out = run_pipeline(spark, spec)
             if out is not None:
                 out.show(20, truncate=False)
