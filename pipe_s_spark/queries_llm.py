@@ -1460,6 +1460,51 @@ SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+#: Sample size for the weighted priority sample.
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis-Spirakis 2006 priority sampling): each doc draws a
+    deterministic uniform u from md5(doc_id) and gets priority
+    ln(u)/w with w = n_chars, and the WEIGHTED_SAMPLE_K largest
+    priorities win — docs are included with probability proportional
+    to weight, yet the sample is bit-stable across runs, engines and
+    cluster sizes (the property rand()-based sampling lacks, and the
+    weighted generalization of the md5-rank stratified sample). The
+    top-k is a TakeOrderedAndProject (no global sort, no global
+    window); one narrow pass over (doc_id, n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(2**28 + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", F.round(key, 12).alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+SQL_TEXT_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       ROUND(LN((CAST(from_hex_to_int AS DOUBLE) + 1.0) / {float(2**28 + 1)})
+             / CAST(n_chars AS DOUBLE), 12) AS priority
+FROM (
+    SELECT doc_id, n_chars,
+           CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+               AS from_hex_to_int
+    FROM documents WHERE n_chars > 0
+)
+ORDER BY priority DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filter (Gopher-style, Rae et al. 2021 table A1): per
     doc, the share of tokens taken by the single most frequent token
@@ -4590,6 +4635,7 @@ QUERIES = {
     "text_curation_pipeline": q_text_curation_pipeline,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_weighted_sample": q_text_weighted_sample,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -4676,6 +4722,7 @@ ORACLES = {
     "text_curation_pipeline": SQL_TEXT_CURATION_PIPELINE,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
+    "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "text_tfidf_topterms": SQL_TEXT_TFIDF,
