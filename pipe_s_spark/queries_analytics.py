@@ -1009,6 +1009,89 @@ FROM daily
 """
 
 
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve: customers grouped by first-order
+    month, each cohort's cumulative revenue (exact integer cents) and
+    per-customer cumulative LTV (integer cents via DIV) at every month
+    offset — the revenue counterpart of events_retention's count
+    curve, and the table a payback-period chart reads directly. One
+    customer-keyed aggregate finds cohorts, one (cohort, offset)
+    rollup, and the running sum is a window PARTITIONED by cohort
+    (parallel across cohorts; offsets per cohort are unique so the
+    order key is total)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cohort = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("d"), "month").alias("cohort_month")
+    )
+    sizes = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    monthly = (
+        orders.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.trunc("d", "month"), F.col("cohort_month"))
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg((F.sum("price") * 100).cast("long").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("cum_revenue_c", F.sum("rev_c").over(w).cast("long"))
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            "cum_revenue_c",
+            F.expr("cum_revenue_c DIV n_customers").alias("ltv_per_customer_c"),
+        )
+    )
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH o AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+),
+cohort AS (
+    SELECT o_custkey, DATE_TRUNC('month', MIN(d)) AS cohort_month
+    FROM o GROUP BY o_custkey
+),
+sizes AS (
+    SELECT cohort_month, COUNT(*) AS n_customers FROM cohort GROUP BY cohort_month
+),
+monthly AS (
+    SELECT c.cohort_month,
+           CAST(DATEDIFF('month', c.cohort_month, DATE_TRUNC('month', o.d)) AS BIGINT)
+               AS month_offset,
+           CAST(SUM(o.price) * 100 AS BIGINT) AS rev_c
+    FROM o JOIN cohort c USING (o_custkey)
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_month, month_offset,
+           CAST(SUM(rev_c) OVER (PARTITION BY cohort_month ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_revenue_c
+    FROM monthly
+)
+SELECT CAST(cum.cohort_month AS DATE) AS cohort_month, month_offset, n_customers,
+       cum_revenue_c, cum_revenue_c // n_customers AS ltv_per_customer_c
+FROM cum JOIN sizes USING (cohort_month)
+"""
+
+
 def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: customers bucketed 1-3 on Recency, Frequency
     and Monetary at the exact corpus 33rd/66th percentiles, rolled up
@@ -1389,6 +1472,7 @@ QUERIES = {
     "lineitem_iqr_outliers": q_lineitem_iqr_outliers,
     "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
     "window_first_last": q_window_first_last,
@@ -1424,6 +1508,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": SQL_Q1,
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
+    "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
