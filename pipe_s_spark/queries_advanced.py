@@ -569,6 +569,61 @@ FROM documents
 """
 
 
+def q_dq_corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table corpus integrity (operators.expectations): the
+    documents <-> embeddings link checked BOTH ways — orphan
+    embeddings (vec_id with no document) and unembedded documents
+    (doc_id with no vector) — plus key uniqueness on each side: the
+    four numbers that must be green before any doc-joined semantic
+    query (dedup_ensemble, sim_* evals) can be trusted. Each
+    direction is one broadcast-key left join folded into that table's
+    single aggregate scan."""
+    from pipe_s_spark.operators.expectations import ExpectationSuite, run_suites
+
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    s_docs = (
+        ExpectationSuite("documents")
+        .unique("doc_id")
+        .foreign_key("doc_id", embeddings, "vec_id")
+    )
+    s_emb = (
+        ExpectationSuite("embeddings")
+        .unique("vec_id")
+        .foreign_key("vec_id", documents, "doc_id")
+    )
+    return run_suites([(s_docs, documents), (s_emb, embeddings)])
+
+
+SQL_DQ_CORPUS_INTEGRITY = """
+SELECT 'documents' AS tbl, 'unique:doc_id' AS "check",
+       COUNT(*) - COUNT(DISTINCT doc_id) AS violations, COUNT(*) AS total,
+       COUNT(*) - COUNT(DISTINCT doc_id) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'documents', 'foreign_key:doc_id',
+       COUNT(*) FILTER (WHERE doc_id IS NOT NULL
+                          AND doc_id NOT IN (SELECT vec_id FROM embeddings)),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE doc_id IS NOT NULL
+                          AND doc_id NOT IN (SELECT vec_id FROM embeddings)) = 0
+FROM documents
+UNION ALL
+SELECT 'embeddings', 'unique:vec_id',
+       COUNT(*) - COUNT(DISTINCT vec_id), COUNT(*),
+       COUNT(*) - COUNT(DISTINCT vec_id) = 0
+FROM embeddings
+UNION ALL
+SELECT 'embeddings', 'foreign_key:vec_id',
+       COUNT(*) FILTER (WHERE vec_id IS NOT NULL
+                          AND vec_id NOT IN (SELECT doc_id FROM documents)),
+       COUNT(*),
+       COUNT(*) FILTER (WHERE vec_id IS NOT NULL
+                          AND vec_id NOT IN (SELECT doc_id FROM documents)) = 0
+FROM embeddings
+"""
+
+
 def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation over lineitem's three heavy-hitter
     return-flag groups (operators.skew.salted_agg): phase 1 aggregates
@@ -970,6 +1025,7 @@ QUERIES = {
     "percentiles_distributed": q_percentiles_distributed,
     "stats_median_profile": q_stats_median_profile,
     "dq_expectations": q_dq_expectations,
+    "dq_corpus_integrity": q_dq_corpus_integrity,
     "stats_agg": q_stats_agg,
     "window_dist_funcs": q_window_dist_funcs,
 }
@@ -993,6 +1049,7 @@ ORACLES = {
     "percentiles_distributed": SQL_PERCENTILES_DISTRIBUTED,
     "stats_median_profile": _sql_stats_median_profile(),
     "dq_expectations": SQL_DQ_EXPECTATIONS,
+    "dq_corpus_integrity": SQL_DQ_CORPUS_INTEGRITY,
     "stats_agg": SQL_STATS,
     "window_dist_funcs": SQL_WINDOW_DIST,
 }
