@@ -1,0 +1,114 @@
+"""CDC-throughput microbench — the measurable analog of the
+reference's only published numbers (BASELINE.md, `README.md:23-33`:
+deep-resolve -> DummyOutput 400 MB/s; batch sync -> MySQL 140K tps).
+
+Three legs over an amplified synthetic changelog (events-derived rows
+replicated with distinct seq/pk so compaction has real work):
+
+- ``resolve``  : full changelog derivation + JSON envelope marshal ->
+                 noop sink. Analog of "binlog deep resolve ->
+                 DummyOutput" (parse+transform, no sink cost).
+- ``compact``  : per-key net-effect compaction -> parquet staging.
+                 Analog of "batch sync" (the net-effect write path).
+- ``merge``    : compaction + fenced bucketed MERGE into a live
+                 target. Analog of "stream sync" (idempotent upsert
+                 apply).
+
+Bytes/s uses the JSON-envelope byte size of the resolved rows (closest
+analog of binlog MB; the reference also measures wire bytes).
+Prints ONE JSON line. Env: SPARK_GRAFT_STREAMBENCH_ROWS (default 2M).
+
+Single-machine parquet-in, not a MySQL wire protocol — documented as
+the analog, not a reproduction (SURVEY §1.2: no DB/broker in env).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from pipe_s_spark.model import changelog_from_events
+    from pipe_s_spark.operators.compaction import compact_changelog
+    from pipe_s_spark.operators.jsonio import marshal_json
+    from pipe_s_spark.session import get_spark
+    from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+    target_rows = int(os.environ.get("SPARK_GRAFT_STREAMBENCH_ROWS", 2_000_000))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="stream_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    amplify = max(1, target_rows // n_events)
+    # amplification keeps keys distinct per copy (pk offset) and seq
+    # strictly increasing, so compaction ratios match a real stream's
+    log = (
+        changelog_from_events(events)
+        .crossJoin(F.broadcast(spark.range(amplify).select(F.col("id").alias("rep"))))
+        .withColumn("seq", F.col("seq") * amplify + F.col("rep"))
+        .withColumn("pk", F.col("pk") + F.col("rep") * 1000)
+        .drop("rep")
+    )
+    log = log.localCheckpoint()  # materialize once; bench the operators, not the scan
+    n_rows = log.count()
+
+    # byte volume of the resolved JSON envelopes (the MB/s denominator)
+    avg_bytes = (
+        log.limit(10_000)
+        .transform(marshal_json(None, "v"))
+        .agg(F.avg(F.length("v")))
+        .collect()[0][0]
+    )
+    total_mb = n_rows * avg_bytes / 1e6
+
+    out: dict = {"rows": n_rows, "approx_mb": round(total_mb, 1), "legs": {}}
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        t0 = time.time()
+        log.transform(marshal_json(None, "v")).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        out["legs"]["resolve"] = {
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_rows / dt),
+            "mb_per_sec": round(total_mb / dt, 1),
+        }
+
+        t0 = time.time()
+        compact_changelog(
+            log, key_cols=("table_name", "pk"), payload_cols=["k", "value"]
+        ).write.mode("overwrite").parquet(f"{tmp}/staging")
+        dt = time.time() - t0
+        out["legs"]["compact"] = {
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_rows / dt),
+            "mb_per_sec": round(total_mb / dt, 1),
+        }
+
+        t0 = time.time()
+        tgt = MergeApplyTarget(f"{tmp}/target")
+        tgt.apply_batch(log, epoch_id=1)
+        dt = time.time() - t0
+        out["legs"]["merge"] = {
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_rows / dt),
+            "mb_per_sec": round(total_mb / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
