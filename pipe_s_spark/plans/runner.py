@@ -196,6 +196,14 @@ def _build_input(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
         schema = cfg.get("schema")
         reader = spark.read.schema(schema) if schema else spark.read
         return reader.json(cfg["path"])
+    if typ == "csv":
+        schema = cfg.get("schema")
+        reader = spark.read.schema(schema) if schema else spark.read.option(
+            "inferSchema", True
+        )
+        return reader.option("header", cfg.get("header", True)).csv(cfg["path"])
+    if typ == "orc":
+        return spark.read.orc(cfg["path"])
     if typ == "json-stream":
         return (
             spark.readStream.schema(cfg["schema"])
@@ -265,6 +273,18 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             )
             return None
         df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
+        return None
+    if typ == "orc":
+        df.write.mode(cfg.get("mode", "overwrite")).orc(cfg["path"])
+        return None
+    if typ == "csv":
+        w = df
+        n = cfg.get("numFiles")
+        if n:
+            w = w.coalesce(int(n))
+        w.write.mode(cfg.get("mode", "overwrite")).option(
+            "header", cfg.get("header", True)
+        ).csv(cfg["path"])
         return None
     if typ == "jsonl":
         # training-data export: newline-delimited JSON, the interchange

@@ -450,3 +450,28 @@ def test_runner_expect_drop_and_quarantine_modes(spark):
     assert nk + nq == total and nq > 0
     assert "_violated" not in kept.columns
     assert quar.select("_violated").distinct().collect()[0][0] == "in_range:c_acctbal"
+
+
+def test_runner_csv_orc_roundtrip(spark, tmp_path):
+    """csv and orc input/output legs: write each format from a query
+    source, read it back through the runner, identical rows."""
+    csv_p, orc_p = str(tmp_path / "csv_out"), str(tmp_path / "orc_out")
+    base = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "nation"}},
+        "Processors": [],
+    }
+    run_pipeline(spark, {**base, "Output": {"Type": "csv", "Config": {"path": csv_p, "numFiles": 1}}})
+    run_pipeline(spark, {**base, "Output": {"Type": "orc", "Config": {"path": orc_p}}})
+    want = spark.read.parquet(f"{SF}/nation.parquet").count()
+    got_csv = run_pipeline(
+        spark, {"Input": {"Type": "csv", "Config": {"path": csv_p}},
+                "Processors": [], "Output": {"Type": "return"}}
+    )
+    got_orc = run_pipeline(
+        spark, {"Input": {"Type": "orc", "Config": {"path": orc_p}},
+                "Processors": [], "Output": {"Type": "return"}}
+    )
+    assert got_csv.count() == want and got_orc.count() == want
+    assert {r["n_name"] for r in got_orc.collect()} == {
+        r["n_name"] for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
