@@ -14,14 +14,18 @@ import pytest
 from pipe_s_spark.plans import run_pipeline
 from pipe_s_spark.plans.compat import CompatError, translate_reference_config
 
-REF_SAMPLES = sorted(glob.glob("/root/reference/examples/configsamples/*.json"))
+REF_SAMPLES = sorted(
+    glob.glob("/root/reference/examples/configsamples/*.json")
+    + glob.glob("/root/reference/integration_test/*/*.json")
+)
 
 
 def test_all_reference_samples_present():
-    assert len(REF_SAMPLES) == 8
+    # 8 shipped examples + 5 integration-test configs
+    assert len(REF_SAMPLES) == 13
 
 
-@pytest.mark.parametrize("path", REF_SAMPLES, ids=[os.path.basename(p) for p in REF_SAMPLES])
+@pytest.mark.parametrize("path", REF_SAMPLES, ids=[p.rsplit("/", 2)[-2] + "/" + os.path.basename(p) for p in REF_SAMPLES])
 def test_reference_config_translates_and_runs(spark, path, tmp_path):
     ref = json.load(open(path))
     spec, notes = translate_reference_config(ref, out_dir=str(tmp_path))
