@@ -534,3 +534,65 @@ SELECT {gsel}
        END AS est_distinct
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; Agarwal et al.'s
+# mergeable-summaries result makes per-partition summaries + counter
+# merge sound). Two-phase: bounded-state per-partition summaries ->
+# merged candidate set (guaranteed SUPERSET of every item with
+# frequency > n/k) -> one exact semi-join count of candidates only.
+# The candidate SET depends on partitioning, but the verified output
+# (exact counts filtered to > n/k) does not — which is what makes a
+# deterministic oracle possible.
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df, value_col: str, k: int = 20, out_count: str = "n"
+):
+    """All values with frequency strictly greater than n/k, with EXACT
+    counts — without a full-domain groupBy: phase 1 holds at most k-1
+    counters per task (Misra-Gries decrement summaries, an Arrow
+    kernel), phase 2 merges the per-task summaries (counter sum is the
+    mergeable-summaries bound) and keeps candidates, phase 3 computes
+    exact counts ONLY for candidates via a broadcast semi-join and
+    filters to the true threshold. At 100 TB the shuffle carries
+    O(tasks * k) counter rows plus the candidate-filtered count — the
+    full-domain exchange (stats_key_skew's cost) never happens.
+    """
+    from pyspark.sql import functions as F
+
+    def mg_kernel(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in dead:
+                        del counters[key]
+                    for key in counters:
+                        counters[key] -= 1
+        yield pd.DataFrame(
+            {value_col: list(counters.keys()), "mg": list(counters.values())}
+        )
+
+    field = df.schema[value_col].dataType.simpleString()
+    src = df.select(value_col).filter(F.col(value_col).isNotNull())
+    summaries = src.mapInPandas(mg_kernel, schema=f"{value_col} {field}, mg long")
+    # merged MG summary: counter sums; every item with global count
+    # > n/k survives with a positive merged counter
+    candidates = summaries.groupBy(value_col).agg(F.sum("mg").alias("mg"))
+    exact = (
+        src.join(F.broadcast(candidates.select(value_col)), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias(out_count))
+    )
+    n_total = src.count()
+    return exact.filter(F.col(out_count) * k > F.lit(n_total))

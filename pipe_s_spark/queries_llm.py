@@ -1460,6 +1460,39 @@ SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+#: Misra-Gries k: report tokens with frequency > 1/k of all tokens.
+HH_K = 50
+
+
+def q_text_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus HEAVY-HITTER tokens (frequency > 1/{k} of all token
+    occurrences) with EXACT counts but WITHOUT a full-vocabulary
+    groupBy — the Misra-Gries two-phase shape
+    (functions.sketches.heavy_hitters): bounded k-counter summaries
+    per task (Arrow kernel), counter-sum merge (mergeable-summaries
+    guarantee: every true heavy hitter survives), then exact counts
+    for the candidate set only via a broadcast semi-join. The
+    stopword-discovery / skew-probe op: at 100 TB the full token
+    exchange (the naive formulation) is the single biggest shuffle a
+    text pipeline can emit, and this shape never pays it. Oracle =
+    the naive exact groupBy filtered to the same threshold: the
+    bounded-state rewrite must be result-identical."""
+    from pipe_s_spark.functions.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=HH_K, out_count="n")
+
+
+SQL_TEXT_HEAVY_TOKENS = f"""
+WITH toks AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT tok, COUNT(*) AS n
+FROM toks GROUP BY tok
+HAVING COUNT(*) * {HH_K} > (SELECT n_total FROM tot)
+"""
+
+
 #: Sample size for the weighted priority sample.
 WEIGHTED_SAMPLE_K = 50
 
@@ -4629,6 +4662,7 @@ QUERIES = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_ensemble": q_dedup_ensemble,
     "text_weighted_sample": q_text_weighted_sample,
+    "text_heavy_tokens": q_text_heavy_tokens,
     "text_contamination": q_text_contamination,
     "text_dup_ngrams": q_text_dup_ngrams,
     "text_langid_eval": q_text_langid_eval,
@@ -4716,6 +4750,7 @@ ORACLES = {
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "dedup_ensemble": SQL_DEDUP_ENSEMBLE,
     "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
+    "text_heavy_tokens": SQL_TEXT_HEAVY_TOKENS,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,

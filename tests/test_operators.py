@@ -812,3 +812,32 @@ def test_dquantiles_bucketing_edge_cases(spark):
         .collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """functions.sketches.heavy_hitters must equal the exact full
+    groupBy filter for every k — including items straddling the n/k
+    threshold and under adversarial partitioning (all copies of a
+    heavy item in one partition)."""
+    from pyspark.sql import functions as F
+
+    from pipe_s_spark.functions.sketches import heavy_hitters
+
+    rows = (
+        [("a",)] * 300 + [("b",)] * 120 + [("c",)] * 80
+        + [(f"x{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    for k in (3, 5, 10):
+        got = {(r["v"], r["n"]) for r in heavy_hitters(df, "v", k=k).collect()}
+        n = len(rows)
+        want = {
+            (r["v"], r["n"])
+            for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+            if r["n"] * k > n
+        }
+        assert got == want, f"k={k}"
+    # skewed layout: one partition holds every 'a'
+    skew = df.repartition(4, F.when(F.col("v") == "a", F.lit(0)).otherwise(F.col("v")))
+    got = {r["v"] for r in heavy_hitters(skew, "v", k=4).collect()}
+    assert got == {"a"}
