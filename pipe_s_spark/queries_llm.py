@@ -3962,6 +3962,61 @@ FROM v GROUP BY label
 """
 
 
+def q_sim_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics: mean and variance of every
+    vector coordinate (plus its min/max), exact — the feature-health
+    view behind whitening decisions, dead-dimension detection (var ~ 0
+    = the encoder never uses the coordinate) and the diagonal of the
+    covariance a PCA/whitening step starts from. One posexplode ->
+    one 64-group aggregate; sums go through DECIMAL(38,12) (float32
+    coordinates are exact in 12 fractional digits), so mean and
+    variance are order-independent and engine-identical; the final
+    two divisions are scalar IEEE on identical operands, rounded 9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 9).alias("mean_x"),
+        F.round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n"), 9
+        ).alias("var_x"),
+        "min_x",
+        "max_x",
+    )
+
+
+SQL_SIM_DIMENSION_STATS = """
+WITH ex AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+agg AS (
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           ROUND(MIN(x), 6) AS min_x,
+           ROUND(MAX(x), 6) AS max_x
+    FROM ex GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       ROUND(sx / n, 9) AS mean_x,
+       ROUND((sxx - sx * sx / n) / n, 9) AS var_x,
+       min_x, max_x
+FROM agg
+"""
+
+
 def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift by document source: cosine of each
     source's mean embedding against the global mean — the one-query
@@ -4705,6 +4760,7 @@ QUERIES = {
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
     "sim_embedding_profile": q_sim_embedding_profile,
+    "sim_dimension_stats": q_sim_dimension_stats,
     "graph_communities": q_graph_communities,
     "text_quality_ensemble": q_text_quality_ensemble,
     "text_hapax_ratio": q_text_hapax_ratio,
@@ -4793,6 +4849,7 @@ ORACLES = {
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
     "sim_embedding_profile": SQL_SIM_EMBEDDING_PROFILE,
+    "sim_dimension_stats": SQL_SIM_DIMENSION_STATS,
     "graph_communities": _sql_graph_communities(),
     "text_quality_ensemble": _sql_text_quality_ensemble(),
     "text_hapax_ratio": SQL_TEXT_HAPAX_RATIO,
