@@ -47,11 +47,21 @@ def run_dedup_index_stream(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    band_cap: int | None = None,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
     ``doc_stream``. The index holds (doc_id, band_id, band_sig,
-    batch_id); pairs hold (d1, d2, batch_id) with d1 < d2."""
+    batch_id); pairs hold (d1, d2, batch_id) with d1 < d2.
+
+    ``band_cap`` bounds the per-(band_id, band_sig) group size of the
+    ARRIVING batch before the join (functions.dedup.cap_group_size —
+    the same guard the batch LSH queries run): at corpus scale a
+    boilerplate band key would otherwise fan a single batch out
+    quadratically. Capping the batch side only keeps the incremental
+    result a superset-per-batch of what a capped batch recompute
+    yields; leave None to match the uncapped recompute exactly (the
+    e2e test's contract)."""
     os.makedirs(index_path, exist_ok=True)
     os.makedirs(pairs_path, exist_ok=True)
 
@@ -59,7 +69,12 @@ def run_dedup_index_stream(
         spark = batch_df.sparkSession
         sh = shingles(batch_df.select(id_col, text_col), id_col, text_col, k=k)
         sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
-        new_bands = lsh_bands(sig, id_col, num_hashes=num_hashes, bands=bands).persist()
+        new_bands = lsh_bands(sig, id_col, num_hashes=num_hashes, bands=bands)
+        if band_cap is not None:
+            from pipe_s_spark.functions.dedup import cap_group_size
+
+            new_bands = cap_group_size(new_bands, ["band_id", "band_sig"], band_cap)
+        new_bands = new_bands.persist()
         try:
             try:
                 existing = spark.read.parquet(index_path).filter(
