@@ -585,6 +585,56 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_events_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-ADJUSTMENT residuals: daily revenue minus the
+    day-of-week mean — the de-seasonalized series an anomaly monitor
+    should alert on instead of raw dailies (a quiet Sunday is normal;
+    a quiet Tuesday is not). Daily revenue is exact integer cents;
+    the weekday mean is integer-cents DIV over that weekday's days
+    (order-independent); the residual is pure integer subtraction —
+    no float exists anywhere in the query. Two vocabulary-sized
+    aggregates (365 x 1 and 7 x 1 rows at any corpus size) after one
+    fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    daily = daily.withColumn("dow", F.dayofweek("d"))
+    wk = daily.groupBy("dow").agg(
+        F.expr("CAST(SUM(rev_c) DIV COUNT(1) AS BIGINT)").alias("dow_mean_c")
+    )
+    return (
+        daily.join(F.broadcast(wk), "dow")
+        .select(
+            "d",
+            "dow",
+            "rev_c",
+            "dow_mean_c",
+            (F.col("rev_c") - F.col("dow_mean_c")).alias("residual_c"),
+        )
+    )
+
+
+SQL_EVENTS_SEASONAL_RESIDUAL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+    FROM events GROUP BY 1
+),
+dowd AS (
+    SELECT d, CAST(strftime(d, '%w') AS INTEGER) + 1 AS dow, rev_c FROM daily
+),
+wk AS (
+    SELECT dow, CAST(SUM(rev_c) // COUNT(*) AS BIGINT) AS dow_mean_c
+    FROM dowd GROUP BY dow
+)
+SELECT d, dowd.dow, rev_c, dow_mean_c, rev_c - dow_mean_c AS residual_c
+FROM dowd JOIN wk ON dowd.dow = wk.dow
+"""
+
+
 #: PSI value-bin width / bin count for the weekly drift monitor.
 PSI_BIN_W = 50.0
 PSI_BINS = 10
@@ -673,6 +723,7 @@ FROM terms GROUP BY wk
 
 QUERIES = {
     "events_psi_drift": q_events_psi_drift,
+    "events_seasonal_residual": q_events_seasonal_residual,
     "events_funnel": q_events_funnel,
     "events_peak_hour": q_events_peak_hour,
     "events_weekday_profile": q_events_weekday_profile,
@@ -689,6 +740,7 @@ QUERIES = {
 
 ORACLES = {
     "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
+    "events_seasonal_residual": SQL_EVENTS_SEASONAL_RESIDUAL,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_winsorized": SQL_EVENTS_WINSORIZED,
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
