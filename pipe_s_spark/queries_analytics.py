@@ -1316,6 +1316,67 @@ GROUP BY p.p_brand
 """
 
 
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT: each nation's share of its REGION's customer
+    order revenue, in integer micro-units — the windowed
+    percent-of-total every BI layer exposes (Oracle's RATIO_TO_REPORT,
+    MDX share calc). Revenue is exact integer cents; the region total
+    comes from an unordered window PARTITIONED by region (no sort, no
+    global window), and the share is integer DIV — no float anywhere.
+    One fact aggregate to nation grain (25 rows), then window + two
+    broadcast dimension joins on the tiny side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("long").alias("rev_c"))
+    )
+    dim = nation.select("n_nationkey", "n_name", "n_regionkey").join(
+        F.broadcast(region.select("r_regionkey", "r_name")),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    w = Window.partitionBy("r_name")
+    return (
+        rev.join(F.broadcast(dim), rev.c_nationkey == dim.n_nationkey)
+        .withColumn("region_rev_c", F.sum("rev_c").over(w).cast("long"))
+        .select(
+            "r_name",
+            "n_name",
+            "rev_c",
+            "region_rev_c",
+            F.expr("CAST(rev_c * 1000000 DIV region_rev_c AS BIGINT)").alias(
+                "share_x1m"
+            ),
+        )
+    )
+
+
+SQL_NATION_SHARE_OF_REGION = """
+WITH rev AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+),
+j AS (
+    SELECT r.r_name, n.n_name, rev.rev_c
+    FROM rev
+    JOIN nation n ON rev.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name, n_name, rev_c,
+       CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_c,
+       CAST(rev_c * 1000000 // SUM(rev_c) OVER (PARTITION BY r_name) AS BIGINT)
+           AS share_x1m
+FROM j
+"""
+
+
 def q_customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue contribution by market segment: customers, orders, and
     integer-cent revenue per segment with each segment's micro-share of
@@ -1467,6 +1528,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "orders_gap_detection": q_orders_gap_detection,
     "customer_segment_value": q_customer_segment_value,
+    "nation_share_of_region": q_nation_share_of_region,
     "customer_balance_profile": q_customer_balance_profile,
     "part_markup_by_brand": q_part_markup_by_brand,
     "lineitem_iqr_outliers": q_lineitem_iqr_outliers,
@@ -1512,6 +1574,7 @@ ORACLES = {
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
+    "nation_share_of_region": SQL_NATION_SHARE_OF_REGION,
     "customer_balance_profile": SQL_CUSTOMER_BALANCE_PROFILE,
     "part_markup_by_brand": SQL_PART_MARKUP_BY_BRAND,
     "lineitem_iqr_outliers": SQL_LINEITEM_IQR_OUTLIERS,
