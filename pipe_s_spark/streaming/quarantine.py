@@ -39,39 +39,52 @@ def run_quarantine_gate(
 ):
     """Start (and optionally await) the gate on ``stream``.
 
-    Clean rows (no violated checks) are appended to ``good_path``
-    without the tag column; violating rows go to ``quarantine_path``
-    with ``_violated`` rendered as a sorted comma-joined string (stable
-    for downstream grouping); ``metrics_path`` accrues one row per
+    Clean rows (no violated checks) land in ``good_path`` without the
+    tag column; violating rows go to ``quarantine_path`` with
+    ``_violated`` rendered as a sorted comma-joined string (stable for
+    downstream grouping); ``metrics_path`` accrues one row per
     (batch_id, check) with that batch's violation count and row total.
-    All three writes happen inside one ``foreachBatch``, so a replayed
-    epoch rewrites deterministically from the same batch data.
+    All three sinks are PARTITIONED BY batch_id and written with
+    dynamic partition overwrite, so a replayed epoch (restart after a
+    crash between sink write and stream commit) rewrites its own
+    partitions to identical content instead of duplicating rows — the
+    same layout-level idempotence the dedup-index maintainer and the
+    merge sink's epoch fence provide.
     """
     for p in (good_path, quarantine_path, metrics_path):
         os.makedirs(p, exist_ok=True)
+
+    def _write(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         tagged = suite.tag(batch_df).persist()
         try:
             n_total = tagged.count()
+            bid = F.lit(batch_id).cast("long").alias("batch_id")
             good = tagged.filter(F.size("_violated") == 0).drop("_violated")
             bad = tagged.filter(F.size("_violated") > 0).withColumn(
                 "_violated", F.array_join(F.array_sort("_violated"), ",")
             )
-            good.write.mode("append").parquet(good_path)
-            bad.write.mode("append").parquet(quarantine_path)
+            _write(good.withColumn("batch_id", bid), good_path)
+            _write(bad.withColumn("batch_id", bid), quarantine_path)
             metrics = (
                 tagged.select(F.explode("_violated").alias("check"))
                 .groupBy("check")
                 .agg(F.count(F.lit(1)).alias("violations"))
                 .select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    bid,
                     "check",
                     "violations",
                     F.lit(n_total).cast("long").alias("batch_rows"),
                 )
             )
-            metrics.write.mode("append").parquet(metrics_path)
+            _write(metrics, metrics_path)
         finally:
             tagged.unpersist()
 
