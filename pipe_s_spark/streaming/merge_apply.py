@@ -152,6 +152,14 @@ class MergeApplyTarget:
         self.op_col = op_col
         self.num_buckets = num_buckets
         self.lww = lww
+        #: column-name -> DataType for the empty-target schema; seeded
+        #: from FLAT_CHANGELOG_SCHEMA and widened with the incoming
+        #: batch's actual types on every apply, so CUSTOM / COMPOSITE
+        #: key and payload columns (the reference allows any PK <= 5
+        #: cols, batchoutput.go:23) resolve before the first merge
+        self._col_types: dict[str, T.DataType] = {
+            f.name: f.dataType for f in FLAT_CHANGELOG_SCHEMA.fields
+        }
 
     def _bucket(self, df: DataFrame):
         from pyspark.sql import functions as F
@@ -241,7 +249,14 @@ class MergeApplyTarget:
             _glob.glob(os.path.join(self.path, "bucket=*", "*.parquet"))
         )
         if not has_data:
-            fields = [f for f in FLAT_CHANGELOG_SCHEMA.fields if f.name in cols]
+            missing = [c for c in cols if c not in self._col_types]
+            if missing:
+                raise ValueError(
+                    f"no type known for column(s) {missing}: pass the first "
+                    "batch through apply_batch (which records its schema) or "
+                    "use columns from the canonical changelog schema"
+                )
+            fields = [T.StructField(c, self._col_types[c]) for c in cols]
             if self.lww and internal:
                 fields += [
                     T.StructField(self._SEQ, T.LongType()),
@@ -294,6 +309,8 @@ class MergeApplyTarget:
             _trace(self.path, f"epoch={epoch_id} SKIP fence={self._read_fence()}")
             return
         spark = batch.sparkSession
+        for f in batch.schema.fields:
+            self._col_types[f.name] = f.dataType
         compacted = compact_changelog(
             batch,
             key_cols=self.key_cols,

@@ -1172,3 +1172,47 @@ def test_dedup_within_watermark_drops_replayed_rows(spark, tmp_path):
     q.awaitTermination(180)
     allr = pd.concat([r for r in results if len(r)], ignore_index=True)
     assert sorted(allr["event_id"]) == sorted(pdf["event_id"].unique())
+
+
+def test_merge_target_composite_custom_key(spark, tmp_path):
+    """Reference parity (batchoutput.go:23: any PK up to 5 columns):
+    the merge target must accept COMPOSITE keys with columns outside
+    the canonical changelog schema — including on the very first
+    batch, where the empty-target schema must come from the recorded
+    batch types, not the canonical schema."""
+    log = spark.createDataFrame(
+        [
+            ("app", "t1", 1, "a", 1, 10.0, "insert", 1),
+            ("app", "t1", 1, "b", 2, 20.0, "insert", 2),
+            ("app", "t1", 2, "a", 9, 90.0, "insert", 3),
+            ("app", "t1", 1, "a", 3, 30.0, "update", 4),
+            ("app", "t1", 1, "b", None, None, "delete", 5),
+        ],
+        "db string, table_name string, region int, code string, "
+        "k int, value double, op string, seq long",
+    )
+    from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+    tgt = MergeApplyTarget(
+        str(tmp_path / "t"),
+        key_cols=("table_name", "region", "code"),
+        payload_cols=("k", "value"),
+        num_buckets=4,
+    )
+    tgt.apply_batch(log, epoch_id=1)
+    got = {
+        (r["table_name"], r["region"], r["code"]): (r["k"], r["value"])
+        for r in tgt.read_current(spark).collect()
+    }
+    # (1,b) insert-then-delete annihilates; (1,a) ends on the update
+    assert got == {("t1", 1, "a"): (3, 30.0), ("t1", 2, "a"): (9, 90.0)}
+
+    # an un-applied target with custom keys refuses the empty read
+    # loudly instead of silently dropping the unknown columns
+    import pytest as _pytest
+
+    fresh = MergeApplyTarget(
+        str(tmp_path / "fresh"), key_cols=("nope", "pk"), payload_cols=("k",)
+    )
+    with _pytest.raises(ValueError, match="nope"):
+        fresh.read_current(spark)
