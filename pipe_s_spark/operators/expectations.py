@@ -56,6 +56,14 @@ class _FkCheck:
 
 
 @dataclass
+class _AggCheck:
+    name: str
+    expr: Column  # aggregate expression evaluated over the whole table
+    lo: object
+    hi: object
+
+
+@dataclass
 class ExpectationSuite:
     """Named constraints over one table; ``run(df)`` emits the report.
 
@@ -68,6 +76,7 @@ class ExpectationSuite:
     _rows: list[_RowCheck] = field(default_factory=list)
     _uniques: list[_UniqueCheck] = field(default_factory=list)
     _fks: list[_FkCheck] = field(default_factory=list)
+    _aggs: list[_AggCheck] = field(default_factory=list)
 
     # -- constraint builders (fluent) -----------------------------------
     def not_null(self, col: str) -> "ExpectationSuite":
@@ -109,6 +118,15 @@ class ExpectationSuite:
 
     def unique(self, *cols: str) -> "ExpectationSuite":
         self._uniques.append(_UniqueCheck("unique:" + ",".join(cols), tuple(cols)))
+        return self
+
+    def agg_between(self, name: str, expr: Column, lo=None, hi=None) -> "ExpectationSuite":
+        """TABLE-level constraint on an aggregate (Deequ's hasMean /
+        hasApproxQuantile class): ``expr`` is any aggregate expression;
+        the check fails (violations = 1) when the value falls outside
+        [lo, hi] or is null. Rides in the same single aggregate pass
+        as every other check."""
+        self._aggs.append(_AggCheck(f"agg:{name}", expr, lo, hi))
         return self
 
     def foreign_key(self, col: str, dim: DataFrame, dim_col: str) -> "ExpectationSuite":
@@ -155,6 +173,21 @@ class ExpectationSuite:
                 .alias(alias)
             )
             names.append(uq.name)
+        for ac in self._aggs:
+            alias = f"__v_{len(names)}"
+            bad = F.lit(False)
+            if ac.lo is not None:
+                bad = bad | (ac.expr < F.lit(ac.lo))
+            if ac.hi is not None:
+                bad = bad | (ac.expr > F.lit(ac.hi))
+            # null aggregate (e.g. avg of an all-null column) fails
+            aggs.append(
+                F.when(F.coalesce(~bad, F.lit(False)), F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias(alias)
+            )
+            names.append(ac.name)
         for i, (fk_name, marker) in enumerate(fk_flags):
             alias = f"__v_{len(names)}"
             # A fact row violates the FK when its key is non-null and no
@@ -200,9 +233,9 @@ class ExpectationSuite:
         on unbounded streams too (FK checks become stream-static
         broadcast joins; ``unique`` has no row-local meaning and is
         rejected)."""
-        if self._uniques:
+        if self._uniques or self._aggs:
             raise ValueError(
-                "unique checks are corpus-level, not row-level; "
+                "unique/agg checks are corpus-level, not row-level; "
                 "use run() for the aggregate report"
             )
         enriched = df
@@ -257,6 +290,8 @@ def suite_from_spec(spec: Sequence[dict], table: str = "t", spark=None) -> Expec
             s.satisfies(c["name"], F.expr(c["expr"]))
         elif kind == "unique":
             s.unique(*c["cols"])
+        elif kind == "agg_between":
+            s.agg_between(c["name"], F.expr(c["expr"]), c.get("lo"), c.get("hi"))
         elif kind == "foreign_key":
             if spark is None:
                 raise ValueError("foreign_key in a spec needs a SparkSession")

@@ -454,6 +454,7 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .in_set("o_orderstatus", ["O", "F", "P"])
         .in_range("o_totalprice", lo=0.0)
         .matches("o_orderpriority", r"^[1-5]-")
+        .agg_between("mean_totalprice", F.avg("o_totalprice"), lo=1000.0, hi=500000.0)
         .foreign_key("o_custkey", customer, "c_custkey")
     )
     s_customer = (
@@ -510,6 +511,12 @@ SELECT 'orders', 'matches:o_orderpriority',
        COUNT(*),
        COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
                           AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'agg:mean_totalprice',
+       CASE WHEN AVG(o_totalprice) BETWEEN 1000.0 AND 500000.0 THEN 0 ELSE 1 END,
+       COUNT(*),
+       AVG(o_totalprice) BETWEEN 1000.0 AND 500000.0
 FROM orders
 UNION ALL
 SELECT 'orders', 'foreign_key:o_custkey',

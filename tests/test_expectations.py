@@ -90,3 +90,20 @@ def test_single_scan_compilation(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     rows = _report(rep)
     assert all(v[2] for v in rows.values())
+
+
+def test_agg_between_table_level_checks(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "v double")
+    rep = _report(
+        ExpectationSuite("t")
+        .agg_between("mean_v", F.avg("v"), lo=1.5, hi=2.5)
+        .agg_between("mean_v_tight", F.avg("v"), lo=2.1)
+        .agg_between("null_agg", F.avg(F.lit(None).cast("double")), lo=0)
+        .run(df)
+    )
+    assert rep["agg:mean_v"] == (0, 4, True)
+    assert rep["agg:mean_v_tight"] == (1, 4, False)
+    # a null aggregate is a failure, not a silent pass
+    assert rep["agg:null_agg"] == (1, 4, False)
