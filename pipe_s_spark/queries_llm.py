@@ -703,6 +703,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_cached(spark, sf_dir)
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold TUNING table for lexical dedup: candidate-pair counts
+    in estimated-Jaccard bands of 0.1 plus the cumulative pair count
+    at-or-above each band floor — the one table you read before
+    pinning CLUSTER_EDGE_MIN ("how many pairs does each threshold
+    admit?"), the lexical sibling of sim_pair_histogram. One pass over
+    the session-materialized pair table; the cumulative count is a
+    10-row window (band grain, never pair grain)."""
+    pairs = _minhash_pairs_cached(spark, sf_dir)
+    banded = (
+        pairs.withColumn(
+            "band_lo",
+            (F.floor(F.col("est_jaccard") * 10) / 10).cast("double"),
+        )
+        .groupBy("band_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # constant partition = one reducer over the <= 11 band rows — safe
+    # at ANY corpus scale because the windowed relation is band-grain,
+    # never pair-grain (the checker's ban targets row-grain sorts)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.desc("band_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return banded.withColumn(
+        "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    return f"""
+WITH {_MINHASH_SIMS_CTES},
+banded AS (
+    SELECT CAST(FLOOR(est_jaccard * 10) / 10 AS DOUBLE) AS band_lo,
+           COUNT(*) AS n_pairs
+    FROM sims GROUP BY 1
+)
+SELECT band_lo, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band_lo DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pairs_at_or_above
+FROM banded
+"""
+
+
 def _minhash_sig_sql() -> str:
     aggs = ",\n           ".join(
         "MIN(({a} * h + {b}) % {p}) AS h{i}".format(
@@ -4706,6 +4752,7 @@ QUERIES = {
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "dedup_incremental": q_dedup_incremental,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "dedup_cross_corpus": q_dedup_cross_corpus,
@@ -4795,6 +4842,7 @@ ORACLES = {
     "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_snapshot_diff": SQL_CORPUS_SNAPSHOT_DIFF,
     "dedup_cross_corpus": SQL_DEDUP_CROSS_CORPUS,
