@@ -709,43 +709,46 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-above each band floor — the one table you read before
     pinning CLUSTER_EDGE_MIN ("how many pairs does each threshold
     admit?"), the lexical sibling of sim_pair_histogram. One pass over
-    the session-materialized pair table; the cumulative count is a
-    10-row window (band grain, never pair grain)."""
+    the session-materialized pair table; the cumulative count comes
+    from a NARROW <= 11x threshold explode per pair (a pair at
+    est_jaccard e qualifies for every floor <= e), not from a global
+    ordered window — the checker bans that shape and the explode
+    keeps the whole computation map-side until one band-grain
+    aggregate."""
     pairs = _minhash_pairs_cached(spark, sf_dir)
-    banded = (
-        pairs.withColumn(
-            "band_lo",
-            (F.floor(F.col("est_jaccard") * 10) / 10).cast("double"),
+    eband = F.floor(F.col("est_jaccard") * 10).cast("int")
+    ex = pairs.select(
+        eband.alias("eb"),
+        F.explode(F.sequence(F.lit(0), eband)).alias("tb"),
+    )
+    return (
+        ex.groupBy("tb")
+        .agg(
+            F.sum((F.col("tb") == F.col("eb")).cast("long")).alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_pairs_at_or_above"),
         )
-        .groupBy("band_lo")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    # constant partition = one reducer over the <= 11 band rows — safe
-    # at ANY corpus scale because the windowed relation is band-grain,
-    # never pair-grain (the checker's ban targets row-grain sorts)
-    w = (
-        Window.partitionBy(F.lit(1))
-        .orderBy(F.desc("band_lo"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return banded.withColumn(
-        "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+        .select(
+            (F.col("tb") / 10.0).alias("band_lo"),
+            "n_pairs",
+            "n_pairs_at_or_above",
+        )
+        .filter(F.col("n_pairs") > 0)
     )
 
 
 def _sql_dedup_threshold_sweep() -> str:
     return f"""
 WITH {_MINHASH_SIMS_CTES},
-banded AS (
-    SELECT CAST(FLOOR(est_jaccard * 10) / 10 AS DOUBLE) AS band_lo,
-           COUNT(*) AS n_pairs
-    FROM sims GROUP BY 1
+ex AS (
+    SELECT CAST(FLOOR(est_jaccard * 10) AS INTEGER) AS eb,
+           unnest(generate_series(0, CAST(FLOOR(est_jaccard * 10) AS INTEGER))) AS tb
+    FROM sims
 )
-SELECT band_lo, n_pairs,
-       CAST(SUM(n_pairs) OVER (ORDER BY band_lo DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS n_pairs_at_or_above
-FROM banded
+SELECT CAST(tb AS DOUBLE) / 10.0 AS band_lo,
+       CAST(SUM(CASE WHEN tb = eb THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       COUNT(*) AS n_pairs_at_or_above
+FROM ex GROUP BY tb
+HAVING SUM(CASE WHEN tb = eb THEN 1 ELSE 0 END) > 0
 """
 
 
