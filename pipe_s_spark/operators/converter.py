@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 
 def apply_schema(
-    schema: T.StructType,
+    schema: "T.StructType | str",
     json_col: str = "new_row",
     out_col: str | None = None,
     flatten: bool = False,

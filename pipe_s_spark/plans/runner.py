@@ -139,6 +139,24 @@ def _p_sql(cfg: Mapping[str, Any]) -> Transform:
     return t
 
 
+@register_processor("apply-schema")
+def _p_apply_schema(cfg: Mapping[str, Any]) -> Transform:
+    """Typed-payload conversion as a pipeline stage (the declarative
+    form of MysqlDMLToDBChangeConverter's schema zip,
+    `dml_to_dbchange.go:65-74`): parse a JSON payload column with an
+    inline DDL-string schema, optionally flattening the struct into
+    top-level columns."""
+    from pipe_s_spark.operators.converter import apply_schema
+
+    # from_json accepts DDL strings directly; no session needed here
+    return apply_schema(
+        cfg["schema"],
+        json_col=cfg.get("jsonCol", "new_row"),
+        out_col=cfg.get("outCol"),
+        flatten=cfg.get("flatten", False),
+    )
+
+
 @register_processor("expect")
 def _p_expect(cfg: Mapping[str, Any]) -> Transform:
     """Data-expectations gate as a pipeline stage (see

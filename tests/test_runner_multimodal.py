@@ -475,3 +475,26 @@ def test_runner_csv_orc_roundtrip(spark, tmp_path):
     assert {r["n_name"] for r in got_orc.collect()} == {
         r["n_name"] for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
     }
+
+
+def test_runner_apply_schema_processor(spark):
+    """apply-schema: JSON payloads typed by an inline DDL schema and
+    flattened — the declarative converter leg."""
+    out = run_pipeline(
+        spark,
+        {
+            "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+            "Processors": [
+                {"Type": "changelog-from-events"},
+                {"Type": "json-marshal", "Config": {"columns": ["pk", "k", "value"],
+                                                    "outCol": "new_row"}},
+                {"Type": "apply-schema", "Config": {
+                    "schema": "pk bigint, k int, value double",
+                    "jsonCol": "new_row", "outCol": "typed", "flatten": False}},
+            ],
+            "Output": {"Type": "return"},
+        },
+    )
+    row = out.select("typed.pk", "typed.k", "typed.value", "pk").limit(1).collect()[0]
+    assert row["typed.pk" if "typed.pk" in row.asDict() else "pk"] is not None
+    assert out.schema["typed"].dataType.simpleString().startswith("struct<pk:bigint")
