@@ -214,8 +214,9 @@ def _translate_output(
         }
     if out_type == "MysqlCheckOutput":
         notes.append(
-            "MysqlCheckOutput -> noop (operators/checker.py + the cdc_check "
-            "oracle query implement the compare; no target DB in env)"
+            "MysqlCheckOutput -> noop (no target DB in env; with a parquet "
+            "target use the runner's 'check' output, which runs "
+            "operators/checker.py and writes the diff report)"
         )
         return {"Type": "noop"}
     if out_type == "LogOutput":

@@ -292,6 +292,24 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             return None
         df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
         return None
+    if typ == "check":
+        # parity: MysqlCheckOutput (checkoutput.go:293-445) — diff the
+        # piped source against a parquet target by key; the report
+        # (key cols + diff_type) lands at resultPath (the reference's
+        # ResultFilePath). An empty report == consistent.
+        from pipe_s_spark.operators.checker import check_consistency
+
+        tgt = df.sparkSession.read.parquet(cfg["targetPath"])
+        report = check_consistency(
+            df,
+            tgt,
+            key_cols=cfg["keys"],
+            compare_cols=cfg.get("compareCols"),
+        )
+        report.coalesce(1).write.mode(cfg.get("mode", "overwrite")).parquet(
+            cfg["resultPath"]
+        )
+        return None
     if typ == "orc":
         df.write.mode(cfg.get("mode", "overwrite")).orc(cfg["path"])
         return None

@@ -498,3 +498,34 @@ def test_runner_apply_schema_processor(spark):
     row = out.select("typed.pk", "typed.k", "typed.value", "pk").limit(1).collect()[0]
     assert row["typed.pk" if "typed.pk" in row.asDict() else "pk"] is not None
     assert out.schema["typed"].dataType.simpleString().startswith("struct<pk:bigint")
+
+
+def test_runner_check_output(spark, tmp_path):
+    """check output: source-vs-target consistency report through the
+    JSON front-end — equal inputs yield an EMPTY report, a mutated
+    target yields row_miss + row_diff rows."""
+    tgt_p, rep_p = str(tmp_path / "tgt"), str(tmp_path / "rep")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    nation.write.parquet(tgt_p)
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "nation"}},
+        "Processors": [],
+        "Output": {"Type": "check", "Config": {
+            "targetPath": tgt_p, "keys": ["n_nationkey"], "resultPath": rep_p}},
+    }
+    assert run_pipeline(spark, spec) is None
+    assert spark.read.parquet(rep_p).count() == 0
+
+    from pyspark.sql import functions as F
+
+    bad = nation.filter(F.col("n_nationkey") > 2).withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 5, F.lit("WRONG")).otherwise(F.col("n_name")),
+    )
+    bad.write.mode("overwrite").parquet(tgt_p)
+    run_pipeline(spark, spec)
+    rep = spark.read.parquet(rep_p)
+    kinds = {r["diff_type"] for r in rep.collect()}
+    assert kinds == {"row_miss", "row_diff"}
+    assert rep.filter("diff_type = 'row_miss'").count() == 3
+    assert rep.filter("diff_type = 'row_diff'").count() == 1
