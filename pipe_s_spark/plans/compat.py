@@ -194,17 +194,14 @@ def _translate_output(
 ) -> dict:
     out_type = out_spec.get("Type")
     if out_type in ("MysqlStreamOutput", "MysqlBatchOutput"):
-        procs.append(
-            {"Type": "compact", "Config": {"keyCols": ["table_name", "pk"],
-                                           "payloadCols": ["k", "value"]}}
-        )
         notes.append(
-            f"{out_type} -> compacted parquet upsert staging "
-            "(sinks/jdbc_upsert.py is the env-gated JDBC path)"
+            f"{out_type} -> fenced bucketed merge target (compaction + "
+            "idempotent upsert apply, streaming.merge_apply; "
+            "sinks/jdbc_upsert.py is the env-gated JDBC path)"
         )
         return {
-            "Type": "parquet",
-            "Config": {"path": f"{out_dir}/{task_id}_upsert_staging"},
+            "Type": "merge",
+            "Config": {"path": f"{out_dir}/{task_id}_merge_target"},
         }
     if out_type == "KafkaOutput":
         notes.append("KafkaOutput -> JSONL frame export (sinks/kafka.py with a broker)")

@@ -292,6 +292,24 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             return None
         df.write.mode(cfg.get("mode", "overwrite")).parquet(cfg["path"])
         return None
+    if typ == "merge":
+        # parity: MysqlStreamOutput/MysqlBatchOutput upsert-apply — the
+        # piped changelog is compacted to net effect and MERGED into a
+        # fenced bucketed parquet target (streaming.merge_apply; same
+        # code path foreachBatch uses, run once as epoch 1 for batch
+        # pipelines). Idempotent: re-running the same spec replays the
+        # same epoch and is a fence no-op.
+        from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+        tgt = MergeApplyTarget(
+            cfg["path"],
+            key_cols=cfg.get("keyCols", ("table_name", "pk")),
+            payload_cols=cfg.get("payloadCols", ("k", "value")),
+            num_buckets=int(cfg.get("numBuckets", 16)),
+            lww=cfg.get("lww", False),
+        )
+        tgt.apply_batch(df, epoch_id=int(cfg.get("epochId", 1)))
+        return None
     if typ == "check":
         # parity: MysqlCheckOutput (checkoutput.go:293-445) — diff the
         # piped source against a parquet target by key; the report

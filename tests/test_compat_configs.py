@@ -37,6 +37,11 @@ def test_reference_config_translates_and_runs(spark, path, tmp_path):
     out = spec["Output"]
     if out["Type"] in ("parquet",):
         assert spark.read.parquet(out["Config"]["path"]).count() > 0
+    if out["Type"] == "merge":
+        from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+        tgt = MergeApplyTarget(out["Config"]["path"])
+        assert tgt.read_current(spark).count() > 0
     if out["Type"] == "jsonl":
         assert spark.read.json(out["Config"]["path"]).count() > 0
 
