@@ -272,6 +272,8 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     cfg = out.get("Config", {})
     if typ == "return":
         return df
+    if df.isStreaming:
+        return _write_stream_output(df, typ, cfg)
     if typ == "parquet":
         zorder = cfg.get("zorderBy")
         if zorder:
@@ -399,6 +401,45 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             )
         return returned[0] if returned else None
     raise PipelineSpecError(f"unknown output type: {typ!r}")
+
+
+def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> None:
+    """Streaming sinks for stream-input pipelines (the reference's
+    continuous-sync mode). ``checkpoint`` is required; the trigger is
+    availableNow (drain-and-stop) unless ``continuous`` is true, and
+    ``awaitSeconds`` bounds the wait. ``merge`` runs the fenced
+    bucketed upsert per epoch — the exact db_stream_sync.json
+    semantics (binlog -> filter -> convert -> upsert) end-to-end."""
+    ckpt = cfg.get("checkpoint")
+    if not ckpt:
+        raise PipelineSpecError(f"streaming {typ!r} output needs 'checkpoint'")
+    wait = int(cfg.get("awaitSeconds", 300))
+
+    if typ == "merge":
+        from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+        tgt = MergeApplyTarget(
+            cfg["path"],
+            key_cols=cfg.get("keyCols", ("table_name", "pk")),
+            payload_cols=cfg.get("payloadCols", ("k", "value")),
+            num_buckets=int(cfg.get("numBuckets", 16)),
+            lww=cfg.get("lww", False),
+        )
+        writer = df.writeStream.foreachBatch(tgt.apply_batch)
+    elif typ == "parquet":
+        writer = df.writeStream.format("parquet").option("path", cfg["path"])
+    elif typ == "console":
+        writer = df.writeStream.format("console")
+    elif typ == "noop":
+        writer = df.writeStream.format("noop")
+    else:
+        raise PipelineSpecError(f"streaming output type not supported: {typ!r}")
+    writer = writer.option("checkpointLocation", ckpt)
+    if not cfg.get("continuous", False):
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination(wait)
+    return None
 
 
 def run_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame | None:

@@ -529,3 +529,64 @@ def test_runner_check_output(spark, tmp_path):
     assert kinds == {"row_miss", "row_diff"}
     assert rep.filter("diff_type = 'row_miss'").count() == 3
     assert rep.filter("diff_type = 'row_diff'").count() == 1
+
+
+def test_runner_streaming_merge_pipeline(spark, tmp_path):
+    """End-to-end STREAMING sync from JSON config: file-source change
+    stream -> dml-filter -> fenced bucketed merge target — the
+    db_stream_sync.json semantics entirely through the declarative
+    front-end. Final state must equal the batch compact+apply of the
+    same (filtered) changelog."""
+    import json as _json
+    import os as _os
+
+    from pipe_s_spark.model import changelog_from_events
+    from pipe_s_spark.operators.compaction import compact_changelog, merge_apply
+    from pipe_s_spark.sources import load_table
+    from pipe_s_spark.streaming.merge_apply import (
+        FLAT_CHANGELOG_SCHEMA,
+        MergeApplyTarget,
+    )
+
+    cl = changelog_from_events(load_table(spark, SF, "events")).orderBy("seq")
+    rows = [r.asDict() for r in cl.collect()]
+    d = tmp_path / "cl"
+    d.mkdir()
+    per = (len(rows) + 3) // 4
+    for i in range(4):
+        p = d / f"part-{i:03d}.json"
+        with open(p, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (1_600_000_000 + i,) * 2)
+
+    tgt_p = str(tmp_path / "target")
+    spec = {
+        "Input": {"Type": "json-stream", "Config": {
+            "path": str(d),
+            "schema": FLAT_CHANGELOG_SCHEMA.simpleString().replace("struct<", "").rstrip(">").replace(":", " "),
+            "maxFilesPerTrigger": 2}},
+        "Processors": [{"Type": "dml-filter", "Config": {"tableRegex": "^sbtest[12]$"}}],
+        "Output": {"Type": "merge", "Config": {
+            "path": tgt_p,
+            "checkpoint": str(tmp_path / "ck"),
+            "awaitSeconds": 240}},
+    }
+    assert run_pipeline(spark, spec) is None
+
+    batch = spark.read.schema(FLAT_CHANGELOG_SCHEMA).json(str(d)).filter(
+        "table_name rlike '^sbtest[12]$'"
+    )
+    compacted = compact_changelog(
+        batch, key_cols=("table_name", "pk"), payload_cols=("k", "value")
+    )
+    empty = compacted.filter("false").select("table_name", "pk", "k", "value")
+    want = {
+        (r["table_name"], r["pk"]): (r["k"], r["value"])
+        for r in merge_apply(empty, compacted, ("table_name", "pk"), ("k", "value")).collect()
+    }
+    got = {
+        (r["table_name"], r["pk"]): (r["k"], r["value"])
+        for r in MergeApplyTarget(tgt_p).read_current(spark).collect()
+    }
+    assert got == want and len(got) > 0
