@@ -2917,6 +2917,90 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+#: Min bigram count / result size for the PMI collocation report.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION mining: the top-{k} token bigrams by pointwise
+    mutual information, PMI = ln(c12·N / (c1·c2)) (Church & Hanks
+    1990) with a min-count floor — the multi-word-expression detector
+    (tokenizer vocab candidates, stopword-pair screens) every corpus
+    toolkit ships. Reuses the session-materialized bigram-TYPE table
+    (kn_counts); marginals are two unordered partition windows over it
+    (vocabulary-sized); N is one scalar collect; PMI is ln of an exact
+    integer ratio quantized once to milli-nats, and the top-k is a
+    TakeOrderedAndProject — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = D.shingles(docs, "doc_id", "text", k=2, distinct=False).select(
+        "doc_id", "shingle"
+    )
+
+    def build_counts() -> DataFrame:
+        return (
+            inst.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .withColumn("w1", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+            .withColumn("w2", F.split_part(F.col("shingle"), F.lit(" "), F.lit(2)))
+        )
+
+    counts = SH.materialized(spark, ("kn_counts", sf_dir, 2), build_counts)
+    n_total = counts.agg(F.sum("c12")).collect()[0][0]
+    marg = (
+        counts.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.lit(float(n_total)))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        marg.select(
+            "shingle",
+            "c12",
+            F.round(pmi * 1000).cast("long").alias("pmi_x1k"),
+        )
+        .orderBy(F.desc("pmi_x1k"), "shingle")
+        .limit(PMI_TOP_K)
+    )
+
+
+SQL_TEXT_COLLOCATIONS = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok,
+           generate_subscripts({TOKS_SQL}, 1) AS ord
+    FROM documents
+),
+bi AS (
+    SELECT tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord)
+               AS shingle,
+           tok AS w1,
+           LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+    FROM tok
+),
+counts AS (
+    SELECT shingle, w1, w2, COUNT(*) AS c12
+    FROM bi WHERE shingle IS NOT NULL GROUP BY shingle, w1, w2
+),
+tot AS (SELECT SUM(c12) AS n FROM counts),
+marg AS (
+    SELECT shingle, c12,
+           SUM(c12) OVER (PARTITION BY w1) AS c1,
+           SUM(c12) OVER (PARTITION BY w2) AS c2
+    FROM counts
+)
+SELECT shingle, c12,
+       CAST(ROUND(LN(CAST(c12 AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+                     / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000) AS BIGINT)
+           AS pmi_x1k
+FROM marg WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi_x1k DESC, shingle
+LIMIT {PMI_TOP_K}
+"""
+
+
 #: Absolute discount for the interpolated Kneser-Ney bigram model.
 KN_DISCOUNT = 0.75
 
@@ -4807,6 +4891,7 @@ QUERIES = {
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_triplets": q_sim_triplets,
     "text_kn_bigram_score": q_text_kn_bigram_score,
+    "text_collocations": q_text_collocations,
     "sketch_histogram_merge": q_sketch_histogram_merge,
     "sim_domain_drift": q_sim_domain_drift,
     "sim_embedding_profile": q_sim_embedding_profile,
@@ -4897,6 +4982,7 @@ ORACLES = {
     "sim_hard_negatives": _sql_sim_hard_negatives(),
     "sim_triplets": _sql_sim_triplets(),
     "text_kn_bigram_score": _sql_text_kn_bigram_score(),
+    "text_collocations": SQL_TEXT_COLLOCATIONS,
     "sketch_histogram_merge": SQL_SKETCH_HISTOGRAM_MERGE,
     "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
     "sim_embedding_profile": SQL_SIM_EMBEDDING_PROFILE,
