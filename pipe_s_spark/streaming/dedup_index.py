@@ -66,59 +66,18 @@ def run_dedup_index_stream(
     os.makedirs(pairs_path, exist_ok=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sh = shingles(batch_df.select(id_col, text_col), id_col, text_col, k=k)
-        sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
-        new_bands = lsh_bands(sig, id_col, num_hashes=num_hashes, bands=bands)
-        if band_cap is not None:
-            from pipe_s_spark.functions.dedup import cap_group_size
-
-            new_bands = cap_group_size(new_bands, ["band_id", "band_sig"], band_cap)
-        new_bands = new_bands.persist()
-        try:
-            try:
-                existing = spark.read.parquet(index_path).filter(
-                    F.col("batch_id") != batch_id
-                )
-            except Exception:
-                existing = None
-            a = new_bands.alias("a")
-            sides = [new_bands.alias("b")]
-            if existing is not None:
-                sides.append(existing.select(id_col, "band_id", "band_sig").alias("b"))
-            pair_parts = []
-            for side in sides:
-                pair_parts.append(
-                    a.join(
-                        side,
-                        (F.col("a.band_id") == F.col("b.band_id"))
-                        & (F.col("a.band_sig") == F.col("b.band_sig"))
-                        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-                    ).select(
-                        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d1"),
-                        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d2"),
-                    )
-                )
-            pairs = pair_parts[0]
-            for p in pair_parts[1:]:
-                pairs = pairs.unionByName(p)
-            (
-                pairs.distinct()
-                .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(pairs_path)
-            )
-            (
-                new_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(index_path)
-            )
-        finally:
-            new_bands.unpersist()
+        apply_index_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            pairs_path,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            band_cap=band_cap,
+        )
 
     q = (
         doc_stream.writeStream.foreachBatch(_process)
@@ -129,3 +88,80 @@ def run_dedup_index_stream(
     if await_seconds is not None:
         q.awaitTermination(await_seconds)
     return q
+
+
+def apply_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    band_cap: int | None = None,
+) -> None:
+    """One epoch of index maintenance — the foreachBatch body, exposed
+    so replay/recovery paths are directly testable: calling this twice
+    with the same (batch, batch_id) rewrites the same partitions to
+    identical content (exactly what a post-crash Structured Streaming
+    replay does)."""
+    spark = batch_df.sparkSession
+    sh = shingles(batch_df.select(id_col, text_col), id_col, text_col, k=k)
+    sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
+    new_bands = lsh_bands(sig, id_col, num_hashes=num_hashes, bands=bands)
+    if band_cap is not None:
+        from pipe_s_spark.functions.dedup import cap_group_size
+
+        new_bands = cap_group_size(new_bands, ["band_id", "band_sig"], band_cap)
+    new_bands = new_bands.persist()
+    try:
+        try:
+            # STRICTLY EARLIER epochs only: batch ids are monotone, so
+            # a replayed epoch must see exactly the index it saw the
+            # first time — filtering only its own id would let a zombie
+            # replay of epoch N join against epoch N+1's bands and
+            # write pairs epoch N+1's partition already owns
+            existing = spark.read.parquet(index_path).filter(
+                F.col("batch_id") < batch_id
+            )
+        except Exception:
+            existing = None
+        a = new_bands.alias("a")
+        sides = [new_bands.alias("b")]
+        if existing is not None:
+            sides.append(existing.select(id_col, "band_id", "band_sig").alias("b"))
+        pair_parts = []
+        for side in sides:
+            pair_parts.append(
+                a.join(
+                    side,
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                ).select(
+                    F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d1"),
+                    F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d2"),
+                )
+            )
+        pairs = pair_parts[0]
+        for p in pair_parts[1:]:
+            pairs = pairs.unionByName(p)
+        (
+            pairs.distinct()
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(pairs_path)
+        )
+        (
+            new_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(index_path)
+        )
+    finally:
+        new_bands.unpersist()

@@ -67,3 +67,31 @@ def test_streaming_index_matches_batch_recompute(spark, tmp_path):
     )
     run_dedup_index_stream(stream2, idx_p, pr_p, ck, await_seconds=240)
     assert spark.read.parquet(pr_p).count() == n_rows
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (the post-crash Structured Streaming path)
+    must leave the index and pair tables IDENTICAL — batch-partitioned
+    dynamic overwrite, not append."""
+    from pipe_s_spark.streaming.dedup_index import apply_index_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    apply_index_batch(b0, 0, idx, prs)
+    apply_index_batch(b1, 1, idx, prs)
+    pairs_before = sorted(
+        (r["d1"], r["d2"], r["batch_id"])
+        for r in spark.read.parquet(prs).collect()
+    )
+    idx_before = spark.read.parquet(idx).count()
+    # replay BOTH epochs out of order (zombie replay of 0 after 1)
+    apply_index_batch(b1, 1, idx, prs)
+    apply_index_batch(b0, 0, idx, prs)
+    pairs_after = sorted(
+        (r["d1"], r["d2"], r["batch_id"])
+        for r in spark.read.parquet(prs).collect()
+    )
+    assert pairs_after == pairs_before
+    assert spark.read.parquet(idx).count() == idx_before
