@@ -3309,6 +3309,123 @@ FROM hits h LEFT JOIN n_cand n USING (query_id)
 """
 
 
+def q_sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE: corpus-level recall@5 and candidate volume at
+    nprobe = 1, 2, 3 in ONE query — the actual decision table for the
+    recall-vs-cost knob (sim_ivf_recall fixes nprobe=2 and reports
+    per-probe; this sweeps the knob). Each candidate carries the MIN
+    probe rank that discovers it, then a narrow <= 3x arm explode
+    aggregates every nprobe setting from the same single
+    candidate-generation pass — the index is probed once, not once
+    per arm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    v = S.as_double_array("embedding")
+    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(S.ivf_probes(v, nprobe=3)).alias("rank0", "cell"),
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.min("rank0") + 1).alias("r_min"))
+    )
+    arms = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("nprobe")
+    hit_rows = (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .select("query_id", "r_min", arms)
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                (F.coalesce(F.col("r_min"), F.lit(99)) <= F.col("nprobe")).cast("long")
+            ).alias("n_hits"),
+        )
+    )
+    cand_rows = (
+        cand.select("r_min", arms)
+        .filter(F.col("r_min") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return (
+        hit_rows.join(cand_rows, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+def _sql_sim_ivf_nprobe_curve() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell, r FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 3
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id, MIN(p.r) AS r_min
+    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    GROUP BY p.query_id, a.vec_id
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+arms AS (SELECT unnest(generate_series(1, 3)) AS nprobe),
+hit_rows AS (
+    SELECT arms.nprobe,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN COALESCE(c.r_min, 99) <= arms.nprobe
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    CROSS JOIN arms
+    GROUP BY arms.nprobe
+),
+cand_rows AS (
+    SELECT arms.nprobe, COUNT(*) AS n_candidates
+    FROM cand CROSS JOIN arms
+    WHERE cand.r_min <= arms.nprobe
+    GROUP BY arms.nprobe
+)
+SELECT CAST(h.nprobe AS INTEGER) AS nprobe, h.n_exact,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hit_rows h LEFT JOIN cand_rows c USING (nprobe)
+"""
+
+
 def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 SCALAR QUANTIZATION eval: recall@5 of top-5-by-quantized-
     dot-product against the exact brute-force cosine top-5, per probe —
@@ -4902,6 +5019,7 @@ QUERIES = {
     "text_corpus_health": q_text_corpus_health,
     "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_ivf_nprobe_curve": q_sim_ivf_nprobe_curve,
     "sim_sq8_recall": q_sim_sq8_recall,
     "sim_sq8_topk": q_sim_sq8_topk,
     "sim_pair_histogram": q_sim_pair_histogram,
@@ -4993,6 +5111,7 @@ ORACLES = {
     "text_corpus_health": SQL_TEXT_CORPUS_HEALTH,
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
+    "sim_ivf_nprobe_curve": _sql_sim_ivf_nprobe_curve(),
     "sim_sq8_recall": SQL_SIM_SQ8_RECALL,
     "sim_sq8_topk": SQL_SIM_SQ8_TOPK,
     "sim_pair_histogram": _sql_sim_pair_histogram(),
