@@ -32,6 +32,8 @@ CROSS_OK = {
     # recall evals' exact side is the same broadcast brute-force baseline
     "sim_lsh_recall",
     "sim_ivf_recall",
+    # nprobe sweep: same broadcast brute-force exact baseline
+    "sim_ivf_nprobe_curve",
     # sq8 eval: quantized ranking is the same broadcast brute-force
     # baseline (the compressed-codes leg of the ANN tuning report)
     "sim_sq8_recall",
