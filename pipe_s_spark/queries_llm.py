@@ -266,6 +266,89 @@ SELECT doc_id, lang, source, rk FROM (
 """.format(stops="|".join(X.EN_STOPWORDS))
 
 
+def q_text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation YIELD FUNNEL: how many documents survive each stage of
+    the composite pipeline (raw -> C4 quality gate -> exact dedup ->
+    per-stratum cap) — the one-table answer to "where did my corpus
+    go?", read next to text_curation_pipeline's row-level output. Two
+    aggregates produce all four numbers (stage 3/4 share one
+    stratum-grain rollup: survivors per stratum = distinct digests
+    among quality-passing docs, cap stage = LEAST(cap, survivors));
+    the 4-row report is a unionByName of the two — no scalar
+    cross-joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents").transform(X.with_text_stats())
+    keep = ~(
+        (F.col("n_tokens") < 10)
+        | ((F.col("n_stopwords").cast("double") / F.col("n_tokens")) < 0.01)
+        | ((F.col("n_chars_calc").cast("double") / F.col("n_tokens")) > 12.0)
+    )
+    a1 = docs.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(keep.cast("long")).alias("quality_gate"),
+    )
+    strat = (
+        docs.filter(keep)
+        .groupBy("lang", "source")
+        .agg(F.count_distinct(F.md5("text")).alias("nd"))
+    )
+    a2 = strat.agg(
+        F.sum("nd").alias("exact_dedup"),
+        F.sum(F.least(F.col("nd"), F.lit(PIPELINE_CAP))).alias("stratum_cap"),
+    )
+    s1 = a1.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("raw").alias("name"),
+                         F.col("raw").alias("n_docs")),
+                F.struct(F.lit(2).alias("stage"), F.lit("quality_gate").alias("name"),
+                         F.col("quality_gate").alias("n_docs")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.name", "s.n_docs")
+    s2 = a2.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(3).alias("stage"), F.lit("exact_dedup").alias("name"),
+                         F.col("exact_dedup").alias("n_docs")),
+                F.struct(F.lit(4).alias("stage"), F.lit("stratum_cap").alias("name"),
+                         F.col("stratum_cap").alias("n_docs")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.name", "s.n_docs")
+    return s1.unionByName(s2)
+
+
+SQL_TEXT_CURATION_FUNNEL = """
+WITH s AS (
+    SELECT doc_id, lang, source, text,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b({stops})\\b')) AS BIGINT)
+               AS n_stopwords
+    FROM documents
+),
+flagged AS (
+    SELECT *,
+           NOT (n_tokens < 10
+                OR CAST(n_stopwords AS DOUBLE) / n_tokens < 0.01
+                OR CAST(n_chars_calc AS DOUBLE) / n_tokens > 12.0) AS keep
+    FROM s
+),
+strat AS (
+    SELECT lang, source, COUNT(DISTINCT md5(text)) AS nd
+    FROM flagged WHERE keep GROUP BY lang, source
+)
+SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n_docs FROM flagged
+UNION ALL
+SELECT 2, 'quality_gate', CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+FROM flagged
+UNION ALL
+SELECT 3, 'exact_dedup', CAST(SUM(nd) AS BIGINT) FROM strat
+UNION ALL
+SELECT 4, 'stratum_cap', CAST(SUM(LEAST(nd, {cap})) AS BIGINT) FROM strat
+""".format(toks=TOKS_SQL, stops="|".join(X.EN_STOPWORDS), cap=PIPELINE_CAP)
+
+
 def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: hash the doc id into
     100 buckets (md5-based, engine-independent, stable across runs and
@@ -4973,6 +5056,7 @@ QUERIES = {
     "text_dup_ngrams": q_text_dup_ngrams,
     "text_langid_eval": q_text_langid_eval,
     "text_curation_pipeline": q_text_curation_pipeline,
+    "text_curation_funnel": q_text_curation_funnel,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_stratified_sample": q_text_stratified_sample,
     "text_weighted_sample": q_text_weighted_sample,
@@ -5065,6 +5149,7 @@ ORACLES = {
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "text_curation_pipeline": SQL_TEXT_CURATION_PIPELINE,
+    "text_curation_funnel": SQL_TEXT_CURATION_FUNNEL,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
