@@ -249,14 +249,17 @@ class MergeApplyTarget:
             _glob.glob(os.path.join(self.path, "bucket=*", "*.parquet"))
         )
         if not has_data:
-            missing = [c for c in cols if c not in self._col_types]
+            # the LWW-internal seq/tomb columns are target-managed, not
+            # batch columns — they get fixed types below, never lookup
+            user_cols = [c for c in cols if c not in (self._SEQ, self._TOMB)]
+            missing = [c for c in user_cols if c not in self._col_types]
             if missing:
                 raise ValueError(
                     f"no type known for column(s) {missing}: pass the first "
                     "batch through apply_batch (which records its schema) or "
                     "use columns from the canonical changelog schema"
                 )
-            fields = [T.StructField(c, self._col_types[c]) for c in cols]
+            fields = [T.StructField(c, self._col_types[c]) for c in user_cols]
             if self.lww and internal:
                 fields += [
                     T.StructField(self._SEQ, T.LongType()),
