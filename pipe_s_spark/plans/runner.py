@@ -272,7 +272,9 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     cfg = out.get("Config", {})
     if typ == "return":
         return df
-    if df.isStreaming:
+    if df.isStreaming and typ != "fork":
+        # fork falls through: each branch's terminal output re-enters
+        # here and takes this streaming path with its own checkpoint
         return _write_stream_output(df, typ, cfg)
     if typ == "parquet":
         zorder = cfg.get("zorderBy")

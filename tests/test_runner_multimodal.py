@@ -590,3 +590,37 @@ def test_runner_streaming_merge_pipeline(spark, tmp_path):
         for r in MergeApplyTarget(tgt_p).read_current(spark).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_runner_streaming_fork_two_sinks(spark, tmp_path):
+    """Streaming fork: one file-source stream fanned to two streaming
+    parquet sinks with independent checkpoints (drained sequentially
+    under availableNow) — every source row lands in exactly the
+    branches whose filter admits it."""
+    import json as _json
+
+    rows = [{"pk": i, "tag": "a" if i % 2 == 0 else "b"} for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    pa, pb = str(tmp_path / "sink_a"), str(tmp_path / "sink_b")
+    spec = {
+        "Input": {"Type": "json-stream", "Config": {
+            "path": str(src), "schema": "pk long, tag string"}},
+        "Processors": [],
+        "Output": {"Type": "fork", "Outputs": [
+            {"Processors": [{"Type": "sql", "Config": {
+                 "query": "SELECT * FROM __input__ WHERE tag = 'a'", "view": "__input__"}}],
+             "Output": {"Type": "parquet", "Config": {
+                 "path": pa, "checkpoint": str(tmp_path / "ck_a"), "awaitSeconds": 240}}},
+            {"Processors": [{"Type": "sql", "Config": {
+                 "query": "SELECT * FROM __input__ WHERE tag = 'b'", "view": "__input__"}}],
+             "Output": {"Type": "parquet", "Config": {
+                 "path": pb, "checkpoint": str(tmp_path / "ck_b"), "awaitSeconds": 240}}},
+        ]},
+    }
+    assert run_pipeline(spark, spec) is None
+    assert spark.read.parquet(pa).count() == 20
+    assert spark.read.parquet(pb).count() == 20
