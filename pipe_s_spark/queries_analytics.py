@@ -1009,6 +1009,72 @@ FROM daily
 """
 
 
+def q_lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-RESPONSE curve: per discount level (cents), the exact
+    integer-micro mean quantity, realized revenue, and the mean
+    quantity's lift over the zero-discount baseline — the first table
+    a pricing analyst reads to see whether discounting actually moves
+    volume. One 11-group fact aggregate; the baseline joins back as a
+    broadcast single row keyed on the band (no scalar cross-join);
+    every ratio is integer DIV — no float anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_disc = (
+        li.groupBy(F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 10000"
+                " DIV COUNT(1) AS BIGINT)"
+            ).alias("avg_qty_x1m"),
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,2)")
+                    ).cast("decimal(28,4)")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("revenue_x10k"),
+        )
+    )
+    base = by_disc.filter(F.col("discount_pct") == 0).select(
+        F.lit(1).alias("__j"), F.col("avg_qty_x1m").alias("base_qty_x1m")
+    )
+    return (
+        by_disc.withColumn("__j", F.lit(1))
+        .join(F.broadcast(base), "__j")
+        .select(
+            "discount_pct",
+            "n_items",
+            "avg_qty_x1m",
+            "revenue_x10k",
+            F.expr("CAST(avg_qty_x1m * 1000000 DIV base_qty_x1m AS BIGINT)").alias(
+                "qty_lift_x1m"
+            ),
+        )
+    )
+
+
+SQL_LINEITEM_DISCOUNT_RESPONSE = """
+WITH by_disc AS (
+    SELECT CAST(ROUND(l_discount * 100) AS INTEGER) AS discount_pct,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 10000
+                // COUNT(*) AS BIGINT) AS avg_qty_x1m,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l_discount AS DECIMAL(8,2))
+                         AS DECIMAL(28,4))) * 10000 AS BIGINT) AS revenue_x10k
+    FROM lineitem GROUP BY 1
+),
+base AS (SELECT avg_qty_x1m AS base_qty_x1m FROM by_disc WHERE discount_pct = 0)
+SELECT discount_pct, n_items, avg_qty_x1m, revenue_x10k,
+       CAST(avg_qty_x1m * 1000000 // base_qty_x1m AS BIGINT) AS qty_lift_x1m
+FROM by_disc CROSS JOIN base
+"""
+
+
 def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LIFETIME-VALUE curve: customers grouped by first-order
     month, each cohort's cumulative revenue (exact integer cents) and
@@ -1535,6 +1601,7 @@ QUERIES = {
     "orders_priority_trend": q_orders_priority_trend,
     "orders_rfm_segments": q_orders_rfm_segments,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "lineitem_discount_response": q_lineitem_discount_response,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
     "window_first_last": q_window_first_last,
@@ -1571,6 +1638,7 @@ ORACLES = {
     "q1_pricing_summary": SQL_Q1,
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
     "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
+    "lineitem_discount_response": SQL_LINEITEM_DISCOUNT_RESPONSE,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
