@@ -45,6 +45,9 @@ CROSS_OK = {
 #: correct plan for `col > (SELECT agg FROM ...)` at any scale.
 SCALAR_OK = {
     "q11_important_parts",
+    # zero-discount baseline: broadcast SINGLE-ROW aggregate (the
+    # lift denominator every band divides by)
+    "lineitem_discount_response",
     "q22_idle_customers",
     "cdc_snapshot_asof",
     "cdc_lag_metrics",
