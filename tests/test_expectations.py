@@ -107,3 +107,58 @@ def test_agg_between_table_level_checks(spark):
     assert rep["agg:mean_v_tight"] == (1, 4, False)
     # a null aggregate is a failure, not a silent pass
     assert rep["agg:null_agg"] == (1, 4, False)
+
+
+def test_suite_matches_pandas_referee_property(spark):
+    """Property test: for random frames and random check parameters,
+    the single-pass compiled suite must agree exactly with a row-wise
+    pandas referee on every violation count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # id (dupes likely)
+            st.one_of(st.none(), st.sampled_from(["A", "B", "C", "Zq"])),
+            st.one_of(st.none(), st.floats(min_value=-50, max_value=50,
+                                           allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=rows_strategy,
+           lo=st.floats(min_value=-20, max_value=0, allow_nan=False),
+           hi=st.floats(min_value=1, max_value=20, allow_nan=False),
+           allowed=st.sets(st.sampled_from(["A", "B", "C"]), min_size=1))
+    def run(rows, lo, hi, allowed):
+        df = spark.createDataFrame(rows, "id long, cat string, v double")
+        rep = {
+            r["check"]: r["violations"]
+            for r in (
+                ExpectationSuite("t")
+                .not_null("cat")
+                .in_set("cat", sorted(allowed))
+                .in_range("v", lo=lo, hi=hi)
+                .satisfies("v_pos", F.col("v") > 0)
+                .unique("id")
+                .run(df)
+                .collect()
+            )
+        }
+        want_null = sum(1 for _, c, _ in rows if c is None)
+        want_set = sum(1 for _, c, _ in rows if c is not None and c not in allowed)
+        want_rng = sum(
+            1 for _, _, v in rows if v is not None and (v < lo or v > hi)
+        )
+        want_pos = sum(1 for _, _, v in rows if not (v is not None and v > 0))
+        want_unq = len(rows) - len({(i, ) for i, _, _ in rows})
+        assert rep["not_null:cat"] == want_null
+        assert rep["in_set:cat"] == want_set
+        assert rep["in_range:v"] == want_rng
+        assert rep["satisfies:v_pos"] == want_pos
+        assert rep["unique:id"] == want_unq
+
+    run()
