@@ -460,9 +460,27 @@ def main(argv: list[str] | None = None) -> int:
     import json
 
     p = argparse.ArgumentParser(description="Run JSON-configured pipelines")
-    p.add_argument("configs", nargs="+", help="pipeline spec JSON files")
+    p.add_argument("configs", nargs="*", help="pipeline spec JSON files")
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument(
+        "--list",
+        action="store_true",
+        help="list registered processors / input and output types and exit",
+    )
     args = p.parse_args(argv)
+    if args.list:
+        print("processors:", ", ".join(sorted(_PROCESSORS)))
+        print(
+            "inputs: parquet, json, csv, orc, json-stream, sql, query"
+        )
+        print(
+            "outputs: return, parquet (zorderBy), jsonl, csv, orc, merge, "
+            "check, noop, console, debug, fork; streaming: merge, parquet, "
+            "console, noop, fork"
+        )
+        return 0
+    if not args.configs:
+        p.error("no configs given (or use --list)")
 
     from pipe_s_spark.session import get_spark
 

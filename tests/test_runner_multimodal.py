@@ -624,3 +624,11 @@ def test_runner_streaming_fork_two_sinks(spark, tmp_path):
     assert run_pipeline(spark, spec) is None
     assert spark.read.parquet(pa).count() == 20
     assert spark.read.parquet(pb).count() == 20
+
+
+def test_runner_cli_list(capsys):
+    from pipe_s_spark.plans.runner import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "expect" in out and "apply-schema" in out and "merge" in out
