@@ -1009,6 +1009,56 @@ FROM daily
 """
 
 
+def q_orders_shipment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment pain metric: per priority class, how many orders
+    ship in ONE wave vs many (the spread = days between the order's
+    first and last line shipment), with the exact median and p90
+    spread — the fulfillment-consolidation report ops teams read
+    before changing warehouse batching. One orderkey-grain aggregate
+    (max-min shipdate), a broadcast priority join, and exact
+    interpolated percentiles over INTEGER day spreads (order
+    statistics — no float accumulation; the builtin's per-group
+    buffer is fine at 25 groups x orders-per-priority, but the
+    percentile inputs stay integers either way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spread = li.groupBy("l_orderkey").agg(
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).cast("long").alias("spread_d")
+    )
+    j = spread.join(
+        F.broadcast(orders.select(F.col("o_orderkey"), F.col("o_orderpriority"))),
+        spread.l_orderkey == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("spread_d") > 0).cast("long")).alias("n_split"),
+        F.expr(
+            "CAST(SUM(CAST(spread_d > 0 AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("split_share_x1m"),
+        F.round(F.expr("percentile(spread_d, 0.5)"), 4).alias("p50_spread_d"),
+        F.round(F.expr("percentile(spread_d, 0.9)"), 4).alias("p90_spread_d"),
+    )
+
+
+SQL_ORDERS_SHIPMENT_SPREAD = """
+WITH spread AS (
+    SELECT l_orderkey,
+           CAST(DATEDIFF('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT)
+               AS spread_d
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN spread_d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+       CAST(SUM(CASE WHEN spread_d > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS split_share_x1m,
+       ROUND(quantile_cont(spread_d, 0.5), 4) AS p50_spread_d,
+       ROUND(quantile_cont(spread_d, 0.9), 4) AS p90_spread_d
+FROM spread s JOIN orders o ON s.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price-RESPONSE curve: per discount level (cents), the exact
     integer-micro mean quantity, realized revenue, and the mean
@@ -1602,6 +1652,7 @@ QUERIES = {
     "orders_rfm_segments": q_orders_rfm_segments,
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "lineitem_discount_response": q_lineitem_discount_response,
+    "orders_shipment_spread": q_orders_shipment_spread,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
     "window_first_last": q_window_first_last,
@@ -1639,6 +1690,7 @@ ORACLES = {
     "orders_rfm_segments": SQL_ORDERS_RFM_SEGMENTS,
     "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
     "lineitem_discount_response": SQL_LINEITEM_DISCOUNT_RESPONSE,
+    "orders_shipment_spread": SQL_ORDERS_SHIPMENT_SPREAD,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
