@@ -16,10 +16,13 @@ Per micro-batch, inside one ``foreachBatch``:
 
 Exactly-once on replay: both the index and the pairs table are
 partitioned by ``batch_id`` and written with dynamic partition
-OVERWRITE, and the index side of the join excludes the current
-batch_id — a replayed epoch rewrites its own partitions to identical
-content instead of duplicating them (the layout-level idempotence the
-merge_apply sink gets from its epoch fence).
+OVERWRITE, and the index side of the join admits STRICTLY EARLIER
+epochs only (batch ids are monotone) — a replayed epoch therefore
+sees exactly the index it saw the first time and rewrites its own
+partitions to identical content, even if later epochs already landed
+(the layout-level idempotence the merge_apply sink gets from its
+epoch fence; proven by tests/test_dedup_index_stream.py's
+out-of-order replay test).
 
 At 100 TB: per-ingest cost is O(batch x matching bands), never
 O(corpus); the index is the persisted narrow band table (doc_id,
