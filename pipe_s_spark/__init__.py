@@ -23,4 +23,4 @@ execution (pushdown, pruning, broadcast, AQE); Python UDFs appear only
 where semantics genuinely require them, always Arrow-vectorized.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
