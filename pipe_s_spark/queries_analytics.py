@@ -1009,6 +1009,84 @@ FROM daily
 """
 
 
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION curve (the 80/20 check): for each top
+    percentile tier of customers (1 / 5 / 10 / 20 percent by spend),
+    the number of qualifying customers and their integer-micro share
+    of total revenue — the one table that says how dependent the
+    business is on its whales. Tier thresholds are exact interpolated
+    percentiles of per-customer revenue (rounded to 4, collected once
+    — bounded metadata, the RFM pattern) inlined as literals, so the
+    tier filter is a narrow expression; no global ordered window, no
+    ntile, and revenue never leaves integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    th = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile(rev_c, {1 - q / 100})"), 4).alias(f"t{q}")
+            for q in (1, 5, 10, 20)
+        ],
+        F.sum("rev_c").alias("total_c"),
+    ).collect()[0]
+    arms = []
+    for q in (1, 5, 10, 20):
+        thr = float(th[f"t{q}"])
+        arms.append(
+            F.struct(
+                F.lit(q).alias("top_pct"),
+                F.sum((F.col("rev_c") >= F.lit(thr)).cast("long")).alias("n_customers"),
+                F.sum(F.when(F.col("rev_c") >= F.lit(thr), F.col("rev_c")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("tier_rev_c"),
+            )
+        )
+    one = per_cust.agg(F.array(*arms).alias("tiers"))
+    return one.select(F.explode("tiers").alias("t")).select(
+        F.col("t.top_pct").alias("top_pct"),
+        F.col("t.n_customers").alias("n_customers"),
+        F.col("t.tier_rev_c").alias("tier_rev_c"),
+        F.expr(f"CAST(t.tier_rev_c * 1000000 DIV {int(th['total_c'])} AS BIGINT)").alias(
+            "rev_share_x1m"
+        ),
+    )
+
+
+SQL_CUSTOMER_PARETO = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+    FROM orders GROUP BY o_custkey
+),
+th AS (
+    SELECT ROUND(quantile_cont(rev_c, 0.99), 4) AS t1,
+           ROUND(quantile_cont(rev_c, 0.95), 4) AS t5,
+           ROUND(quantile_cont(rev_c, 0.90), 4) AS t10,
+           ROUND(quantile_cont(rev_c, 0.80), 4) AS t20,
+           CAST(SUM(rev_c) AS BIGINT) AS total_c
+    FROM per_cust
+),
+tiers AS (
+    SELECT 1 AS top_pct, t1 AS thr, total_c FROM th
+    UNION ALL SELECT 5, t5, total_c FROM th
+    UNION ALL SELECT 10, t10, total_c FROM th
+    UNION ALL SELECT 20, t20, total_c FROM th
+)
+SELECT t.top_pct,
+       CAST(SUM(CASE WHEN p.rev_c >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers,
+       CAST(SUM(CASE WHEN p.rev_c >= t.thr THEN p.rev_c ELSE 0 END) AS BIGINT)
+           AS tier_rev_c,
+       CAST(SUM(CASE WHEN p.rev_c >= t.thr THEN p.rev_c ELSE 0 END) * 1000000
+            // MAX(t.total_c) AS BIGINT) AS rev_share_x1m
+FROM per_cust p CROSS JOIN tiers t
+GROUP BY t.top_pct
+"""
+
+
 def q_orders_shipment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-shipment pain metric: per priority class, how many orders
     ship in ONE wave vs many (the spread = days between the order's
@@ -1653,6 +1731,7 @@ QUERIES = {
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "lineitem_discount_response": q_lineitem_discount_response,
     "orders_shipment_spread": q_orders_shipment_spread,
+    "customer_pareto": q_customer_pareto,
     "stats_regression": q_stats_regression,
     "join_existence_semi": q_join_existence_semi,
     "window_first_last": q_window_first_last,
@@ -1691,6 +1770,7 @@ ORACLES = {
     "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
     "lineitem_discount_response": SQL_LINEITEM_DISCOUNT_RESPONSE,
     "orders_shipment_spread": SQL_ORDERS_SHIPMENT_SPREAD,
+    "customer_pareto": SQL_CUSTOMER_PARETO,
     "orders_priority_trend": SQL_ORDERS_PRIORITY_TREND,
     "orders_gap_detection": SQL_ORDERS_GAP_DETECTION,
     "customer_segment_value": SQL_CUSTOMER_SEGMENT_VALUE,
