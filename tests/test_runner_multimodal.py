@@ -632,3 +632,26 @@ def test_runner_cli_list(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "expect" in out and "apply-schema" in out and "merge" in out
+
+
+def test_runner_merge_output_rerun_is_fence_noop(spark, tmp_path):
+    """Re-running the same batch merge spec replays epoch 1 and must
+    be a no-op (the fence skips it), leaving the target identical —
+    the idempotence the docstring promises."""
+    tgt_p = str(tmp_path / "tgt")
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"sfDir": SF, "table": "events"}},
+        "Processors": [{"Type": "changelog-from-events"}],
+        "Output": {"Type": "merge", "Config": {"path": tgt_p}},
+    }
+    assert run_pipeline(spark, spec) is None
+    from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+    first = {
+        tuple(r) for r in MergeApplyTarget(tgt_p).read_current(spark).collect()
+    }
+    assert run_pipeline(spark, spec) is None  # replay: fence no-op
+    second = {
+        tuple(r) for r in MergeApplyTarget(tgt_p).read_current(spark).collect()
+    }
+    assert second == first and len(first) > 0
