@@ -2969,6 +2969,65 @@ FROM est
 """
 
 
+def q_text_quality_dup_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SIGNAL diagnostic: quality statistics of near-duplicated
+    vs clean documents — the two-row table that answers "are my
+    near-dups also my junk?" (if yes, dedup doubles as a quality
+    filter; if no, the two gates prune independently and both are
+    worth running). Dup membership comes from the session-materialized
+    MinHash pair table (est_jaccard >= CLUSTER_EDGE_MIN, either side);
+    quality is the standard heuristic rounded to 6 and quantized to
+    integer micro-units per row, so the group means are exact BIGINT
+    arithmetic (order-independent, engine-identical); the
+    medians are order statistics. One narrow corpus pass + one
+    vocabulary-sized (2-group) rollup."""
+    pairs = _minhash_pairs_cached(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_EDGE_MIN
+    )
+    dup_ids = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score("text").alias("q")
+    )
+    flagged = docs.join(F.broadcast(dup_ids), "doc_id", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(False))
+    )
+    return flagged.groupBy("is_dup").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_quality_x1m"),
+        F.round(F.expr("percentile(q, 0.5)"), 6).alias("p50_quality"),
+    )
+
+
+def _sql_text_quality_dup_link() -> str:
+    return f"""
+WITH {_MINHASH_SIMS_CTES},
+dup_ids AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT d1 AS doc_id FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}
+        UNION ALL
+        SELECT d2 FROM sims WHERE est_jaccard >= {CLUSTER_EDGE_MIN}
+    )
+),
+scored AS (
+    SELECT d.doc_id, {X.quality_score_sql('d.text')} AS q,
+           d.doc_id IN (SELECT doc_id FROM dup_ids) AS is_dup
+    FROM documents d
+)
+SELECT is_dup, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+           AS mean_quality_x1m,
+       ROUND(quantile_cont(q, 0.5), 6) AS p50_quality
+FROM scored GROUP BY is_dup
+"""
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup graph — the one-look
     audit that catches boilerplate explosions (a 10k-doc cluster means
@@ -5088,6 +5147,7 @@ QUERIES = {
     "sketch_kmv_setops": q_sketch_kmv_setops,
     "sim_centroid_confusion": q_sim_centroid_confusion,
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "text_quality_dup_link": q_text_quality_dup_link,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_triplets": q_sim_triplets,
@@ -5181,6 +5241,7 @@ ORACLES = {
     "sketch_kmv_setops": _sql_sketch_kmv_setops(),
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
     "dedup_cluster_stats": SQL_DEDUP_CLUSTER_STATS,
+    "text_quality_dup_link": _sql_text_quality_dup_link(),
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
     "sim_hard_negatives": _sql_sim_hard_negatives(),
     "sim_triplets": _sql_sim_triplets(),
