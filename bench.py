@@ -56,22 +56,29 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-3 per query: first executions occasionally pay one-off
-    # codegen/GC spikes unrelated to the plan; the min is the
-    # steady-state cost a cluster run amortizes. (Best-of-2 left 2-3x
-    # spikes on untouched queries in r4 — a 5-run re-measure showed
-    # e.g. window_range_frame [1.76, 0.64, 0.54, 0.43, 0.38]: the
-    # second run can still be 1.7x steady state.)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # MEDIAN of post-warmup repeats per query (r7 verdict: min-of-3
+    # totals still swung ±20% run-to-run, leaving real <1.4x
+    # regressions unattributable). The first execution pays one-off
+    # codegen/GC spikes unrelated to the plan (a 5-run r4 re-measure of
+    # window_range_frame: [1.76, 0.64, 0.54, 0.43, 0.38] — even run 2
+    # can be 1.7x steady state), so it is DISCARDED as warmup and the
+    # reported figure is the median of the remaining runs — robust to
+    # a single residual spike in either direction, unlike min (which
+    # understates queries whose typical run is slow) or mean (which a
+    # single GC pause drags). SPARK_GRAFT_BENCH_RUNS counts TOTAL
+    # executions (default 4 = 1 warmup + median of 3).
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
+    import statistics
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples[1:]), 4)
 
     total = round(sum(timings.values()), 4)
     full = {

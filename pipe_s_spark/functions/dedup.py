@@ -133,6 +133,16 @@ def lsh_bands(sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4)
     )
 
 
+#: Max docs sharing one (band_id, band_sig) before the group is dropped
+#: from candidate generation (cap_group_size). Without it a
+#: mass-duplicate cluster — identical boilerplate docs, the common case
+#: in web corpora — puts its whole cluster in one band group and the
+#: self-join goes quadratic on that key. Canonical value for BOTH the
+#: batch LSH queries and the continuous streaming index (which defaults
+#: to it — the scale guard is opt-OUT, not opt-in).
+LSH_BAND_CAP = 100
+
+
 def cap_group_size(df: DataFrame, cols: Sequence[str], cap: int) -> DataFrame:
     """Drop every row whose group (by ``cols``) exceeds ``cap`` rows —
     the bounded-fan-out guard every LSH-style self-join needs before

@@ -164,10 +164,22 @@ class ExpectationSuite:
             names.append(rc.name)
         for uq in self._uniques:
             alias = f"__v_{len(names)}"
+            # NULL-key rows are excluded (not_null's business, the same
+            # convention in_set/in_range/foreign_key follow): struct(null)
+            # is non-null, so a bare COUNT(DISTINCT struct(cols)) would
+            # count all-null keys as one distinct group while SQL
+            # COUNT(DISTINCT col) (and Deequ) ignore them. Guarding with
+            # WHEN(all-non-null) makes count_distinct skip those rows,
+            # and the row base shrinks to the same population.
+            all_nn = F.lit(True)
+            for c in uq.cols:
+                all_nn = all_nn & F.col(c).isNotNull()
             aggs.append(
                 (
-                    F.count(F.lit(1))
-                    - F.count_distinct(F.struct(*[F.col(c) for c in uq.cols]))
+                    F.sum(F.when(all_nn, F.lit(1)).otherwise(F.lit(0)))
+                    - F.count_distinct(
+                        F.when(all_nn, F.struct(*[F.col(c) for c in uq.cols]))
+                    )
                 )
                 .cast("long")
                 .alias(alias)

@@ -312,7 +312,18 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             num_buckets=int(cfg.get("numBuckets", 16)),
             lww=cfg.get("lww", False),
         )
-        tgt.apply_batch(df, epoch_id=int(cfg.get("epochId", 1)))
+        epoch = int(cfg.get("epochId", 1))
+        applied = tgt.apply_batch(df, epoch_id=epoch)
+        if not applied:
+            # default epochId=1 means a re-run of the same spec with NEW
+            # input data hits the fence — never let that be silent: the
+            # user sees a stale target otherwise and has no signal why
+            print(
+                f"[merge] epoch {epoch} already applied at {cfg['path']} — "
+                "skipping (fence). Pass a higher 'epochId' in the spec to "
+                "apply fresh input.",
+                flush=True,
+            )
         return None
     if typ == "check":
         # parity: MysqlCheckOutput (checkoutput.go:293-445) — diff the

@@ -1093,7 +1093,9 @@ def q_orders_shipment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     first and last line shipment), with the exact median and p90
     spread — the fulfillment-consolidation report ops teams read
     before changing warehouse batching. One orderkey-grain aggregate
-    (max-min shipdate), a broadcast priority join, and exact
+    (max-min shipdate), a plain shuffle join against orders (a
+    fact-cardinality table — broadcasting it would bound driver memory
+    by the fact table; AQE picks the strategy), and exact
     interpolated percentiles over INTEGER day spreads (order
     statistics — no float accumulation; the builtin's per-group
     buffer is fine at 25 groups x orders-per-priority, but the
@@ -1104,7 +1106,7 @@ def q_orders_shipment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).cast("long").alias("spread_d")
     )
     j = spread.join(
-        F.broadcast(orders.select(F.col("o_orderkey"), F.col("o_orderpriority"))),
+        orders.select(F.col("o_orderkey"), F.col("o_orderpriority")),
         spread.l_orderkey == F.col("o_orderkey"),
     )
     return j.groupBy("o_orderpriority").agg(

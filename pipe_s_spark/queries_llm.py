@@ -702,15 +702,13 @@ SELECT d1, d2, containment_1in2, containment_2in1 FROM (
 _MINHASH_N = 16
 _MINHASH_BANDS = 4
 
-#: Max docs sharing one (band_id, band_sig) before the group is dropped
-#: from candidate generation (functions.dedup.cap_group_size). Without
-#: it a mass-duplicate cluster — identical boilerplate docs, the common
-#: case in web corpora — puts its whole cluster in one band group and
-#: the self-join goes quadratic on that key. Same bounded-fan-out
-#: argument as JACCARD_DF_CAP; exact duplicates are already handled
-#: upstream by dedup_exact, so dropping oversized groups here loses
-#: only candidates the cheaper exact pass finds anyway.
-LSH_BAND_CAP = 100
+#: Canonical cap lives in functions.dedup (shared with the streaming
+#: index's default); re-exported here for the oracle SQL f-strings and
+#: existing importers. Same bounded-fan-out argument as JACCARD_DF_CAP;
+#: exact duplicates are already handled upstream by dedup_exact, so
+#: dropping oversized groups loses only candidates the cheaper exact
+#: pass finds anyway.
+from pipe_s_spark.functions.dedup import LSH_BAND_CAP  # noqa: E402
 
 
 def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

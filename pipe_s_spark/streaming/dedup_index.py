@@ -33,11 +33,30 @@ equi-join is the same bounded-fan-out shape the batch LSH queries cap.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pipe_s_spark.functions.dedup import lsh_bands, minhash_signature, shingles
+from pipe_s_spark.functions.dedup import (
+    LSH_BAND_CAP,
+    lsh_bands,
+    minhash_signature,
+    shingles,
+)
+
+
+def _has_batch_partitions(path: str) -> bool:
+    """True when ``path`` holds at least one ``batch_id=`` partition —
+    the ONLY condition under which 'no existing index' is a valid read
+    outcome. Any other read failure (transient FS error, corrupt file)
+    must propagate so the micro-batch retries instead of silently
+    emitting a pairs partition missing all cross-epoch pairs."""
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return False
+    return any(e.startswith("batch_id=") for e in entries)
 
 
 def run_dedup_index_stream(
@@ -50,7 +69,7 @@ def run_dedup_index_stream(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    band_cap: int | None = None,
+    band_cap: int | None = LSH_BAND_CAP,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
@@ -61,10 +80,13 @@ def run_dedup_index_stream(
     ARRIVING batch before the join (functions.dedup.cap_group_size —
     the same guard the batch LSH queries run): at corpus scale a
     boilerplate band key would otherwise fan a single batch out
-    quadratically. Capping the batch side only keeps the incremental
-    result a superset-per-batch of what a capped batch recompute
-    yields; leave None to match the uncapped recompute exactly (the
-    e2e test's contract)."""
+    quadratically. DEFAULT-ON at LSH_BAND_CAP — the continuous index is
+    the component most likely to meet a pathological hot band (a
+    boilerplate band_sig shared by millions of docs), so the scale
+    guard must not depend on the caller remembering it. Capping the
+    batch side only keeps the incremental result a superset-per-batch
+    of what a capped batch recompute yields; pass None to opt OUT and
+    match an uncapped recompute exactly."""
     os.makedirs(index_path, exist_ok=True)
     os.makedirs(pairs_path, exist_ok=True)
 
@@ -103,7 +125,7 @@ def apply_index_batch(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    band_cap: int | None = None,
+    band_cap: int | None = LSH_BAND_CAP,
 ) -> None:
     """One epoch of index maintenance — the foreachBatch body, exposed
     so replay/recovery paths are directly testable: calling this twice
@@ -120,16 +142,18 @@ def apply_index_batch(
         new_bands = cap_group_size(new_bands, ["band_id", "band_sig"], band_cap)
     new_bands = new_bands.persist()
     try:
-        try:
+        if _has_batch_partitions(index_path):
             # STRICTLY EARLIER epochs only: batch ids are monotone, so
             # a replayed epoch must see exactly the index it saw the
             # first time — filtering only its own id would let a zombie
             # replay of epoch N join against epoch N+1's bands and
-            # write pairs epoch N+1's partition already owns
+            # write pairs epoch N+1's partition already owns. Read
+            # errors here propagate (the epoch retries) — only a
+            # genuinely absent index means "no earlier epochs".
             existing = spark.read.parquet(index_path).filter(
                 F.col("batch_id") < batch_id
             )
-        except Exception:
+        else:
             existing = None
         a = new_bands.alias("a")
         sides = [new_bands.alias("b")]
@@ -168,3 +192,114 @@ def apply_index_batch(
         )
     finally:
         new_bands.unpersist()
+
+
+def _list_batch_ids(path: str) -> list[int]:
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(e.split("=", 1)[1]) for e in entries if e.startswith("batch_id=")
+    )
+
+
+def _compact_recover(path: str, stage: str, trash: str, marker: str) -> None:
+    """Converge a crashed prior compaction before starting a new one.
+
+    - marker present = the prior fold COMMITTED (folded partition is
+      live); trash/stage hold only duplicates — purge them.
+    - stage present without marker = the prior fold aborted mid-swap;
+      restore any partition the main path is missing from trash (rows
+      are never lost: until the marker lands, every source partition
+      is in path or trash, and the folded copy is in stage). A
+      partition present in BOTH path and trash means the folded copy
+      already swapped in — the trash copy is a duplicate, drop it.
+    Worst post-recovery state is duplicated rows across partitions,
+    which downstream tolerates (the pair join is ``.distinct()``) and
+    the next fold's distinct-union removes."""
+    if os.path.exists(marker):
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.remove(marker)
+        return
+    for side in (stage, trash):
+        if not os.path.isdir(side):
+            continue
+        for e in os.listdir(side):
+            if e.startswith("batch_id=") and not os.path.exists(
+                os.path.join(path, e)
+            ):
+                os.rename(os.path.join(side, e), os.path.join(path, e))
+        shutil.rmtree(side, ignore_errors=True)
+
+
+def compact_index_partitions(spark, path: str, watermark: int) -> int:
+    """Fold every ``batch_id < watermark`` partition of a
+    batch_id-partitioned table (the index or the pairs table) into the
+    single partition ``batch_id = watermark - 1`` — the small-files /
+    O(#batches)-partition-listing fix for long-running streams.
+
+    Why this cannot break the strictly-earlier replay property:
+    Structured Streaming only ever replays the LAST uncommitted epoch,
+    so every epoch the stream can still replay has ``batch_id >=
+    watermark`` when ``watermark`` <= the committed epoch watermark
+    (caller's contract — read it from the checkpoint's commit log). A
+    replay of epoch N >= watermark filters ``batch_id < N``; the folded
+    rows carry ``batch_id = watermark - 1 < watermark <= N``, so the
+    replayed epoch sees EXACTLY the row set it saw pre-compaction, and
+    its own dynamic overwrite touches only partition N, which
+    compaction never rewrites.
+
+    Fenced like merge_apply (stage -> swap-under-lock -> marker ->
+    cleanup): a crash at any point either leaves the original layout
+    (restored by ``_compact_recover`` on the next run) or the committed
+    folded layout — never row loss; worst case is transient duplicate
+    rows, which the pairs join's ``.distinct()`` tolerates and the next
+    fold removes. Returns the number of partitions folded away."""
+    import fcntl
+
+    stage = f"{path}.compact-stage"
+    trash = f"{path}.compact-trash"
+    marker = f"{path}.compact-committed"
+    os.makedirs(path, exist_ok=True)
+    lock_path = os.path.join(path, ".compact.lock")
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            _compact_recover(path, stage, trash, marker)
+            ids = _list_batch_ids(path)
+            old = [b for b in ids if b < watermark - 1]
+            if not old:
+                return 0
+            target = watermark - 1
+            folded = (
+                spark.read.parquet(path)
+                .filter(F.col("batch_id") < watermark)
+                .drop("batch_id")
+                .distinct()
+                .withColumn("batch_id", F.lit(target).cast("long"))
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            folded.write.mode("overwrite").partitionBy("batch_id").parquet(stage)
+            staged = os.path.join(stage, f"batch_id={target}")
+            if not os.path.isdir(staged):
+                os.makedirs(staged)  # all-empty fold: keep an empty partition
+            os.makedirs(trash, exist_ok=True)
+            for b in old:
+                os.rename(
+                    os.path.join(path, f"batch_id={b}"),
+                    os.path.join(trash, f"batch_id={b}"),
+                )
+            live = os.path.join(path, f"batch_id={target}")
+            if os.path.isdir(live):
+                os.rename(live, os.path.join(trash, f"batch_id={target}"))
+            os.rename(staged, live)
+            with open(marker, "w") as f:
+                f.write(str(watermark))  # commit point
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.remove(marker)
+            return len(old)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)

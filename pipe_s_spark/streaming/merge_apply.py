@@ -300,7 +300,7 @@ class MergeApplyTarget:
             .drop("__rn", "__pri")
         )
 
-    def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, epoch_id: int) -> bool:
         # Epoch fence (zombie-writer protection): the fence records the
         # last fully-applied epoch. A replayed epoch (crash after swap,
         # before the stream commit) is a no-op — idempotence by skip —
@@ -308,9 +308,13 @@ class MergeApplyTarget:
         # killed the JVM thread mid-callback) cannot clobber state a
         # newer incarnation has already advanced past. Same role as a
         # transactional table format's writer-epoch check.
+        # Returns True when the epoch was applied (or was empty), False
+        # when the fence skipped/aborted it — batch callers (runner
+        # 'merge' output) surface the skip to the user instead of
+        # silently no-opping on re-run with fresh input.
         if epoch_id <= self._read_fence():
             _trace(self.path, f"epoch={epoch_id} SKIP fence={self._read_fence()}")
-            return
+            return False
         spark = batch.sparkSession
         for f in batch.schema.fields:
             self._col_types[f.name] = f.dataType
@@ -327,7 +331,7 @@ class MergeApplyTarget:
                 r["b"] for r in compacted.select(self._bucket(compacted).alias("b")).distinct().collect()
             )
             if not touched:
-                return
+                return True
             if os.environ.get("PIPE_S_TRACE"):
                 rows = batch.count()
                 agg = batch.agg(
@@ -364,7 +368,7 @@ class MergeApplyTarget:
                     # (or a concurrent replay of this epoch won): abort
                     _trace(self.path, f"epoch={epoch_id} ABORT fence={self._read_fence()}")
                     shutil.rmtree(stage, ignore_errors=True)
-                    return
+                    return False
                 self._recover_locked()
                 trash = os.path.join(self.path, f".trash-{epoch_id}")
                 os.makedirs(trash, exist_ok=True)
@@ -380,6 +384,7 @@ class MergeApplyTarget:
                 _trace(self.path, f"epoch={epoch_id} COMMIT")
                 shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)
+            return True
         finally:
             compacted.unpersist()
 

@@ -95,3 +95,74 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     )
     assert pairs_after == pairs_before
     assert spark.read.parquet(idx).count() == idx_before
+
+
+def test_band_cap_is_default_on(spark, tmp_path):
+    """The scale guard must activate WITHOUT caller opt-in: a batch
+    carrying a pathological hot band (every doc identical -> all docs
+    share every band signature) must not fan out quadratically under
+    the default arguments."""
+    from pipe_s_spark.functions.dedup import LSH_BAND_CAP
+    from pipe_s_spark.streaming.dedup_index import apply_index_batch
+
+    n = LSH_BAND_CAP + 50  # one band group of n identical docs > cap
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text shared by every document").alias("text"),
+    )
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    apply_index_batch(docs, 0, idx, prs)  # defaults only
+    pair_schema = "d1 long, d2 long, batch_id long"
+    # uncapped this would be C(150, 2) = 11175 pairs; capped the whole
+    # oversized group is dropped before the join -> zero candidates
+    assert spark.read.schema(pair_schema).parquet(prs).count() == 0
+    # opting OUT (band_cap=None) reproduces the quadratic set
+    apply_index_batch(docs, 0, idx, prs, band_cap=None)
+    assert spark.read.schema(pair_schema).parquet(prs).count() == n * (n - 1) // 2
+
+
+def test_compaction_preserves_pairs_and_replay(spark, tmp_path):
+    """compact_index_partitions folds committed per-batch partitions
+    into one; the candidate-pair set is unchanged, a replay of the
+    newest (still-replayable) epoch stays idempotent, and the fold
+    itself is idempotent."""
+    from pipe_s_spark.streaming.dedup_index import (
+        apply_index_batch,
+        compact_index_partitions,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    for i, p in enumerate(parts):
+        apply_index_batch(p, i, idx, prs)
+    want_pairs = {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).collect()
+    }
+    n_pairs = spark.read.parquet(prs).count()
+    idx_docs = spark.read.parquet(idx).select("doc_id").distinct().count()
+
+    # epochs 0 and 1 committed; epoch 2 is the newest (replayable)
+    folded = compact_index_partitions(spark, idx, watermark=2)
+    assert folded == 1  # batch_id=0 folded into batch_id=1
+    import os
+
+    assert sorted(
+        e for e in os.listdir(idx) if e.startswith("batch_id=")
+    ) == ["batch_id=1", "batch_id=2"]
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == idx_docs
+    assert spark.read.parquet(idx).count() == spark.read.parquet(idx).distinct().count()
+
+    # replay of epoch 2 after compaction: identical pair table
+    apply_index_batch(parts[2], 2, idx, prs)
+    assert {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).collect()
+    } == want_pairs
+    assert spark.read.parquet(prs).count() == n_pairs
+
+    # fold the pairs table too, then re-fold: idempotent no-op
+    compact_index_partitions(spark, prs, watermark=2)
+    assert {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).collect()
+    } == want_pairs
+    assert compact_index_partitions(spark, idx, watermark=2) == 0

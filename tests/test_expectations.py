@@ -162,3 +162,32 @@ def test_suite_matches_pandas_referee_property(spark):
         assert rep["unique:id"] == want_unq
 
     run()
+
+
+def test_unique_ignores_null_keys(spark):
+    """NULL-key rows are not_null's business, not unique's: many NULL
+    keys must NOT count as duplicates of each other (SQL
+    COUNT(DISTINCT col) / Deequ semantics — struct(null) would
+    otherwise make them one distinct group)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b"), (None, "c"), (None, None), (1, "a")],
+        "id long, tag string",
+    )
+    rep = {
+        r["check"]: (r["violations"], r["passed"])
+        for r in (
+            ExpectationSuite("t").unique("id").unique("id", "tag").run(df).collect()
+        )
+    }
+    # non-null ids: [1, 2, 1] -> 3 rows, 2 distinct -> 1 violation;
+    # the three NULL ids contribute nothing
+    assert rep["unique:id"] == (1, False)
+    # composite key: any NULL component excludes the row ->
+    # [(1,a),(2,a),(1,a)] -> 1 violation
+    assert rep["unique:id,tag"] == (1, False)
+    # all-null keys only -> zero violations, check passes
+    nulls = spark.createDataFrame(
+        [(None,), (None,), (None,)], "id long"
+    )
+    rep2 = ExpectationSuite("t").unique("id").run(nulls).collect()[0]
+    assert rep2["violations"] == 0 and bool(rep2["passed"])

@@ -3,6 +3,12 @@ SparkSession (no pipe_s_spark.session confs) so environment-dependence
 bugs surface here instead of in CORRECTNESS_r{N}.json.
 
 Usage: python tools/local_correctness.py [sf_dir] [query ...]
+
+A FULL sweep (no query filter) also writes ``CORRECTNESS_LOCAL.json``
+at the repo root — one row per registered query in the same shape as
+the driver's CORRECTNESS_r{N}.json — so every round ships an auditable
+whole-surface correctness artifact instead of only the driver's
+rotating ~50-query sample (the r7 verdict's top ask).
 """
 
 from __future__ import annotations
@@ -17,6 +23,26 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duck_con
+
+ARTIFACT = "/root/repo/CORRECTNESS_LOCAL.json"
+
+
+def _row_from_error(msg: str, spark_rows: int | None) -> dict:
+    """Map a harness AssertionError onto the driver's row shape: the
+    harness asserts columns first, then row count, then values."""
+    row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": False,
+        "spark_rows": spark_rows,
+        "oracle_rows": None,
+        "err": msg[:300],
+    }
+    if msg.startswith("columns:"):
+        row["schema_match"] = False
+    elif msg.startswith("row count:"):
+        row["rows_match"] = False
+    return row
 
 
 def main() -> None:
@@ -33,6 +59,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     con = duck_con(sf_dir)
     results: dict[str, str] = {}
+    artifact: dict[str, dict] = {}
+    t_start = time.time()
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -40,17 +68,57 @@ def main() -> None:
         try:
             df = queries[name](spark, sf_dir)
             if name in oracles:
+                n = df.count()
                 compare(df, con, oracles[name])
                 results[name] = "pass"
+                artifact[name] = {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": n,
+                    "oracle_rows": n,
+                    "err": None,
+                }
             else:
                 n = df.count()
                 results[name] = f"rows-only ({n})"
+                artifact[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n,
+                    "oracle_rows": None,
+                    "err": None,
+                }
         except AssertionError as e:
             results[name] = f"MISMATCH: {e}"
+            artifact[name] = _row_from_error(str(e), None)
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERR: {type(e).__name__}: {str(e)[:300]}"
+            artifact[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
         print(f"{name:32s} {time.time() - t0:6.2f}s  {results[name][:160]}", flush=True)
     bad = {k: v for k, v in results.items() if v != "pass" and not v.startswith("rows-only")}
+    if not only:
+        meta = {
+            "_meta": {
+                "sf_dir": sf_dir,
+                "queries": len(artifact),
+                "pass": sum(1 for v in results.values() if v == "pass"),
+                "rows_only": sum(1 for v in results.values() if v.startswith("rows-only")),
+                "bad": len(bad),
+                "elapsed_sec": round(time.time() - t_start, 1),
+            }
+        }
+        with open(ARTIFACT, "w") as f:
+            json.dump({**meta, **artifact}, f, indent=1)
+        print(f"wrote {ARTIFACT}")
     print(json.dumps({"checked": len(results), "bad": len(bad)}))
     if bad:
         sys.exit(1)
