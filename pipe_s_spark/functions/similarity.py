@@ -91,7 +91,7 @@ def brute_force_topk(
 #: planes ≈ log2(n / target_bucket_size); at n = 10^10 docs with
 #: ~1000-vector buckets that is ~23 planes. Degenerate buckets (e.g.
 #: mass-duplicate embeddings all hashing identically) are additionally
-#: bounded by the caller-side group cap (queries_llm.SIM_BUCKET_CAP /
+#: bounded by the caller-side group cap (queries_llm_shared.SIM_BUCKET_CAP /
 #: dedup.cap_group_size).
 LSH_PLANES = 8
 
@@ -602,3 +602,178 @@ def int_dot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# --- unsupervised IVF training: fixed-iteration Lloyd's k-means -----------
+
+#: Fixed-point scale for exact-integer k-means: vectors are quantized
+#: to int64 micro-units so every centroid component and every
+#: assignment dot product is EXACT integer arithmetic — bit-identical
+#: under any partitioning and replayable by the SQL oracle (the same
+#: integer-units float policy the ratio queries use). Bounds: |x| <= 1
+#: -> codes <= 1e6, centroid components <= 1e6, dot <= 64 * 1e12 —
+#: five orders of magnitude inside int64 even with per-cell sums over
+#: 10^9-row cells (sums are the only larger intermediates: 1e6 * 1e9
+#: = 1e15 < 2^63).
+KMEANS_QUANT = 1_000_000
+
+
+def quantize_vec(vec: Column, quant: int = KMEANS_QUANT) -> Column:
+    """double array -> int64 micro-unit codes (ROUND half-away-from-
+    zero, the convention Spark's round and DuckDB's ROUND share)."""
+    return F.transform(vec, lambda x: F.round(x * quant).cast("long"))
+
+
+def kmeans_scored_int(xq: Column, cents: dict[int, list[int]]) -> Column:
+    """array<struct<d, nc>> of exact int64 dot(xq, centroid) per cell,
+    nc = -cell so array_max / array_sort tie-break toward the SMALLER
+    cell id — the same ordering the oracle's ORDER BY d DESC, cell ASC
+    produces."""
+    return F.array(
+        *[
+            F.struct(
+                int_dot(
+                    xq, F.array(*[F.lit(int(w)).cast("long") for w in cents[c]])
+                ).alias("d"),
+                F.lit(-c).cast("long").alias("nc"),
+            )
+            for c in sorted(cents)
+        ]
+    )
+
+
+def kmeans_assign_int(xq: Column, cents: dict[int, list[int]]) -> Column:
+    """Cell id = argmax_c int_dot(xq, centroid_c), ties -> smaller id;
+    a NARROW literal-matrix expression (zero shuffle over the corpus)."""
+    return (-F.array_max(kmeans_scored_int(xq, cents))["nc"]).cast("int")
+
+
+def kmeans_probes_int(xq: Column, cents: dict[int, list[int]], nprobe: int) -> Column:
+    """Top-``nprobe`` cells by descending integer dot (ties -> smaller
+    cell id), as an int array — the query-side probe list."""
+    ranked = F.slice(F.reverse(F.array_sort(kmeans_scored_int(xq, cents))), 1, nprobe)
+    return F.transform(ranked, lambda s: (-s["nc"]).cast("int"))
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the convention Spark's
+    DIV and DuckDB's // share for integers (Python's // floors, which
+    disagrees on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def kmeans_train_int(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = KMEANS_QUANT,
+) -> dict[int, list[int]]:
+    """Fixed-iteration Lloyd's k-means over an embedding corpus, fully
+    UNSUPERVISED (no label column — the thing the label-mean stand-in
+    could not claim) and exactly reproducible by an unrolled-CTE SQL
+    oracle:
+
+    - init: the deterministic hash-derived IVF cells (:func:`ivf_assign`
+      — the same literal centroid matrix sim_ivf_topk pins);
+    - iterate ``iters`` times: centroid = per-cell component-wise mean
+      of the int64 micro-unit codes (exact integer sum, truncating
+      division), then reassign by argmax exact-integer dot. Cells that
+      lose every member simply drop out (both engines see the same
+      shrinking cell set).
+
+    Scale shape (pagerank's loop discipline, operators/graph.py): each
+    iteration is one narrow map over the corpus (literal-matrix argmax
+    fused into the scan) + one groupBy(cell, pos) with map-side combine
+    whose output is O(cells x dim) rows — the ONLY driver collect, the
+    same bounded literal-matrix metadata every IVF build ships. Nothing
+    row-sized ever reaches the driver; a production run would persist
+    the final assignment as the partition column."""
+    v = as_double_array(vec_col)
+    base = emb.select(
+        quantize_vec(v, quant).alias("xq"), ivf_assign(v, n_cells, dim).alias("cell")
+    )
+    cents: dict[int, list[int]] | None = None
+    for _ in range(iters):
+        if cents is None:
+            assigned = base
+        else:
+            assigned = base.select(
+                "xq", kmeans_assign_int(F.col("xq"), cents).alias("cell")
+            )
+        rows = (
+            assigned.select("cell", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = _trunc_div(
+                int(r["s"]), int(r["n"])
+            )
+        cents = {c: [by_cell[c][p] for p in range(dim)] for c in sorted(by_cell)}
+    assert cents is not None
+    return cents
+
+
+def kmeans_sql_ctes(
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = KMEANS_QUANT,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """The unrolled-CTE DuckDB replay of :func:`kmeans_train_int` (the
+    pagerank-oracle pattern): emits CTEs ``e`` (vec_id, double v),
+    ``x`` (vec_id, int64 xq) and ``cd_final`` (vec_id, cell, exact
+    integer dot against the final centroids) for the caller's
+    probe/assign/re-rank tail. Iteration t's centroids come from
+    iteration t-1's assignment; ``//`` on integers truncates toward
+    zero in DuckDB, matching the trainer's _trunc_div."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "x AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+            f"t -> CAST(ROUND(t * {quant}) AS BIGINT)) AS xq FROM embeddings)"
+        ),
+        (
+            "cd0 AS (SELECT e.vec_id, cells.cell, "
+            f"list_sum(list_transform(generate_series(1, {dim}), i -> e.v[i] * cells.cv[i])) AS d "
+            f"FROM e CROSS JOIN {ivf_cells_values_sql(n_cells, dim)})"
+        ),
+        (
+            "a0 AS (SELECT vec_id, cell FROM ("
+            "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r "
+            "FROM cd0) WHERE r = 1)"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            (
+                f"s{t} AS (SELECT a{t-1}.cell, generate_subscripts(x.xq, 1) AS pos, "
+                f"unnest(x.xq) AS xv FROM x JOIN a{t-1} USING (vec_id))"
+            ),
+            (
+                f"c{t} AS (SELECT cell, pos, SUM(xv) // COUNT(*) AS c "
+                f"FROM s{t} GROUP BY cell, pos)"
+            ),
+            (
+                f"c{t}arr AS (SELECT cell, list(c ORDER BY pos) AS cv "
+                f"FROM c{t} GROUP BY cell)"
+            ),
+            (
+                f"cd{t} AS (SELECT x.vec_id, k.cell, "
+                f"list_sum(list_transform(generate_series(1, {dim}), i -> x.xq[i] * k.cv[i])) AS d "
+                f"FROM x CROSS JOIN c{t}arr k)"
+            ),
+        ]
+        if t < iters:
+            parts.append(
+                f"a{t} AS (SELECT vec_id, cell FROM ("
+                "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r "
+                f"FROM cd{t}) WHERE r = 1)"
+            )
+    parts.append(f"cd_final AS (SELECT * FROM cd{iters})")
+    return ",\n".join(parts)

@@ -3,7 +3,7 @@
 All pure Catalyst expressions (no Python UDFs): tokenization, token
 counting (whitespace + BPE-ish regex), quality scoring, language-ID
 heuristics, document fingerprinting. Each returns a composable
-transform; queries_llm.py wires them to DuckDB oracles.
+transform; the queries_text/queries_dedup modules wire them to DuckDB oracles.
 
 Scale: every operator here is a narrow map — no shuffle, fully
 pipelined inside whole-stage codegen, linear in bytes scanned. That is

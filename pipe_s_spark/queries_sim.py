@@ -1,0 +1,1463 @@
+"""Embedding similarity-search queries: brute-force / LSH / IVF / SQ8 ANN with recall evals, centroid classification, pair mining. Cosines round to 6 decimals to absorb summation-order ulps (see functions.similarity)."""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipe_s_spark.functions import dedup as D
+from pipe_s_spark.functions import exact as E
+from pipe_s_spark.functions import shared as SH
+from pipe_s_spark.functions import similarity as S
+from pipe_s_spark.functions import text as X
+from pipe_s_spark.functions.dedup import LSH_BAND_CAP
+from pipe_s_spark.sources import load_table
+
+from pipe_s_spark.queries_llm_shared import (
+    SIM_BUCKET_CAP,
+    SQ8_CAND_K,
+    _label_centroids_cached,
+    _semantic_pairs_cached,
+)
+
+
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vecs (id<10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+
+
+SQL_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: all (a<b) with cosine >= 0.45, via the
+    blocked numpy kernel (Arrow batches x broadcast matrix)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.threshold_pairs_blocked(emb, threshold=0.45)
+
+
+SQL_SIM_THRESHOLD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+"""
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: candidates share a bucket (equi-join,
+    the 100 TB path); verify candidates with exact cosine >= 0.3.
+    Buckets larger than SIM_BUCKET_CAP are dropped before the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        S.as_double_array("embedding").alias("v"),
+    ).withColumn("bucket", S.lsh_bucket(F.col("v")))
+    e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(S.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+SQL_SIM_LSH = f"""
+WITH e0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+    FROM embeddings
+),
+e AS (
+    SELECT vec_id, v, bucket FROM (
+        SELECT vec_id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS gs FROM e0
+    ) WHERE gs <= {SIM_BUCKET_CAP}
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+       ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.3
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: narrow argmax-centroid assignment, query
+    probes its nprobe best cells, candidates via cell equi-join, exact
+    re-rank. The scale path where even LSH bucket joins are too wide:
+    the corpus is partitioned by cell once and probes touch nprobe/IVF
+    of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+
+
+SQL_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact kNN graph (top-3 cosine neighbors per vector)
+    via the block-matrix kernel — the semantic-dedup / graph-clustering
+    primitive (no corpus broadcast, no cross-product node; candidates
+    are n*B*k rows and the rank window is partitioned per node)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph_blocked(emb, k=3)
+
+
+SQL_SIM_KNN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT node_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT node_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY node_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 3
+"""
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVAL as an oracle-checked query: per probe, the
+    recall@5 of the hyperplane-LSH bucket candidates against the exact
+    brute-force top-5 — the eval harness every approximate index needs
+    before it replaces the exact path, runnable as one query per
+    parameter setting. Exact side = broadcast brute force over 10
+    probes (the allowlisted baseline pattern); candidate side = the
+    capped bucket equi-join; recall is an integer micro-ratio."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    e = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("v")
+    ).withColumn("bucket", S.lsh_bucket(F.col("v")))
+    e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
+    p = e.filter(F.col("vec_id") < 10).alias("p")
+    c = e.alias("c")
+    cand = (
+        p.join(
+            c,
+            (F.col("p.bucket") == F.col("c.bucket"))
+            & (F.col("p.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        hits.join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_LSH_RECALL = f"""
+WITH e0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {S.lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+    FROM embeddings
+),
+ec AS (
+    SELECT vec_id, v, bucket FROM (
+        SELECT vec_id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS gs FROM e0
+    ) WHERE gs <= {SIM_BUCKET_CAP}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM ec p JOIN ec c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+),
+n_cand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+),
+hits AS (
+    SELECT x.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+)
+SELECT h.query_id, h.n_exact,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hits h LEFT JOIN n_cand n USING (query_id)
+"""
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF counterpart of sim_lsh_recall: recall@5 of the
+    nprobe=2 cell candidates against the exact brute-force top-5, per
+    probe — together the two queries make the standard ANN
+    index-tuning report (bucketed LSH vs partitioned IVF) an
+    oracle-checked artifact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    v = S.as_double_array("embedding")
+    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(S.ivf_probes(v, nprobe=2)).alias("cell"),
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        hits.join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_IVF_RECALL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+n_cand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+),
+hits AS (
+    SELECT x.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+)
+SELECT h.query_id, h.n_exact,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hits h LEFT JOIN n_cand n USING (query_id)
+"""
+
+
+def q_sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE: corpus-level recall@5 and candidate volume at
+    nprobe = 1, 2, 3 in ONE query — the actual decision table for the
+    recall-vs-cost knob (sim_ivf_recall fixes nprobe=2 and reports
+    per-probe; this sweeps the knob). Each candidate carries the MIN
+    probe rank that discovers it, then a narrow <= 3x arm explode
+    aggregates every nprobe setting from the same single
+    candidate-generation pass — the index is probed once, not once
+    per arm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    v = S.as_double_array("embedding")
+    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(S.ivf_probes(v, nprobe=3)).alias("rank0", "cell"),
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.min("rank0") + 1).alias("r_min"))
+    )
+    arms = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("nprobe")
+    hit_rows = (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .select("query_id", "r_min", arms)
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                (F.coalesce(F.col("r_min"), F.lit(99)) <= F.col("nprobe")).cast("long")
+            ).alias("n_hits"),
+        )
+    )
+    cand_rows = (
+        cand.select("r_min", arms)
+        .filter(F.col("r_min") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return (
+        hit_rows.join(cand_rows, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+def _sql_sim_ivf_nprobe_curve() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN {S.ivf_cells_values_sql()}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell, r FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 3
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id, MIN(p.r) AS r_min
+    FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    GROUP BY p.query_id, a.vec_id
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+arms AS (SELECT unnest(generate_series(1, 3)) AS nprobe),
+hit_rows AS (
+    SELECT arms.nprobe,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN COALESCE(c.r_min, 99) <= arms.nprobe
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM exact x
+    LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+    CROSS JOIN arms
+    GROUP BY arms.nprobe
+),
+cand_rows AS (
+    SELECT arms.nprobe, COUNT(*) AS n_candidates
+    FROM cand CROSS JOIN arms
+    WHERE cand.r_min <= arms.nprobe
+    GROUP BY arms.nprobe
+)
+SELECT CAST(h.nprobe AS INTEGER) AS nprobe, h.n_exact,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits * 1000000 // h.n_exact AS BIGINT) AS recall_x1m
+FROM hit_rows h LEFT JOIN cand_rows c USING (nprobe)
+"""
+
+
+def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION eval: recall@5 of top-5-by-quantized-
+    dot-product against the exact brute-force cosine top-5, per probe —
+    the third leg of the ANN tuning report (LSH buckets / IVF cells /
+    compressed codes). Per-dimension global min/max "train" the
+    quantizer (an O(dim) metadata collect, like the IVF centroid
+    matrix); each vector becomes 64 one-byte codes — 8x smaller than
+    float64, which at corpus scale is the difference between an in-RAM
+    and a spilled index. The quantized ranking is PURE int64 dot
+    products: no float comparisons anywhere in the candidate order, so
+    the top-5 is deterministic by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    lo, hi = S.sq8_bounds(emb)
+    e = emb.select("vec_id", S.sq8_quantize(S.as_double_array("embedding"), lo, hi).alias("qv"))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.int_dot(F.col("qv"), F.col("pv")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    approx = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").alias("recall_x1m"),
+        )
+    )
+
+
+SQL_SIM_SQ8_RECALL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+    SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+    FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+),
+dimsc AS (
+    SELECT i, lo, CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END AS sc
+    FROM dims
+),
+qe AS (
+    SELECT e.vec_id, d.i,
+           CAST(FLOOR((e.v[d.i] - d.lo) * d.sc + 0.5) AS BIGINT) AS q
+    FROM e CROSS JOIN dimsc d
+),
+scores AS (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(p.q * c.q) AS qdot
+    FROM qe p JOIN qe c ON p.i = c.i AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+    GROUP BY p.vec_id, c.vec_id
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rk
+        FROM scores
+    ) WHERE rk <= 5
+),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+exact_scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({{cos}}, 6) AS cos_sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM exact_scored
+    ) WHERE rk <= 5
+)
+SELECT x.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_x1m
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""".replace("{cos}", S.cosine_sql("q.v", "e.v"))
+
+
+def q_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SERVING path: candidates = top-SQ8_CAND_K by int8 quantized
+    dot product (pure int64 ranking — deterministic with no float
+    anywhere), then EXACT cosine re-rank of only those candidates to
+    top-5. This is the standard compressed-index serving shape
+    (quantized scan for recall, exact re-rank for precision): the full
+    corpus is touched only through 64-byte codes; the 512-byte float
+    vectors are fetched for SQ8_CAND_K rows per query via an equi-join
+    — at corpus scale that is the difference between streaming the
+    whole corpus and reading k rows per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = S.sq8_bounds(emb)
+    e = emb.select("vec_id", S.sq8_quantize(S.as_double_array("embedding"), lo, hi).alias("qv"))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.int_dot(F.col("qv"), F.col("pv")).alias("qdot"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    cand = (
+        scored.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= SQ8_CAND_K)
+        .select("query_id", "neighbor_id")
+    )
+    ev = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    rer = (
+        cand.join(ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+SQL_SIM_SQ8_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+    SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+    FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+),
+dimsc AS (
+    SELECT i, lo, CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END AS sc
+    FROM dims
+),
+qe AS (
+    SELECT e.vec_id, d.i,
+           CAST(FLOOR((e.v[d.i] - d.lo) * d.sc + 0.5) AS BIGINT) AS q
+    FROM e CROSS JOIN dimsc d
+),
+scores AS (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(p.q * c.q) AS qdot
+    FROM qe p JOIN qe c ON p.i = c.i AND p.vec_id <> c.vec_id
+    WHERE p.vec_id < 10
+    GROUP BY p.vec_id, c.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS crk
+        FROM scores
+    ) WHERE crk <= {SQ8_CAND_K}
+),
+rer AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND({{cos}}, 6) AS cos_sim
+    FROM cand
+    JOIN e q ON q.vec_id = cand.query_id
+    JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM rer
+) WHERE rk <= 5
+""".replace("{cos}", S.cosine_sql("q.v", "c.v"))
+
+
+def q_sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning data: the distribution of semantic
+    pair cosines in 0.05 bands (from the materialized >= 0.45 pair
+    table) with per-band same-label agreement — the two columns you
+    plot to pick a dedup threshold (volume vs purity per band)."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    l1 = emb.select(F.col("vec_id").alias("id1"), F.col("label").alias("label1"))
+    l2 = emb.select(F.col("vec_id").alias("id2"), F.col("label").alias("label2"))
+    j = pairs.join(F.broadcast(l1), "id1").join(F.broadcast(l2), "id2")
+    band = F.floor(F.col("cos_sim") * 20).cast("long")  # 0.05-wide bands
+    return (
+        j.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(CAST(label1 = label2 AS BIGINT)) * 1000000"
+                " DIV COUNT(1) AS BIGINT)"
+            ).alias("same_label_x1m"),
+        )
+        .select(
+            "band",
+            F.round(F.col("band") / 20.0, 2).alias("band_lo"),
+            "n_pairs",
+            "same_label_x1m",
+        )
+    )
+
+
+def _sql_sim_pair_histogram() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id1, a.label AS label1, b.vec_id AS id2, b.label AS label2,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+)
+SELECT CAST(FLOOR(cos * 20) AS BIGINT) AS band,
+       ROUND(CAST(FLOOR(cos * 20) AS BIGINT) / 20.0, 2) AS band_lo,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS same_label_x1m
+FROM pairs
+GROUP BY band
+"""
+
+
+def q_sim_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table HEALTH PROFILE per label: vector count,
+    dimension consistency (distinct dims — anything but 1 means a
+    broken encoder batch), zero-vector count (failed inference rows),
+    and the norm distribution (min / exact-decimal mean / max of the
+    L2 norm) — the ANALYZE pass for a vector column, run before any
+    index build trusts the data. One narrow pass: per-vector norm is a
+    fold over the array (no explode, no shuffle until the tiny
+    per-label rollup); norms are rounded to 6 then summed through
+    DECIMAL(18,6) so the mean is order-independent and bit-identical
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm2), 6).alias("nrm"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("dim")).alias("n_dims"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.min("nrm").alias("min_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+SQL_SIM_EMBEDDING_PROFILE = """
+WITH v AS (
+    SELECT label, len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       COUNT(DISTINCT dim) AS n_dims,
+       CAST(COUNT(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero,
+       MIN(nrm) AS min_norm,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_norm,
+       MAX(nrm) AS max_norm
+FROM v GROUP BY label
+"""
+
+
+def q_sim_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics: mean and variance of every
+    vector coordinate (plus its min/max), exact — the feature-health
+    view behind whitening decisions, dead-dimension detection (var ~ 0
+    = the encoder never uses the coordinate) and the diagonal of the
+    covariance a PCA/whitening step starts from. One posexplode ->
+    one 64-group aggregate; sums go through DECIMAL(38,12) (float32
+    coordinates are exact in 12 fractional digits), so mean and
+    variance are order-independent and engine-identical; the final
+    two divisions are scalar IEEE on identical operands, rounded 9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 9).alias("mean_x"),
+        F.round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n"), 9
+        ).alias("var_x"),
+        "min_x",
+        "max_x",
+    )
+
+
+SQL_SIM_DIMENSION_STATS = """
+WITH ex AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+agg AS (
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           ROUND(MIN(x), 6) AS min_x,
+           ROUND(MAX(x), 6) AS max_x
+    FROM ex GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       ROUND(sx / n, 9) AS mean_x,
+       ROUND((sxx - sx * sx / n) / n, 9) AS var_x,
+       min_x, max_x
+FROM agg
+"""
+
+
+def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift by document source: cosine of each
+    source's mean embedding against the global mean — the one-query
+    probe for "which domain's vectors sit away from the corpus center"
+    (domain shift / contamination triage on the semantic side,
+    complementing text_domain_divergence's token-level chi-square).
+    Vectors join documents on doc_id (= vec_id in this corpus); both
+    centroid levels come from one posexplode + groupBy with
+    DECIMAL-exact component sums, so every centroid is bit-stable
+    under any partitioning; the final cosine is O(sources x dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "source", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    )
+    per_src = ex.groupBy("source", "pos").agg(
+        F.sum(F.col("x").cast("decimal(30,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    comp = per_src.select(
+        "source",
+        "pos",
+        (F.col("s").cast("double") / F.col("n")).alias("c"),
+        "n",
+    )
+    # global centroid: 64 rows — bounded metadata collect, inlined as a
+    # literal array so the per-source cosine is a sequential array fold
+    # (deterministic evaluation order; a groupBy SUM of doubles would
+    # be partition-order sensitive)
+    glob_rows = (
+        per_src.groupBy("pos")
+        .agg((F.sum("s").cast("double") / F.sum("n")).alias("g"))
+        .collect()
+    )
+    g_sorted = [r["g"] for r in sorted(glob_rows, key=lambda r: r["pos"])]
+    g_arr = F.array(*[F.lit(v) for v in g_sorted])
+    src_arr = comp.groupBy("source").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]
+        ).alias("cv"),
+    )
+    return src_arr.select(
+        "source",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(S.cosine(F.col("cv"), g_arr), 6).alias("cos_to_global"),
+    )
+
+
+SQL_SIM_DOMAIN_DRIFT = f"""
+WITH ex AS (
+    SELECT d.source,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           generate_subscripts(e.embedding, 1) AS pos
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+per_src AS (
+    SELECT source, pos,
+           SUM(CAST(x AS DECIMAL(30,12))) AS s,
+           COUNT(*) AS n
+    FROM ex GROUP BY source, pos
+),
+comp AS (
+    SELECT source, pos, CAST(s AS DOUBLE) / n AS c, n FROM per_src
+),
+srcarr AS (
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list(c ORDER BY pos) AS cv
+    FROM comp GROUP BY source
+),
+globarr AS (
+    SELECT list(g ORDER BY pos) AS gv FROM (
+        SELECT pos, CAST(SUM(s) AS DOUBLE) / SUM(n) AS g
+        FROM per_src GROUP BY pos
+    )
+)
+SELECT s.source, s.n_vecs,
+       ROUND({S.cosine_sql('s.cv', 'ga.gv')}, 6) AS cos_to_global
+FROM srcarr s CROSS JOIN globarr ga
+"""
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per anchor
+    vector, the top-3 most-similar vectors carrying a DIFFERENT gold
+    label — the "close but wrong" examples a contrastive or reranker
+    trainer needs most (easy negatives teach nothing; in-batch random
+    negatives are mostly easy). Mined from the session-materialized
+    cosine-threshold pair table (only pairs >= 0.45 qualify as hard),
+    so the cost beyond the cached kernel is: direction-doubling
+    (narrow), two broadcast label joins, and a per-anchor rank window
+    — parallel across anchors, never global."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    both = pairs.select(
+        F.col("id1").alias("anchor_id"), F.col("id2").alias("negative_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("anchor_id"), F.col("id1").alias("negative_id"), "cos_sim"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+    ln = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("negative_label")
+    )
+    hard = (
+        both.join(F.broadcast(la), "anchor_id")
+        .join(F.broadcast(ln), "negative_id")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        hard.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "anchor_id", "negative_id", "anchor_label", "negative_label", "cos_sim", "rk"
+        )
+    )
+
+
+def _sql_sim_hard_negatives() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+           a.label AS anchor_label, b.label AS negative_label,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, negative_id) AS rk
+    FROM cand WHERE cos_sim >= 0.45
+)
+SELECT anchor_id, negative_id, anchor_label, negative_label, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_sim_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING: one (anchor, positive, negative) row per anchor
+    that has both — positive = its most-similar SAME-label vector,
+    negative = its most-similar DIFFERENT-label vector (both from the
+    cached >= 0.45 pair table, so the negative is hard by
+    construction), plus the margin (pos_cos - neg_cos) in integer
+    micro-units: the margin distribution is exactly what you inspect
+    to set a triplet-loss margin. Anchors whose hardest negative beats
+    their best positive show up with a NEGATIVE margin — the
+    label-noise suspects. Same cached-kernel + broadcast-label +
+    per-anchor-window shape as sim_hard_negatives; the extra cost is
+    one self-join of two one-row-per-anchor tables."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    both = pairs.select(
+        F.col("id1").alias("anchor_id"), F.col("id2").alias("other_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("anchor_id"), F.col("id1").alias("other_id"), "cos_sim"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+    lo = emb.select(F.col("vec_id").alias("other_id"), F.col("label").alias("other_label"))
+    lab = both.join(F.broadcast(la), "anchor_id").join(F.broadcast(lo), "other_id")
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "other_id")
+    pos = (
+        lab.filter(F.col("anchor_label") == F.col("other_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("other_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = (
+        lab.filter(F.col("anchor_label") != F.col("other_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        F.expr("CAST(ROUND((pos_cos - neg_cos) * 1000000) AS BIGINT)").alias(
+            "margin_x1m"
+        ),
+    )
+
+
+def _sql_sim_triplets() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+           b.vec_id AS other_id, b.label AS other_label,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+hard AS (SELECT * FROM cand WHERE cos_sim >= 0.45),
+pos AS (
+    SELECT anchor_id, anchor_label, other_id AS positive_id, cos_sim AS pos_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, other_id) AS rk
+          FROM hard WHERE anchor_label = other_label)
+    WHERE rk = 1
+),
+neg AS (
+    SELECT anchor_id, other_id AS negative_id, cos_sim AS neg_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, other_id) AS rk
+          FROM hard WHERE anchor_label <> other_label)
+    WHERE rk = 1
+)
+SELECT anchor_id, anchor_label, positive_id, negative_id, pos_cos, neg_cos,
+       CAST(ROUND((pos_cos - neg_cos) * 1000000) AS BIGINT) AS margin_x1m
+FROM pos JOIN neg USING (anchor_id)
+"""
+
+
+def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space homogeneity audit: of all cosine-threshold
+    pairs, how many connect vectors with the SAME gold label — the
+    pair-level purity number that tells you whether a similarity
+    threshold is tight enough to drive semantic dedup before any
+    clustering runs. Consumes the session-materialized semantic pair
+    table; two broadcast label lookups; one global count row."""
+    pairs = _semantic_pairs_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    l1 = emb.select(F.col("vec_id").alias("id1"), F.col("label").alias("label1"))
+    l2 = emb.select(F.col("vec_id").alias("id2"), F.col("label").alias("label2"))
+    joined = pairs.join(F.broadcast(l1), "id1").join(F.broadcast(l2), "id2")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("label1") == F.col("label2")).cast("bigint")).alias("n_same_label"),
+        F.expr(
+            "CAST(SUM(CAST(label1 = label2 AS BIGINT)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("agreement_x1m"),
+    )
+
+
+def _sql_sim_pair_label_agreement() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id1, a.label AS label1, b.vec_id AS id2, b.label AS label2
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       CAST(SUM(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS agreement_x1m
+FROM pairs
+"""
+
+
+def q_sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit over the embedding corpus:
+    per-label mean centroids (DECIMAL-exact component sums, so the
+    centroid is bit-identical under any partitioning), then every
+    vector is assigned to its max-cosine centroid and counted against
+    its gold label — the confusion matrix that turns "are my embedding
+    clusters any good" into one query.
+
+    Scale shape: the centroid aggregation is a posexplode + groupBy
+    (label, dim) — map-side combinable, output O(labels x dim). The
+    tiny centroid table is collected driver-side (bounded metadata
+    collect, same pattern as IVF's literal centroid matrix) and inlined
+    as literals, so the assignment pass is a NARROW map over the corpus
+    — zero shuffle, no per-row join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids_cached(spark, sf_dir)
+    labels = sorted(cents)
+    v = S.as_double_array("embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(S.cosine(v, F.array(*[F.lit(w) for w in cents[lab]])), 6).alias(
+                    "cos"
+                ),
+                F.lit(-lab).alias("neg_label"),
+            )
+            for lab in labels
+        ]
+    )
+    assigned = emb.select(
+        "label", (-F.array_max(scored)["neg_label"]).cast("int").alias("assigned_label")
+    )
+    return assigned.groupBy(
+        F.col("label").alias("gold_label"), "assigned_label"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _sql_sim_centroid_confusion() -> str:
+    dim = 64
+    return f"""
+WITH ex AS (
+    SELECT label,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cen AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, pos
+),
+cenarr AS (
+    SELECT label AS c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           ROUND(
+               list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> c.cvec[i] * c.cvec[i])))),
+               6) AS cos
+    FROM embeddings e CROSS JOIN cenarr c
+),
+assigned AS (
+    SELECT vec_id, label, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+    FROM scored
+)
+SELECT label AS gold_label,
+       CAST(c_label AS INTEGER) AS assigned_label,
+       COUNT(*) AS n_vecs
+FROM assigned WHERE rk = 1
+GROUP BY label, c_label
+"""
+
+
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED cells: the per-label mean centroids
+    (decimal-exact, collected once per session — see
+    _label_centroids_cached) play the role k-means cluster centers play
+    in a production IVF index, replacing sim_ivf_topk's deterministic
+    pseudo-random cells. Assignment and probe selection are NARROW
+    literal-matrix expressions (zero shuffle over the corpus); probes
+    broadcast onto the cell equi-join; exact cosine re-rank per query.
+    Ranking ties break toward the smaller cell/neighbor id on both
+    engines."""
+    cents = _label_centroids_cached(spark, sf_dir)
+    labels = sorted(cents)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                S.dot(v, F.array(*[F.lit(w) for w in cents[lab]])).alias("d"),
+                F.lit(-lab).alias("nc"),
+            )
+            for lab in labels
+        ]
+    )
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(scored)["nc"]).cast("int").alias("cell"),
+    )
+    top2 = F.slice(F.reverse(F.array_sort(scored)), 1, 2)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.transform(top2, lambda s: (-s["nc"]).cast("int"))).alias("cell"),
+    )
+    cand = F.broadcast(probes).join(corpus, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(S.cosine(S.as_double_array("q_emb"), v), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_sim_ivf_trained() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+    SELECT label,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cen AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, pos
+),
+cenarr AS (
+    SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cen GROUP BY label
+),
+cd AS (
+    SELECT e.vec_id, cells.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cells.cv[i])) AS d
+    FROM e CROSS JOIN cenarr cells
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd WHERE vec_id < 10) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+#: Bounded per-(session, sf_dir) k-means centroid cache — the same
+#: FIFO + SH.on_clear discipline as the label-centroid cache.
+_KMEANS_MEMO_MAX = 8
+_kmeans_memo: "OrderedDict[tuple, dict[int, list[int]]]" = OrderedDict()
+SH.on_clear(_kmeans_memo.clear)
+
+#: Lloyd iterations for the oracle-checked k-means IVF. Fixed (not
+#: convergence-tested) so the unrolled-CTE oracle replays the exact
+#: same computation; 2 rounds already moves every centroid from the
+#: hash-derived seed to a data-learned position.
+KMEANS_ITERS = 2
+
+
+def _kmeans_cents_cached(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """Fixed-iteration Lloyd's k-means centroids (int64 micro-units),
+    trained once per (session, sf_dir) — functions.similarity.
+    kmeans_train_int does the distributed work; this memo is the
+    in-session stand-in for the persisted centroid table a production
+    IVF build writes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _kmeans_memo:
+        return _kmeans_memo[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train_int(emb, iters=KMEANS_ITERS)
+    _kmeans_memo[key] = cents
+    while len(_kmeans_memo) > _KMEANS_MEMO_MAX:
+        _kmeans_memo.popitem(last=False)
+    return cents
+
+
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over UNSUPERVISED k-means cells: fixed-iteration
+    Lloyd's training (functions.similarity.kmeans_train_int — exact
+    int64 micro-unit arithmetic, deterministic hash-cell init, the
+    replacement for sim_ivf_trained's label-mean stand-in which needs
+    labels real corpora don't have). Assignment and probe selection
+    are NARROW literal-matrix integer expressions (zero shuffle over
+    the corpus, zero float-comparison hazard); probes broadcast onto
+    the cell equi-join; exact cosine re-rank per query. The oracle
+    replays the full training loop as unrolled CTEs (the pagerank
+    pattern)."""
+    cents = _kmeans_cents_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = S.quantize_vec(S.as_double_array("embedding"))
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        S.kmeans_assign_int(xq, cents).alias("cell"),
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(S.kmeans_probes_int(xq, cents, nprobe=2)).alias("cell"),
+    )
+    cand = F.broadcast(probes).join(corpus, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    rescored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            S.cosine(S.as_double_array("q_emb"), S.as_double_array("embedding")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
+def _sql_sim_ivf_kmeans() -> str:
+    return f"""
+WITH {S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd_final) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd_final WHERE vec_id < 10) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND({S.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+QUERIES = {
+    "sim_ivf_kmeans": q_sim_ivf_kmeans,
+    "sim_ivf_trained": q_sim_ivf_trained,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_threshold_pairs": q_sim_threshold_pairs,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_knn_graph": q_sim_knn_graph,
+    "sim_centroid_confusion": q_sim_centroid_confusion,
+    "sim_pair_label_agreement": q_sim_pair_label_agreement,
+    "sim_hard_negatives": q_sim_hard_negatives,
+    "sim_triplets": q_sim_triplets,
+    "sim_domain_drift": q_sim_domain_drift,
+    "sim_embedding_profile": q_sim_embedding_profile,
+    "sim_dimension_stats": q_sim_dimension_stats,
+    "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_ivf_nprobe_curve": q_sim_ivf_nprobe_curve,
+    "sim_sq8_recall": q_sim_sq8_recall,
+    "sim_sq8_topk": q_sim_sq8_topk,
+    "sim_pair_histogram": q_sim_pair_histogram,
+}
+
+ORACLES = {
+    "sim_ivf_kmeans": _sql_sim_ivf_kmeans(),
+    "sim_ivf_trained": _sql_sim_ivf_trained(),
+    "sim_cosine_topk": SQL_SIM_TOPK,
+    "sim_threshold_pairs": SQL_SIM_THRESHOLD,
+    "sim_lsh_buckets": SQL_SIM_LSH,
+    "sim_ivf_topk": SQL_SIM_IVF,
+    "sim_knn_graph": SQL_SIM_KNN,
+    "sim_centroid_confusion": _sql_sim_centroid_confusion(),
+    "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
+    "sim_hard_negatives": _sql_sim_hard_negatives(),
+    "sim_triplets": _sql_sim_triplets(),
+    "sim_domain_drift": SQL_SIM_DOMAIN_DRIFT,
+    "sim_embedding_profile": SQL_SIM_EMBEDDING_PROFILE,
+    "sim_dimension_stats": SQL_SIM_DIMENSION_STATS,
+    "sim_lsh_recall": SQL_SIM_LSH_RECALL,
+    "sim_ivf_recall": SQL_SIM_IVF_RECALL,
+    "sim_ivf_nprobe_curve": _sql_sim_ivf_nprobe_curve(),
+    "sim_sq8_recall": SQL_SIM_SQ8_RECALL,
+    "sim_sq8_topk": SQL_SIM_SQ8_TOPK,
+    "sim_pair_histogram": _sql_sim_pair_histogram(),
+}

@@ -22,8 +22,13 @@ def all_queries() -> dict[str, QueryFn]:
         queries_advanced,
         queries_analytics,
         queries_cdc,
+        queries_dedup,
         queries_events,
-        queries_llm,
+        queries_multimodal,
+        queries_sampling,
+        queries_sim,
+        queries_sketch,
+        queries_text,
         queries_tpch2,
         queries_tpch3,
     )
@@ -32,7 +37,12 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(queries_cdc.QUERIES)
     out.update(queries_events.QUERIES)
     out.update(queries_analytics.QUERIES)
-    out.update(queries_llm.QUERIES)
+    out.update(queries_text.QUERIES)
+    out.update(queries_sampling.QUERIES)
+    out.update(queries_dedup.QUERIES)
+    out.update(queries_sim.QUERIES)
+    out.update(queries_sketch.QUERIES)
+    out.update(queries_multimodal.QUERIES)
     out.update(queries_advanced.QUERIES)
     out.update(queries_tpch2.QUERIES)
     out.update(queries_tpch3.QUERIES)
@@ -45,8 +55,13 @@ def all_oracles() -> dict[str, str]:
         queries_advanced,
         queries_analytics,
         queries_cdc,
+        queries_dedup,
         queries_events,
-        queries_llm,
+        queries_multimodal,
+        queries_sampling,
+        queries_sim,
+        queries_sketch,
+        queries_text,
         queries_tpch2,
         queries_tpch3,
     )
@@ -55,7 +70,12 @@ def all_oracles() -> dict[str, str]:
     out.update(queries_cdc.ORACLES)
     out.update(queries_events.ORACLES)
     out.update(queries_analytics.ORACLES)
-    out.update(queries_llm.ORACLES)
+    out.update(queries_text.ORACLES)
+    out.update(queries_sampling.ORACLES)
+    out.update(queries_dedup.ORACLES)
+    out.update(queries_sim.ORACLES)
+    out.update(queries_sketch.ORACLES)
+    out.update(queries_multimodal.ORACLES)
     out.update(queries_advanced.ORACLES)
     out.update(queries_tpch2.ORACLES)
     out.update(queries_tpch3.ORACLES)

@@ -1,7 +1,7 @@
 """CONTINUOUS dedup-index maintenance: a document stream keeps a
 persisted MinHash-LSH band index up to date and emits candidate pairs
 for every arriving batch against everything indexed before it — the
-operational form of `queries_llm.q_dedup_incremental` (there the
+operational form of `queries_dedup.q_dedup_incremental` (there the
 "arriving batch" is simulated; here it actually arrives).
 
 Per micro-batch, inside one ``foreachBatch``:

@@ -318,13 +318,20 @@ class MergeApplyTarget:
         spark = batch.sparkSession
         for f in batch.schema.fields:
             self._col_types[f.name] = f.dataType
-        compacted = compact_changelog(
-            batch,
-            key_cols=self.key_cols,
-            seq_col=self.seq_col,
-            op_col=self.op_col,
-            payload_cols=self.payload_cols,
-        ).cache()
+        if "net_op" in batch.columns and self.op_col not in batch.columns:
+            # already compacted upstream (a pipeline 'compact' stage or
+            # a caller reusing one compaction across sinks): net-effect
+            # of a net effect is itself, so apply as-is instead of
+            # failing on the missing raw op/seq columns
+            compacted = batch.cache()
+        else:
+            compacted = compact_changelog(
+                batch,
+                key_cols=self.key_cols,
+                seq_col=self.seq_col,
+                op_col=self.op_col,
+                payload_cols=self.payload_cols,
+            ).cache()
         try:
             # touched buckets: bounded driver-side metadata (<= num_buckets)
             touched = sorted(

@@ -86,7 +86,7 @@ def test_pack_assign_semantics(spark):
     no pack exceeds the 2048-token budget by more than one doc's
     overhang (a doc larger than the budget legitimately overflows its
     own pack; pack ids may skip where a huge doc spans several)."""
-    from pipe_s_spark.queries_llm import q_text_pack_assign
+    from pipe_s_spark.queries_sampling import q_text_pack_assign
 
     out = q_text_pack_assign(spark, "/root/testdata/sf0.001").collect()
     assert out, "non-empty"
@@ -217,7 +217,7 @@ def test_chunk_windows_semantics(spark, tmp_path):
     one chunk; and the DuckDB oracle agrees on the crafted rows."""
     from oracle_harness import compare
 
-    from pipe_s_spark.queries_llm import SQL_TEXT_CHUNKS, q_text_chunk_windows
+    from pipe_s_spark.queries_sampling import SQL_TEXT_CHUNKS, q_text_chunk_windows
 
     toks130 = [f"w{i}" for i in range(130)]
     rows = [(1, " ".join(toks130)), (2, "solo"), (3, "   ")]
@@ -241,7 +241,7 @@ def test_inverted_index_caps_postings(spark, tmp_path):
     before doc 10 — lexicographic sort would invert them)."""
     from oracle_harness import compare
 
-    from pipe_s_spark.queries_llm import (
+    from pipe_s_spark.queries_text import (
         INVINDEX_POSTING_CAP,
         SQL_TEXT_INVINDEX,
         q_text_inverted_index,
@@ -265,7 +265,7 @@ def test_tfidf_rank_breaks_ties_by_df_then_term(spark, tmp_path):
     first; equal (tf, df) falls back to lexicographic."""
     from oracle_harness import compare
 
-    from pipe_s_spark.queries_llm import SQL_TEXT_TFIDF, q_text_tfidf_topterms
+    from pipe_s_spark.queries_text import SQL_TEXT_TFIDF, q_text_tfidf_topterms
 
     rows = [
         (1, "zeta zeta alpha beta"),  # zeta tf=2; alpha/beta tf=1
@@ -287,7 +287,7 @@ def test_mix_sample_respects_spec(spark, tmp_path):
 
     from oracle_harness import compare
 
-    from pipe_s_spark.queries_llm import SQL_TEXT_MIX_SAMPLE, q_text_mix_sample
+    from pipe_s_spark.queries_sampling import SQL_TEXT_MIX_SAMPLE, q_text_mix_sample
 
     rows = []
     did = 0
@@ -322,7 +322,7 @@ def test_global_shuffle_is_a_permutation(spark, tmp_path):
 
     from oracle_harness import compare
 
-    from pipe_s_spark.queries_llm import (
+    from pipe_s_spark.queries_sampling import (
         SHUFFLE_SALT,
         SQL_TEXT_GLOBAL_SHUFFLE,
         q_text_global_shuffle,
