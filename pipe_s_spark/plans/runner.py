@@ -439,6 +439,30 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             lww=cfg.get("lww", False),
         )
         writer = df.writeStream.foreachBatch(tgt.apply_batch)
+    elif typ == "dedup-index":
+        # continuous MinHash-LSH index maintenance from a config:
+        # the document stream keeps indexPath current and appends
+        # candidate pairs per epoch (streaming.dedup_index — replay-
+        # idempotent, band-capped by default, optionally self-
+        # compacting every N epochs)
+        from pipe_s_spark.functions.dedup import LSH_BAND_CAP
+        from pipe_s_spark.streaming.dedup_index import run_dedup_index_stream
+
+        q = run_dedup_index_stream(
+            df,
+            index_path=cfg["indexPath"],
+            pairs_path=cfg["pairsPath"],
+            checkpoint=ckpt,
+            id_col=cfg.get("idCol", "doc_id"),
+            text_col=cfg.get("textCol", "text"),
+            k=int(cfg.get("shingleK", 3)),
+            num_hashes=int(cfg.get("numHashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            band_cap=cfg.get("bandCap", LSH_BAND_CAP),
+            compact_every=cfg.get("compactEvery"),
+        )
+        q.awaitTermination(wait)
+        return None
     elif typ == "parquet":
         writer = df.writeStream.format("parquet").option("path", cfg["path"])
     elif typ == "console":
@@ -486,8 +510,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             "outputs: return, parquet (zorderBy), jsonl, csv, orc, merge, "
-            "check, noop, console, debug, fork; streaming: merge, parquet, "
-            "console, noop, fork"
+            "check, noop, console, debug, fork; streaming: merge, "
+            "dedup-index, parquet, console, noop, fork"
         )
         return 0
     if not args.configs:

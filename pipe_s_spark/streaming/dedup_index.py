@@ -70,11 +70,19 @@ def run_dedup_index_stream(
     num_hashes: int = 16,
     bands: int = 4,
     band_cap: int | None = LSH_BAND_CAP,
+    compact_every: int | None = None,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
     ``doc_stream``. The index holds (doc_id, band_id, band_sig,
     batch_id); pairs hold (d1, d2, batch_id) with d1 < d2.
+
+    ``compact_every``: fold committed per-batch partitions of BOTH
+    tables every N epochs (compact_index_partitions) so a long-running
+    stream keeps O(1) partitions instead of O(#batches). Safe inside
+    foreachBatch: when epoch N is executing, every epoch < N is
+    committed (epochs are sequential), so watermark = N satisfies the
+    compactor's contract and epoch N's own partition is never touched.
 
     ``band_cap`` bounds the per-(band_id, band_sig) group size of the
     ARRIVING batch before the join (functions.dedup.cap_group_size —
@@ -103,6 +111,14 @@ def run_dedup_index_stream(
             bands=bands,
             band_cap=band_cap,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # watermark = this epoch id: epochs run sequentially, so
+            # every epoch < batch_id is checkpoint-committed and can
+            # never replay again; this epoch's own partition is > the
+            # fold target and stays untouched
+            spark = batch_df.sparkSession
+            compact_index_partitions(spark, index_path, watermark=batch_id)
+            compact_index_partitions(spark, pairs_path, watermark=batch_id)
 
     q = (
         doc_stream.writeStream.foreachBatch(_process)

@@ -166,3 +166,68 @@ def test_compaction_preserves_pairs_and_replay(spark, tmp_path):
         (r["d1"], r["d2"]) for r in spark.read.parquet(prs).collect()
     } == want_pairs
     assert compact_index_partitions(spark, idx, watermark=2) == 0
+
+
+def test_stream_with_auto_compaction_matches_recompute(spark, tmp_path):
+    """compact_every folds committed partitions DURING the stream;
+    the final pair set still equals the batch recompute and the index
+    partition count stays bounded."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = tmp_path / "src"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"w{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    idx, prs, ck = str(tmp_path / "idx"), str(tmp_path / "prs"), str(tmp_path / "ck")
+    run_dedup_index_stream(
+        stream, idx, prs, ck, compact_every=2, await_seconds=240
+    )
+    got = {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).select("d1", "d2").collect()
+    }
+    assert got == _batch_pairs(spark)
+    # epoch 2 triggered a fold of epoch 0 into epoch 1's partition
+    idx_parts = sorted(e for e in os.listdir(idx) if e.startswith("batch_id="))
+    assert idx_parts == ["batch_id=1", "batch_id=2"]
+
+
+def test_runner_dedup_index_sink(spark, tmp_path):
+    """The config-driven form: a json-stream input piped to the
+    'dedup-index' streaming output produces the same pair set as the
+    direct API."""
+    import json as _json
+
+    from pipe_s_spark.plans.runner import run_pipeline
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = tmp_path / "docs_json"
+    docs.coalesce(1).write.json(str(src))
+    idx, prs, ck = str(tmp_path / "idx"), str(tmp_path / "prs"), str(tmp_path / "ck")
+    spec = {
+        "Input": {
+            "Type": "json-stream",
+            "Config": {"schema": "doc_id long, text string", "path": str(src)},
+        },
+        "Output": {
+            "Type": "dedup-index",
+            "Config": {
+                "indexPath": idx,
+                "pairsPath": prs,
+                "checkpoint": ck,
+                "awaitSeconds": 240,
+            },
+        },
+    }
+    _json.dumps(spec)  # spec must stay JSON-serializable (config-file form)
+    run_pipeline(spark, spec)
+    got = {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).select("d1", "d2").collect()
+    }
+    assert got == _batch_pairs(spark)
