@@ -1341,6 +1341,33 @@ def _kmeans_cents_cached(spark: SparkSession, sf_dir: str) -> dict[int, list[int
     return cents
 
 
+def _kmeans_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized IVF index table: (vec_id, embedding, cell,
+    probe cells) — assignment AND top-2 probe list computed in ONE
+    narrow pass over the corpus and checkpointed (functions.shared).
+    This is exactly the table a production IVF build persists
+    (partitioned by cell); in-session it means the heavy literal-
+    matrix integer expressions run once per (session, sf_dir), and
+    every consumer (top-k query, cell-stats report) is a plain join
+    against the narrow index."""
+
+    def build() -> DataFrame:
+        cents = _kmeans_cents_cached(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        xq = S.quantize_vec(S.as_double_array("embedding"))
+        probes = S.kmeans_probes_int(xq, cents, nprobe=2)
+        return emb.select(
+            "vec_id",
+            "embedding",
+            F.element_at(probes, 1).alias("cell"),  # argmax = first probe
+            probes.alias("probe_cells"),
+        )
+
+    return SH.materialized(
+        spark, ("kmeans_index", sf_dir, KMEANS_ITERS), build
+    )
+
+
 def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over UNSUPERVISED k-means cells: fixed-iteration
     Lloyd's training (functions.similarity.kmeans_train_int — exact
@@ -1348,22 +1375,17 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement for sim_ivf_trained's label-mean stand-in which needs
     labels real corpora don't have). Assignment and probe selection
     are NARROW literal-matrix integer expressions (zero shuffle over
-    the corpus, zero float-comparison hazard); probes broadcast onto
-    the cell equi-join; exact cosine re-rank per query. The oracle
-    replays the full training loop as unrolled CTEs (the pagerank
-    pattern)."""
-    cents = _kmeans_cents_cached(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    xq = S.quantize_vec(S.as_double_array("embedding"))
-    corpus = emb.select(
-        "vec_id",
-        "embedding",
-        S.kmeans_assign_int(xq, cents).alias("cell"),
-    )
-    probes = emb.filter(F.col("vec_id") < 10).select(
+    the corpus, zero float-comparison hazard), materialized once per
+    session as the index table (_kmeans_index_cached — the persisted-
+    index analog); probes broadcast onto the cell equi-join; exact
+    cosine re-rank per query. The oracle replays the full training
+    loop as unrolled CTEs (the pagerank pattern)."""
+    idx = _kmeans_index_cached(spark, sf_dir)
+    corpus = idx.select("vec_id", "embedding", "cell")
+    probes = idx.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(S.kmeans_probes_int(xq, cents, nprobe=2)).alias("cell"),
+        F.explode("probe_cells").alias("cell"),
     )
     cand = F.broadcast(probes).join(corpus, "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -1383,6 +1405,65 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
         )
     )
+
+
+def q_sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means index build report: per trained cell, member count,
+    label diversity, and the dominant label with its share — the
+    ANALYZE step that tells you whether the unsupervised cells track
+    any real structure before you trust the index (a cell whose
+    top-label share is ~1/n_labels clusters nothing). Consumes the
+    session-materialized index table (one narrow join + two bounded
+    aggregates; the per-cell window is partitioned by cell)."""
+    idx = _kmeans_index_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = idx.select("vec_id", "cell").join(emb, "vec_id")
+    cl = j.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot = j.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct("label").alias("n_labels"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        cl.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("cell", F.col("label").alias("top_label"), "c")
+    )
+    return tot.join(top, "cell").select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.col("top_label").cast("int").alias("top_label"),
+        F.expr("CAST(c * 1000000 DIV n_vecs AS BIGINT)").alias("top_share_x1m"),
+    )
+
+
+def _sql_sim_kmeans_cells() -> str:
+    return f"""
+WITH {S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd_final) WHERE r = 1
+),
+j AS (SELECT a.cell, e2.vec_id, e2.label FROM assign a JOIN embeddings e2 USING (vec_id)),
+cl AS (SELECT cell, label, COUNT(*) AS c FROM j GROUP BY cell, label),
+tot AS (
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM j GROUP BY cell
+),
+top AS (
+    SELECT cell, label AS top_label, c FROM (
+        SELECT cell, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label ASC) AS r
+        FROM cl) WHERE r = 1
+)
+SELECT CAST(t.cell AS INTEGER) AS cell, t.n_vecs, t.n_labels,
+       CAST(top.top_label AS INTEGER) AS top_label,
+       CAST(top.c * 1000000 // t.n_vecs AS BIGINT) AS top_share_x1m
+FROM tot t JOIN top USING (cell)
+"""
 
 
 def _sql_sim_ivf_kmeans() -> str:
@@ -1418,6 +1499,7 @@ FROM (
 
 QUERIES = {
     "sim_ivf_kmeans": q_sim_ivf_kmeans,
+    "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_ivf_trained": q_sim_ivf_trained,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
@@ -1441,6 +1523,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_ivf_kmeans": _sql_sim_ivf_kmeans(),
+    "sim_kmeans_cells": _sql_sim_kmeans_cells(),
     "sim_ivf_trained": _sql_sim_ivf_trained(),
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,

@@ -220,24 +220,55 @@ def _list_batch_ids(path: str) -> list[int]:
     )
 
 
-def _compact_recover(path: str, stage: str, trash: str, marker: str) -> None:
+def _resume_swap(path: str, stage: str, trash: str, intent_bids: list[int], target: int) -> None:
+    """Finish (or re-finish) the swap recorded by the intent file —
+    every step is an atomic rename guarded by an existence check, so
+    executing this any number of times from any crash point converges
+    to the folded layout with no row duplicated or lost."""
+    os.makedirs(trash, exist_ok=True)
+    for b in intent_bids + [target]:
+        live = os.path.join(path, f"batch_id={b}")
+        parked = os.path.join(trash, f"batch_id={b}")
+        staged_t = os.path.join(stage, f"batch_id={target}")
+        if b == target and not os.path.isdir(staged_t):
+            # staged target already renamed in: live IS the folded copy
+            continue
+        if os.path.isdir(live) and not os.path.isdir(parked):
+            os.rename(live, parked)
+    staged_t = os.path.join(stage, f"batch_id={target}")
+    live_t = os.path.join(path, f"batch_id={target}")
+    if os.path.isdir(staged_t) and not os.path.isdir(live_t):
+        os.rename(staged_t, live_t)
+
+
+def _compact_recover(path: str, stage: str, trash: str, intent: str, marker: str) -> None:
     """Converge a crashed prior compaction before starting a new one.
 
-    - marker present = the prior fold COMMITTED (folded partition is
-      live); trash/stage hold only duplicates — purge them.
-    - stage present without marker = the prior fold aborted mid-swap;
-      restore any partition the main path is missing from trash (rows
-      are never lost: until the marker lands, every source partition
-      is in path or trash, and the folded copy is in stage). A
-      partition present in BOTH path and trash means the folded copy
-      already swapped in — the trash copy is a duplicate, drop it.
-    Worst post-recovery state is duplicated rows across partitions,
-    which downstream tolerates (the pair join is ``.distinct()``) and
-    the next fold's distinct-union removes."""
+    - committed marker present: the fold finished — purge leftovers.
+    - intent present (no marker): the stage is complete (the intent is
+      written only after a successful stage write), so RESUME the swap
+      via ``_resume_swap`` (idempotent renames), then mark committed
+      and clean up. No reliance on row dedup — safe for append-ledger
+      tables whose rows legitimately repeat.
+    - stage without intent: nothing was moved yet — drop the stage,
+      restore anything a stray trash dir holds.
+    """
     if os.path.exists(marker):
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(intent):
+            os.remove(intent)
         os.remove(marker)
+        return
+    if os.path.exists(intent):
+        import json as _json
+
+        with open(intent) as f:
+            meta = _json.load(f)
+        _resume_swap(path, stage, trash, meta["old"], meta["target"])
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.remove(intent)
         return
     for side in (stage, trash):
         if not os.path.isdir(side):
@@ -250,71 +281,79 @@ def _compact_recover(path: str, stage: str, trash: str, marker: str) -> None:
         shutil.rmtree(side, ignore_errors=True)
 
 
-def compact_index_partitions(spark, path: str, watermark: int) -> int:
+def compact_index_partitions(
+    spark, path: str, watermark: int, dedupe: bool = True
+) -> int:
     """Fold every ``batch_id < watermark`` partition of a
-    batch_id-partitioned table (the index or the pairs table) into the
-    single partition ``batch_id = watermark - 1`` — the small-files /
-    O(#batches)-partition-listing fix for long-running streams.
+    batch_id-partitioned table into the single partition ``batch_id =
+    watermark - 1`` — the small-files / O(#batches)-partition-listing
+    fix for long-running streams. Works for the LSH index and pairs
+    tables AND (with ``dedupe=False``) for append-ledger sinks whose
+    rows may legitimately repeat (the quarantine gate's good/bad/
+    metrics tables): set ``dedupe`` only when rows are unique by
+    content within the folded range, which also lets the fold shrink
+    crash-leftover duplicates.
 
     Why this cannot break the strictly-earlier replay property:
     Structured Streaming only ever replays the LAST uncommitted epoch,
     so every epoch the stream can still replay has ``batch_id >=
     watermark`` when ``watermark`` <= the committed epoch watermark
-    (caller's contract — read it from the checkpoint's commit log). A
-    replay of epoch N >= watermark filters ``batch_id < N``; the folded
-    rows carry ``batch_id = watermark - 1 < watermark <= N``, so the
-    replayed epoch sees EXACTLY the row set it saw pre-compaction, and
-    its own dynamic overwrite touches only partition N, which
-    compaction never rewrites.
+    (caller's contract — from inside foreachBatch, the current epoch
+    id qualifies). A replay of epoch N >= watermark filters
+    ``batch_id < N``; the folded rows carry ``batch_id = watermark - 1
+    < watermark <= N``, so the replayed epoch sees EXACTLY the row set
+    it saw pre-compaction, and its own dynamic overwrite touches only
+    partition N, which compaction never rewrites.
 
-    Fenced like merge_apply (stage -> swap-under-lock -> marker ->
-    cleanup): a crash at any point either leaves the original layout
-    (restored by ``_compact_recover`` on the next run) or the committed
-    folded layout — never row loss; worst case is transient duplicate
-    rows, which the pairs join's ``.distinct()`` tolerates and the next
-    fold removes. Returns the number of partitions folded away."""
+    Crash-safety is an intent-log protocol (two markers, all moves
+    atomic renames): stage write -> INTENT file (bids + target) ->
+    swap -> COMMITTED file -> cleanup. A crash before the intent
+    leaves the original layout (recovery drops the stage); a crash
+    after it is resumed by idempotent existence-checked renames
+    (``_resume_swap``) — exactly-once folding with no dependence on
+    downstream ``.distinct()``. Returns the number of partitions
+    folded away."""
     import fcntl
+    import json as _json
 
     stage = f"{path}.compact-stage"
     trash = f"{path}.compact-trash"
+    intent = f"{path}.compact-intent"
     marker = f"{path}.compact-committed"
     os.makedirs(path, exist_ok=True)
     lock_path = os.path.join(path, ".compact.lock")
     with open(lock_path, "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            _compact_recover(path, stage, trash, marker)
+            _compact_recover(path, stage, trash, intent, marker)
             ids = _list_batch_ids(path)
             old = [b for b in ids if b < watermark - 1]
             if not old:
                 return 0
             target = watermark - 1
-            folded = (
-                spark.read.parquet(path)
-                .filter(F.col("batch_id") < watermark)
-                .drop("batch_id")
-                .distinct()
-                .withColumn("batch_id", F.lit(target).cast("long"))
+            folded = spark.read.parquet(path).filter(
+                F.col("batch_id") < watermark
+            ).drop("batch_id")
+            if dedupe:
+                folded = folded.distinct()
+            folded = folded.withColumn(
+                "batch_id", F.lit(target).cast("long")
             )
             shutil.rmtree(stage, ignore_errors=True)
             folded.write.mode("overwrite").partitionBy("batch_id").parquet(stage)
             staged = os.path.join(stage, f"batch_id={target}")
             if not os.path.isdir(staged):
                 os.makedirs(staged)  # all-empty fold: keep an empty partition
-            os.makedirs(trash, exist_ok=True)
-            for b in old:
-                os.rename(
-                    os.path.join(path, f"batch_id={b}"),
-                    os.path.join(trash, f"batch_id={b}"),
-                )
-            live = os.path.join(path, f"batch_id={target}")
-            if os.path.isdir(live):
-                os.rename(live, os.path.join(trash, f"batch_id={target}"))
-            os.rename(staged, live)
+            tmp = intent + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"old": old, "target": target}, f)
+            os.rename(tmp, intent)  # swap is now mandatory-and-resumable
+            _resume_swap(path, stage, trash, old, target)
             with open(marker, "w") as f:
-                f.write(str(watermark))  # commit point
+                f.write(str(watermark))  # committed
             shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)
+            os.remove(intent)
             os.remove(marker)
             return len(old)
         finally:

@@ -35,6 +35,7 @@ def run_quarantine_gate(
     quarantine_path: str,
     metrics_path: str,
     checkpoint: str,
+    compact_every: int | None = None,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the gate on ``stream``.
@@ -50,6 +51,15 @@ def run_quarantine_gate(
     partitions to identical content instead of duplicating rows — the
     same layout-level idempotence the dedup-index maintainer and the
     merge sink's epoch fence provide.
+
+    ``compact_every``: every N epochs, fold committed per-batch
+    partitions of all three sinks into one
+    (streaming.dedup_index.compact_index_partitions with
+    ``dedupe=False`` — ledger rows may legitimately repeat, and the
+    intent-log protocol gives exactly-once folding without relying on
+    dedup) so a long-running gate keeps O(1) partitions instead of
+    O(#batches). Safe inside foreachBatch: epochs are sequential, so
+    watermark = the current epoch id only touches committed epochs.
     """
     for p in (good_path, quarantine_path, metrics_path):
         os.makedirs(p, exist_ok=True)
@@ -85,6 +95,16 @@ def run_quarantine_gate(
                 )
             )
             _write(metrics, metrics_path)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                from pipe_s_spark.streaming.dedup_index import (
+                    compact_index_partitions,
+                )
+
+                spark = batch_df.sparkSession
+                for p in (good_path, quarantine_path, metrics_path):
+                    compact_index_partitions(
+                        spark, p, watermark=batch_id, dedupe=False
+                    )
         finally:
             tagged.unpersist()
 

@@ -168,6 +168,110 @@ def test_compaction_preserves_pairs_and_replay(spark, tmp_path):
     assert compact_index_partitions(spark, idx, watermark=2) == 0
 
 
+def test_compaction_ledger_mode_preserves_duplicates(spark, tmp_path):
+    """dedupe=False (append-ledger sinks): rows that legitimately
+    repeat across or within batches must survive the fold verbatim."""
+    from pipe_s_spark.streaming.dedup_index import compact_index_partitions
+
+    p = str(tmp_path / "ledger")
+    rows = [(1, "x", 0), (1, "x", 0), (1, "x", 1), (2, "y", 2)]
+    spark.createDataFrame(rows, "k long, v string, batch_id long").write.partitionBy(
+        "batch_id"
+    ).parquet(p)
+    assert compact_index_partitions(spark, p, watermark=2, dedupe=False) == 1
+    got = sorted(
+        (r["k"], r["v"], r["batch_id"]) for r in spark.read.parquet(p).collect()
+    )
+    # batches 0 folded into 1: the three duplicate (1, x) rows all live
+    assert got == [(1, "x", 1), (1, "x", 1), (1, "x", 1), (2, "y", 2)]
+
+
+def test_compaction_resumes_after_intent_crash(spark, tmp_path):
+    """Crash-after-intent: the recovery path must RESUME the swap
+    (idempotent renames) and converge to the folded layout with no row
+    duplicated or lost — including from a mid-swap crash where some
+    partitions were already parked in trash."""
+    import json
+    import os
+    import shutil
+
+    from pipe_s_spark.streaming.dedup_index import compact_index_partitions
+
+    for pre_park in (False, True):
+        p = str(tmp_path / f"t{int(pre_park)}")
+        rows = [(i, f"v{i}", b) for b in range(3) for i in range(b * 10, b * 10 + 5)]
+        spark.createDataFrame(
+            rows, "k long, v string, batch_id long"
+        ).write.partitionBy("batch_id").parquet(p)
+        want = sorted((r[0], r[1]) for r in rows)
+
+        # craft the exact post-intent crash state: stage holds the fold
+        # of batches < 2 as batch_id=1, intent names old=[0], target=1
+        stage = f"{p}.compact-stage"
+        (
+            spark.read.parquet(p)
+            .filter(F.col("batch_id") < 2)
+            .drop("batch_id")
+            .withColumn("batch_id", F.lit(1).cast("long"))
+            .write.partitionBy("batch_id")
+            .parquet(stage)
+        )
+        with open(f"{p}.compact-intent", "w") as f:
+            json.dump({"old": [0], "target": 1}, f)
+        if pre_park:  # crash landed mid-swap: batch 0 already parked
+            os.makedirs(f"{p}.compact-trash", exist_ok=True)
+            os.rename(
+                os.path.join(p, "batch_id=0"),
+                os.path.join(f"{p}.compact-trash", "batch_id=0"),
+            )
+
+        # recovery runs first inside the next compaction call
+        assert compact_index_partitions(spark, p, watermark=2, dedupe=False) == 0
+        got = sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(p).collect()
+        )
+        assert got == want
+        parts = sorted(e for e in os.listdir(p) if e.startswith("batch_id="))
+        assert parts == ["batch_id=1", "batch_id=2"]
+        for leftover in (".compact-stage", ".compact-trash", ".compact-intent", ".compact-committed"):
+            assert not os.path.exists(p + leftover)
+        shutil.rmtree(p)
+
+
+def test_quarantine_gate_with_compaction(spark, tmp_path):
+    """The gate's three sinks fold during the stream (dedupe=False)
+    and every row/metric survives."""
+    from pipe_s_spark.operators.expectations import ExpectationSuite
+    from pipe_s_spark.streaming.quarantine import run_quarantine_gate
+
+    src = tmp_path / "src"
+    rows = [(i, float(i % 5) - 1.0) for i in range(60)]  # value -1 violates
+    df = spark.createDataFrame(rows, "id long, value double")
+    for w in range(3):
+        df.filter(F.col("id") % 3 == w).coalesce(1).write.parquet(str(src / f"w{w}"))
+    stream = (
+        spark.readStream.schema("id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    suite = ExpectationSuite("t").in_range("value", lo=0.0)
+    good, bad, met, ck = (str(tmp_path / d) for d in ("good", "bad", "met", "ck"))
+    run_quarantine_gate(
+        stream, suite, good, bad, met, ck, compact_every=2, await_seconds=240
+    )
+    n_bad = sum(1 for _, v in rows if v < 0)
+    assert spark.read.parquet(good).count() == len(rows) - n_bad
+    assert spark.read.parquet(bad).count() == n_bad
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("violations")).collect()[0][0] == n_bad
+    import os
+
+    parts = sorted(
+        e for e in os.listdir(good) if e.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=1", "batch_id=2"]
+
+
 def test_stream_with_auto_compaction_matches_recompute(spark, tmp_path):
     """compact_every folds committed partitions DURING the stream;
     the final pair set still equals the batch recompute and the index
