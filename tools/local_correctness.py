@@ -24,7 +24,23 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duck_con
 
+#: Full sweeps at the driver's gate scale (sf0.01) write the committed
+#: per-round artifact; other scales write a suffixed sibling (so an
+#: sf0.1 validation sweep can't clobber the gate-replica artifact).
+#: Override with SPARK_GRAFT_CORRECTNESS_OUT.
 ARTIFACT = "/root/repo/CORRECTNESS_LOCAL.json"
+
+
+def _artifact_path(sf_dir: str) -> str:
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
+    if env:
+        return env
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        return ARTIFACT
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return ARTIFACT.replace(".json", f".{tag}.json")
 
 
 def _row_from_error(msg: str, spark_rows: int | None) -> dict:
@@ -116,9 +132,10 @@ def main() -> None:
                 "elapsed_sec": round(time.time() - t_start, 1),
             }
         }
-        with open(ARTIFACT, "w") as f:
+        out_path = _artifact_path(sf_dir)
+        with open(out_path, "w") as f:
             json.dump({**meta, **artifact}, f, indent=1)
-        print(f"wrote {ARTIFACT}")
+        print(f"wrote {out_path}")
     print(json.dumps({"checked": len(results), "bad": len(bad)}))
     if bad:
         sys.exit(1)
