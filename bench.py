@@ -56,6 +56,23 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # machine-state calibration probe: a fixed synthetic workload whose
+    # cost is independent of the query surface. Two same-code bench
+    # runs an hour apart have shown a SYSTEMATIC ~14% whole-run drift
+    # (thermal / cache / background state) that per-query repeats
+    # cannot remove; recording the probe time lets a reader separate
+    # "the machine was slower" from "a query regressed" when comparing
+    # artifacts across rounds.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) as s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _probe()  # warm
+    probe_sec = round(min(_probe() for _ in range(3)), 4)
+
     # MEDIAN of post-warmup repeats per query (r7 verdict: min-of-3
     # totals still swung ±20% run-to-run, leaving real <1.4x
     # regressions unattributable). The first execution pays one-off
@@ -86,6 +103,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "probe_sec": probe_sec,
         "sf": sf,
     }
     # durable full-detail copy: the driver keeps only the last 2000
@@ -113,6 +131,7 @@ def main() -> None:
                 "queries": trial,
                 "n_queries": len(timings),
                 "queries_full": "BENCH_LOCAL.json",
+                "probe_sec": probe_sec,
                 "sf": sf,
             },
             separators=(",", ":"),
