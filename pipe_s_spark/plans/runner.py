@@ -343,6 +343,28 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             cfg["resultPath"]
         )
         return None
+    if typ == "dedup-index":
+        # BATCH index build — the bootstrap step before the streaming
+        # 'dedup-index' sink takes over: index an existing corpus as
+        # epoch `epochId` (default 0); a stream started afterwards on
+        # the same paths continues from later epochs and its batches
+        # join against this bootstrap index like any earlier epoch.
+        from pipe_s_spark.functions.dedup import LSH_BAND_CAP
+        from pipe_s_spark.streaming.dedup_index import apply_index_batch
+
+        apply_index_batch(
+            df,
+            int(cfg.get("epochId", 0)),
+            cfg["indexPath"],
+            cfg["pairsPath"],
+            id_col=cfg.get("idCol", "doc_id"),
+            text_col=cfg.get("textCol", "text"),
+            k=int(cfg.get("shingleK", 3)),
+            num_hashes=int(cfg.get("numHashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            band_cap=cfg.get("bandCap", LSH_BAND_CAP),
+        )
+        return None
     if typ == "orc":
         df.write.mode(cfg.get("mode", "overwrite")).orc(cfg["path"])
         return None
@@ -510,8 +532,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             "outputs: return, parquet (zorderBy), jsonl, csv, orc, merge, "
-            "check, noop, console, debug, fork; streaming: merge, "
-            "dedup-index, parquet, console, noop, fork"
+            "check, dedup-index (batch bootstrap), noop, console, debug, "
+            "fork; streaming: merge, dedup-index, parquet, console, noop, "
+            "fork"
         )
         return 0
     if not args.configs:

@@ -302,6 +302,41 @@ def test_stream_with_auto_compaction_matches_recompute(spark, tmp_path):
     assert idx_parts == ["batch_id=1", "batch_id=2"]
 
 
+def test_batch_bootstrap_then_stream_continues(spark, tmp_path):
+    """Config-driven BOOTSTRAP: a batch pipeline indexes the existing
+    corpus as epoch 0; a stream started afterwards on the same paths
+    indexes only the new wave and still yields the full recompute's
+    pair set."""
+    from pipe_s_spark.plans.runner import run_pipeline
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    base = tmp_path / "base"
+    half.write.parquet(str(base))
+    idx, prs, ck = str(tmp_path / "idx"), str(tmp_path / "prs"), str(tmp_path / "ck")
+    run_pipeline(
+        spark,
+        {
+            "Input": {"Type": "parquet", "Config": {"path": str(base)}},
+            "Output": {
+                "Type": "dedup-index",
+                "Config": {"indexPath": idx, "pairsPath": prs},
+            },
+        },
+    )
+    # stream the second wave; its batch ids start at 0, so feed it an
+    # explicit later epoch via the direct API (a real deployment passes
+    # a checkpoint whose batch ids continue past the bootstrap epoch)
+    from pipe_s_spark.streaming.dedup_index import apply_index_batch
+
+    apply_index_batch(rest, 1, idx, prs)
+    got = {
+        (r["d1"], r["d2"]) for r in spark.read.parquet(prs).select("d1", "d2").collect()
+    }
+    assert got == _batch_pairs(spark)
+
+
 def test_runner_dedup_index_sink(spark, tmp_path):
     """The config-driven form: a json-stream input piped to the
     'dedup-index' streaming output produces the same pair set as the
