@@ -89,6 +89,12 @@ def run_quarantine_gate(
                 .agg(F.count(F.lit(1)).alias("violations"))
                 .select(
                     bid,
+                    # epoch duplicates batch_id as a DATA column: the
+                    # partition column is layout (rewritten when old
+                    # partitions are folded by compaction), but per-
+                    # batch attribution is the metric ledger's CONTENT
+                    # — it must survive a fold
+                    F.lit(batch_id).cast("long").alias("epoch"),
                     "check",
                     "violations",
                     F.lit(n_total).cast("long").alias("batch_rows"),

@@ -264,6 +264,15 @@ def test_quarantine_gate_with_compaction(spark, tmp_path):
     assert spark.read.parquet(bad).count() == n_bad
     m = spark.read.parquet(met)
     assert m.agg(F.sum("violations")).collect()[0][0] == n_bad
+    # per-batch ATTRIBUTION survives the fold: 'epoch' is a data
+    # column, so folding partitions cannot smear batches together
+    epochs = sorted(r["epoch"] for r in m.select("epoch").distinct().collect())
+    assert epochs == [0, 1, 2]
+    per_epoch = {
+        r["epoch"]: r["violations"]
+        for r in m.groupBy("epoch").agg(F.sum("violations").alias("violations")).collect()
+    }
+    assert sum(per_epoch.values()) == n_bad and all(v > 0 for v in per_epoch.values())
     import os
 
     parts = sorted(
