@@ -346,6 +346,66 @@ def threshold_pairs_blocked(
     )
 
 
+def grouped_pairs_exact(
+    corpus: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-group all-pairs cosine >= threshold — the exact-verify
+    stage of any cluster/bucket blocking scheme (k-means cells, LSH
+    buckets): candidate pairs share ``group_col``, and each group is
+    scored with ONE chunked numpy matmul inside ``applyInPandas``
+    instead of a per-pair expression-tree cosine (the self-join +
+    higher-order-function form spends ~40x longer on the same 250K
+    pairs — HOF lambdas don't fuse into whole-stage codegen).
+
+    Scale: work is sum-of-group-size^2, exactly the blocking contract;
+    cap the group size upstream (``dedup.cap_group_size``) so one task
+    is bounded by cap rows / cap^2 candidate scores, and the chunked
+    matmul keeps the sims matrix at chunk x group_rows. Emits
+    (id1 < id2, group, cos_sim) with the same preselect-then-round
+    discipline as :func:`threshold_pairs_blocked`.
+    """
+    import numpy as np
+
+    out_schema = f"id1 long, id2 long, {group_col} int, cos_sim double"
+
+    def pairs_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (g,) = key
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        outs = []
+        chunk = 2048  # bounds the sims matrix at chunk x group_rows
+        for lo in range(0, len(ids), chunk):
+            sims = mn[lo : lo + chunk] @ mn.T
+            r, c = np.where(sims >= threshold - 1e-6)
+            keep_exact = sims[r, c].round(round_to) >= threshold
+            r, c = r[keep_exact], c[keep_exact]
+            r_g = r + lo
+            keep = ids[r_g] < ids[c]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id1": ids[r_g][keep],
+                        "id2": ids[c][keep],
+                        group_col: int(g),
+                        "cos_sim": sims[r, c][keep].round(round_to),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs)
+            if outs
+            else pd.DataFrame(columns=["id1", "id2", group_col, "cos_sim"])
+        )
+
+    return corpus.groupBy(group_col).applyInPandas(pairs_in_group, schema=out_schema)
+
+
 def knn_graph_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",

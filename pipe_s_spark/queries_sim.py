@@ -1438,6 +1438,50 @@ def q_sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic near-dup pairs: candidates are vector
+    pairs sharing a trained k-means cell (the FAISS-style cluster-then-
+    verify pattern), verified by exact cosine >= 0.45. At corpus scale
+    this replaces the O(n^2) all-pairs scan with sum-of-cell-size^2
+    work on an equi-join — the cells ARE the blocking key — and the
+    per-cell cap (functions.dedup.cap_group_size at SIM_BUCKET_CAP)
+    bounds the worst cell exactly like the LSH bucket caps. Recall vs
+    the exact all-pairs baseline is pinned in tests/test_ann_recall.py;
+    the oracle replays training + capping + the verify join. The
+    verify stage runs as ONE chunked numpy matmul per cell
+    (functions.similarity.grouped_pairs_exact) — the self-join +
+    expression-tree cosine form spent ~9s on the same 250K sf0.1
+    candidates; the grouped Arrow kernel scores them in well under a
+    second."""
+    idx = _kmeans_index_cached(spark, sf_dir).select("vec_id", "embedding", "cell")
+    capped = D.cap_group_size(idx, ["cell"], SIM_BUCKET_CAP)
+    return S.grouped_pairs_exact(capped, "cell", threshold=0.45)
+
+
+def _sql_sim_cell_pairs() -> str:
+    return f"""
+WITH {S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+        FROM cd_final) WHERE r = 1
+),
+counted AS (SELECT cell, COUNT(*) AS csz FROM assign GROUP BY cell),
+keep AS (
+    SELECT a.vec_id, a.cell FROM assign a JOIN counted USING (cell)
+    WHERE csz <= {SIM_BUCKET_CAP}
+)
+SELECT ka.vec_id AS id1, kb.vec_id AS id2,
+       CAST(ka.cell AS INTEGER) AS cell,
+       ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) AS cos_sim
+FROM keep ka
+JOIN keep kb ON ka.cell = kb.cell AND ka.vec_id < kb.vec_id
+JOIN e ea ON ea.vec_id = ka.vec_id
+JOIN e eb ON eb.vec_id = kb.vec_id
+WHERE ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) >= 0.45
+"""
+
+
 def _sql_sim_kmeans_cells() -> str:
     return f"""
 WITH {S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
@@ -1500,6 +1544,7 @@ FROM (
 QUERIES = {
     "sim_ivf_kmeans": q_sim_ivf_kmeans,
     "sim_kmeans_cells": q_sim_kmeans_cells,
+    "sim_cell_pairs": q_sim_cell_pairs,
     "sim_ivf_trained": q_sim_ivf_trained,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
@@ -1524,6 +1569,7 @@ QUERIES = {
 ORACLES = {
     "sim_ivf_kmeans": _sql_sim_ivf_kmeans(),
     "sim_kmeans_cells": _sql_sim_kmeans_cells(),
+    "sim_cell_pairs": _sql_sim_cell_pairs(),
     "sim_ivf_trained": _sql_sim_ivf_trained(),
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,

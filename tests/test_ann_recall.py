@@ -86,6 +86,28 @@ def test_kmeans_ivf_beats_label_mean_and_hash_init(spark):
     assert r_kmeans >= 0.5, f"kmeans recall collapsed: {r_kmeans:.2f}"
 
 
+def test_cell_pairs_subset_and_recall_floor(spark):
+    """Cluster-scoped near-dup pairs (sim_cell_pairs): every emitted
+    pair must clear the exact verify threshold (subset of the exact
+    all-pairs answer — the cells only BLOCK, never score), and the
+    single-cell blocking must keep a useful recall floor. Deterministic
+    corpus + deterministic training: measured 5/14 = 0.357; 0.3 guards
+    an assignment/capping regression without flaking."""
+    from pipe_s_spark.queries_sim import q_sim_cell_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        tuple(sorted((r["id1"], r["id2"])))
+        for r in S.threshold_pairs_blocked(emb, threshold=0.45).collect()
+    }
+    got = {
+        tuple(sorted((r["id1"], r["id2"])))
+        for r in q_sim_cell_pairs(spark, SF).collect()
+    }
+    assert got <= exact, "cell pairs emitted a pair below the exact threshold"
+    assert exact and len(got & exact) / len(exact) >= 0.3
+
+
 def test_multi_table_lsh_amplifies_recall(spark):
     """OR-amplification: L independent hash tables must raise pair
     recall monotonically, tracking 1-(1-q)^L (MMDS ch.3). Everything
