@@ -267,6 +267,31 @@ def _apply_processors(df: DataFrame, procs) -> DataFrame:
     return df
 
 
+def _ivf_centroids(
+    spark: SparkSession, cfg: Mapping[str, Any], df: DataFrame | None = None
+) -> dict[int, list[int]]:
+    """Centroids for the ivf-index outputs: inline `centroids`
+    ({cell: [int64 micro-unit components]}), else trained with
+    fixed-iteration k-means on `trainPath` (the offline-training /
+    continuous-ingest split every production IVF uses), else — batch
+    bootstrap only — on the bootstrap corpus itself."""
+    from pipe_s_spark.functions.similarity import kmeans_train_int
+
+    if "centroids" in cfg:
+        return {int(c): [int(x) for x in v] for c, v in cfg["centroids"].items()}
+    iters = int(cfg.get("trainIters", 2))
+    vec_col = cfg.get("vecCol", "embedding")
+    if "trainPath" in cfg:
+        return kmeans_train_int(
+            spark.read.parquet(cfg["trainPath"]), vec_col=vec_col, iters=iters
+        )
+    if df is not None and not df.isStreaming:
+        return kmeans_train_int(df, vec_col=vec_col, iters=iters)
+    raise PipelineSpecError(
+        "ivf-index needs `centroids`, `trainPath`, or a batch bootstrap input"
+    )
+
+
 def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     typ = out.get("Type")
     cfg = out.get("Config", {})
@@ -363,6 +388,26 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             num_hashes=int(cfg.get("numHashes", 16)),
             bands=int(cfg.get("bands", 4)),
             band_cap=cfg.get("bandCap", LSH_BAND_CAP),
+        )
+        return None
+    if typ == "ivf-index":
+        # BATCH ANN-index bootstrap — index an existing embedding
+        # corpus as epoch `epochId` (default 0); a stream started
+        # afterwards on the same paths (streaming 'ivf-index' output)
+        # continues from later epochs against this bootstrap index.
+        from pipe_s_spark.streaming.ivf_index import IVF_CELL_CAP, apply_ivf_batch
+
+        apply_ivf_batch(
+            df,
+            int(cfg.get("epochId", 0)),
+            _ivf_centroids(df.sparkSession, cfg, df),
+            cfg["indexPath"],
+            cfg["topkPath"],
+            id_col=cfg.get("idCol", "vec_id"),
+            vec_col=cfg.get("vecCol", "embedding"),
+            nprobe=int(cfg.get("nprobe", 2)),
+            k=int(cfg.get("k", 5)),
+            cell_cap=cfg.get("cellCap", IVF_CELL_CAP),
         )
         return None
     if typ == "orc":
@@ -481,6 +526,30 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             num_hashes=int(cfg.get("numHashes", 16)),
             bands=int(cfg.get("bands", 4)),
             band_cap=cfg.get("bandCap", LSH_BAND_CAP),
+            compact_every=cfg.get("compactEvery"),
+        )
+        q.awaitTermination(wait)
+        return None
+    elif typ == "ivf-index":
+        # continuous ANN/IVF index maintenance from a config: the
+        # embedding stream keeps indexPath current and appends each
+        # arrival's top-k per epoch (streaming.ivf_index — replay-
+        # idempotent, cell-capped by default, optionally self-
+        # compacting every N epochs). Centroids are trained offline
+        # from `trainPath` (or given inline as `centroids`).
+        from pipe_s_spark.streaming.ivf_index import IVF_CELL_CAP, run_ivf_index_stream
+
+        q = run_ivf_index_stream(
+            df,
+            _ivf_centroids(df.sparkSession, cfg),
+            index_path=cfg["indexPath"],
+            topk_path=cfg["topkPath"],
+            checkpoint=ckpt,
+            id_col=cfg.get("idCol", "vec_id"),
+            vec_col=cfg.get("vecCol", "embedding"),
+            nprobe=int(cfg.get("nprobe", 2)),
+            k=int(cfg.get("k", 5)),
+            cell_cap=cfg.get("cellCap", IVF_CELL_CAP),
             compact_every=cfg.get("compactEvery"),
         )
         q.awaitTermination(wait)

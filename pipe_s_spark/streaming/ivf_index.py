@@ -1,0 +1,259 @@
+"""CONTINUOUS ANN/IVF index maintenance: an embedding stream keeps a
+persisted cell-assigned vector index up to date and emits, for every
+arriving vector, its exact-cosine top-k among everything indexed no
+later than it — the operational form of the batch `sim_ivf_topk` /
+`sim_ivf_kmeans` queries (there the index is built in one pass; here
+it accretes). Centroids are TRAINED OFFLINE (functions.similarity.
+kmeans_train_int on a bootstrap corpus — the standard IVF pattern:
+train once on a sample, ingest forever) and passed in as the same
+literal centroid matrix the batch queries pin.
+
+Per micro-batch, inside one ``foreachBatch``:
+
+1. assign each arriving vector to its argmax cell and top-``nprobe``
+   probe cells with the NARROW literal-matrix integer expressions
+   (kmeans_probes_int — zero shuffle over the batch);
+2. stamp each vector's per-cell arrival rank (``cell_rank``) from a
+   tiny O(#cells) running-count ledger, and mark it ``searchable``
+   iff its rank <= ``cell_cap`` — the write-time form of the batch
+   queries' SIM_BUCKET_CAP bucket guard (see below);
+3. join the batch's probe lists against the SEARCHABLE members of the
+   probed cells in the strictly-earlier index plus the batch itself,
+   exact-cosine re-rank, keep top-k per query -> appended to
+   ``topk_path``;
+4. append the batch's assigned vectors to ``index_path`` and its
+   per-cell counts to the ledger.
+
+Exactly-once on replay: every table (index, ledger, topk) is
+partitioned by ``batch_id`` and written with dynamic partition
+OVERWRITE, and both the index join and the ledger base counts admit
+STRICTLY EARLIER epochs only — a replayed epoch sees exactly the
+index, ranks, and candidates it saw the first time and rewrites its
+own partitions to identical content, even if later epochs already
+landed (the property proven for the dedup index by its out-of-order
+replay test; tests/test_ivf_index_stream.py proves it here).
+
+Why the cap is write-time, not query-time: the batch queries bound a
+hot bucket with a per-query window over the corpus (cap_group_size) —
+fine when you scan the corpus once per query, quadratic-in-epochs if a
+stream re-ran it per batch. Stamping a deterministic arrival rank once
+at write time costs O(batch + #cells) per epoch, keeps every cell's
+SEARCHABLE membership at most ``cell_cap`` forever, and drops exactly
+the over-full tail a capped batch recompute would drop. At 100 TB:
+per-ingest cost is O(batch x probed-cell members), never O(index);
+the rank ledger is O(#cells) rows per epoch; a pathological hot cell
+(mass-duplicate embeddings — the norm in web corpora) saturates at
+``cell_cap`` searchable members instead of fanning every future batch
+out against millions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipe_s_spark.functions import similarity as S
+
+#: default per-cell searchable-membership bound — the same constant the
+#: batch ANN queries cap buckets with (queries_llm_shared.SIM_BUCKET_CAP).
+IVF_CELL_CAP = 1000
+
+
+def _has_batch_partitions(path: str) -> bool:
+    """True when ``path`` holds at least one ``batch_id=`` partition —
+    the ONLY condition under which 'no existing table' is a valid read
+    outcome; any other failure propagates so the micro-batch retries
+    (same contract as streaming.dedup_index)."""
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return False
+    return any(e.startswith("batch_id=") for e in entries)
+
+
+def run_ivf_index_stream(
+    vec_stream: DataFrame,
+    centroids: dict[int, list[int]],
+    index_path: str,
+    topk_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+    cell_cap: int | None = IVF_CELL_CAP,
+    compact_every: int | None = None,
+    await_seconds: int | None = None,
+):
+    """Start (and optionally await) the index maintainer on
+    ``vec_stream``. The index holds (vec_id, embedding, cell,
+    cell_rank, searchable, batch_id); the ledger (``index_path`` +
+    ``.cells``) holds (cell, n, batch_id); topk holds (query_id,
+    neighbor_id, cos_sim, rk, batch_id).
+
+    ``cell_cap`` is DEFAULT-ON at IVF_CELL_CAP (pass None to opt out
+    and keep every member searchable); ``compact_every`` folds
+    committed per-batch partitions of all three tables every N epochs
+    (streaming.dedup_index.compact_index_partitions — the ledger folds
+    with ``dedupe=False`` because its (cell, n) rows legitimately
+    repeat across epochs)."""
+    os.makedirs(index_path, exist_ok=True)
+    os.makedirs(topk_path, exist_ok=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ivf_batch(
+            batch_df,
+            batch_id,
+            centroids,
+            index_path,
+            topk_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=nprobe,
+            k=k,
+            cell_cap=cell_cap,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from pipe_s_spark.streaming.dedup_index import compact_index_partitions
+
+            spark = batch_df.sparkSession
+            compact_index_partitions(spark, index_path, watermark=batch_id)
+            compact_index_partitions(
+                spark, _cells_path(index_path), watermark=batch_id, dedupe=False
+            )
+            compact_index_partitions(spark, topk_path, watermark=batch_id)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is not None:
+        q.awaitTermination(await_seconds)
+    return q
+
+
+def _cells_path(index_path: str) -> str:
+    return index_path.rstrip("/") + ".cells"
+
+
+def apply_ivf_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: dict[int, list[int]],
+    index_path: str,
+    topk_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+    cell_cap: int | None = IVF_CELL_CAP,
+) -> None:
+    """One epoch of index maintenance — the foreachBatch body, exposed
+    so replay/recovery paths are directly testable: calling this twice
+    with the same (batch, batch_id) rewrites the same partitions to
+    identical content (exactly what a post-crash Structured Streaming
+    replay does)."""
+    spark = batch_df.sparkSession
+    cells_path = _cells_path(index_path)
+
+    xq = S.quantize_vec(S.as_double_array(vec_col))
+    probes = S.kmeans_probes_int(xq, centroids, nprobe=nprobe)
+    assigned = batch_df.select(
+        id_col,
+        vec_col,
+        F.element_at(probes, 1).alias("cell"),  # argmax = first probe
+        probes.alias("probe_cells"),
+    )
+
+    # per-cell arrival rank: base = committed count of STRICTLY EARLIER
+    # members (O(#cells) ledger rows — bounded metadata, never data),
+    # plus a deterministic within-batch rank. Replay-safe: the base
+    # reads batch_id < this epoch only, so a replayed epoch recomputes
+    # identical ranks even if later epochs already appended.
+    if _has_batch_partitions(cells_path):
+        base = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy("cell")
+            .agg(F.sum("n").alias("base_n"))
+        )
+    else:
+        base = None
+    w = Window.partitionBy("cell").orderBy(id_col)
+    ranked = assigned.withColumn("batch_rank", F.row_number().over(w))
+    if base is not None:
+        ranked = ranked.join(F.broadcast(base), "cell", "left").withColumn(
+            "cell_rank",
+            (F.coalesce(F.col("base_n"), F.lit(0)) + F.col("batch_rank")).cast("long"),
+        )
+    else:
+        ranked = ranked.withColumn("cell_rank", F.col("batch_rank").cast("long"))
+    searchable = (
+        F.col("cell_rank") <= F.lit(cell_cap) if cell_cap is not None else F.lit(True)
+    )
+    ranked = (
+        ranked.withColumn("searchable", searchable)
+        .drop("batch_rank", "base_n")
+        .persist()
+    )
+    try:
+        # candidate corpus: searchable members of strictly-earlier
+        # epochs plus this batch itself (a vector may match a
+        # same-batch arrival — mirrors the dedup index's self-join leg)
+        member_cols = [id_col, vec_col, "cell"]
+        corpus = ranked.filter(F.col("searchable")).select(*member_cols)
+        if _has_batch_partitions(index_path):
+            earlier = (
+                spark.read.parquet(index_path)
+                .filter((F.col("batch_id") < batch_id) & F.col("searchable"))
+                .select(*member_cols)
+            )
+            corpus = corpus.unionByName(earlier)
+        queries = ranked.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.explode("probe_cells").alias("cell"),
+        )
+        cand = queries.join(corpus, "cell").filter(F.col(id_col) != F.col("query_id"))
+        rescored = cand.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                S.cosine(S.as_double_array("q_emb"), S.as_double_array(vec_col)), 6
+            ).alias("cos_sim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+        topk = (
+            rescored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+        )
+        _overwrite_epoch(topk, batch_id, topk_path)
+        # canonical column order: the ledger join moves its key to the
+        # front, so an epoch replayed against an existing ledger would
+        # otherwise write its partition with a different column order
+        # than it did the first time
+        _overwrite_epoch(
+            ranked.select(id_col, vec_col, "cell", "cell_rank", "searchable"),
+            batch_id,
+            index_path,
+        )
+        counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        _overwrite_epoch(counts, batch_id, cells_path)
+    finally:
+        ranked.unpersist()
+
+
+def _overwrite_epoch(df: DataFrame, batch_id: int, path: str) -> None:
+    (
+        df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
