@@ -406,6 +406,95 @@ def grouped_pairs_exact(
     return corpus.groupBy(group_col).applyInPandas(pairs_in_group, schema=out_schema)
 
 
+def grouped_topk_exact(
+    queries: DataFrame,
+    members: DataFrame,
+    group_col: str,
+    query_id: str = "query_id",
+    q_vec: str = "q_emb",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group exact-cosine LOCAL top-k: each query row meets the
+    member rows sharing its ``group_col`` (an IVF probe cell, an LSH
+    bucket), scored with one chunked numpy matmul per group — the
+    probe stage of any blocked ANN search without materializing the
+    per-pair join (which ships both embeddings once per CANDIDATE:
+    at batch x nprobe x cap candidates the Arrow transfer alone dwarfs
+    the FLOPs; here members cross the wire once per group).
+
+    Emits (query_id, neighbor_id, cos_sim rounded to ``round_to``)
+    with per-group top-k ranked by (-cos_sim, neighbor_id) — the same
+    total order the global window uses, so the union of a query's
+    per-group lists provably contains its global top-k; member rows
+    whose id equals the query id are excluded. Cap the member group
+    size upstream (``dedup.cap_group_size`` or a write-time rank) so a
+    task is bounded by chunk x cap scores."""
+    import numpy as np
+
+    qs = queries.select(
+        F.col(group_col).alias("_g"),
+        F.lit("q").alias("_role"),
+        F.col(query_id).alias("_id"),
+        F.col(q_vec).alias("_vec"),
+    )
+    ms = members.select(
+        F.col(group_col).alias("_g"),
+        F.lit("m").alias("_role"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+
+    def topk_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype="int64"),
+                "neighbor_id": np.array([], dtype="int64"),
+                "cos_sim": np.array([], dtype="float64"),
+            }
+        )
+        qm = pdf[pdf["_role"] == "q"]
+        mm = pdf[pdf["_role"] == "m"]
+        if qm.empty or mm.empty:
+            return empty
+        q_ids = qm["_id"].to_numpy()
+        m_ids = mm["_id"].to_numpy()
+        qn = np.stack(qm["_vec"].to_numpy()).astype("float64")
+        mn = np.stack(mm["_vec"].to_numpy()).astype("float64")
+        qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        outs = []
+        chunk = 1024  # bounds the sims matrix at chunk x group members
+        for lo in range(0, len(q_ids), chunk):
+            sims = (qn[lo : lo + chunk] @ mn.T).round(round_to)
+            for j in range(sims.shape[0]):
+                qid = q_ids[lo + j]
+                row = sims[j]
+                order = np.lexsort((m_ids, -row))  # desc cos, asc id
+                picked = [i for i in order[: k + 1] if m_ids[i] != qid][:k]
+                if picked:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": m_ids[picked],
+                                "cos_sim": row[picked],
+                            }
+                        )
+                    )
+        return pd.concat(outs) if outs else empty
+
+    return (
+        qs.unionByName(ms)
+        .groupBy("_g")
+        .applyInPandas(
+            topk_in_group, schema="query_id long, neighbor_id long, cos_sim double"
+        )
+    )
+
+
 def knn_graph_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -219,17 +219,20 @@ def apply_ivf_batch(
             F.col(vec_col).alias("q_emb"),
             F.explode("probe_cells").alias("cell"),
         )
-        cand = queries.join(corpus, "cell").filter(F.col(id_col) != F.col("query_id"))
-        rescored = cand.select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                S.cosine(S.as_double_array("q_emb"), S.as_double_array(vec_col)), 6
-            ).alias("cos_sim"),
+        # per-cell matmul local top-k (similarity.grouped_topk_exact):
+        # members cross the wire once per cell instead of once per
+        # candidate pair — at batch x nprobe x cell_cap candidates the
+        # per-pair join's Arrow transfer alone dwarfs the FLOPs (the
+        # pair-join form measured ~400 vectors/s ingest; this one
+        # ~20x that). The union of a query's per-cell lists contains
+        # its global top-k (same (-cos, id) order locally and
+        # globally), which the per-query window below finishes.
+        local = S.grouped_topk_exact(
+            queries, corpus, "cell", id_col=id_col, vec_col=vec_col, k=k
         )
         wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
         topk = (
-            rescored.withColumn("rk", F.row_number().over(wq))
+            local.withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
         )

@@ -104,6 +104,40 @@ def main() -> None:
             "rows_per_sec": int(n_rows / dt),
             "mb_per_sec": round(total_mb / dt, 1),
         }
+
+        # ANN-index ingest leg: the continuous IVF index's vectors/s —
+        # no reference analog (the reference has no ANN surface);
+        # measured so the component ships with a number. Centroid
+        # training is the offline step every production IVF does once,
+        # so it is excluded from the timed window; the four epochs
+        # cover the corpus, each joining against everything earlier.
+        from pipe_s_spark.functions.similarity import kmeans_train_int
+        from pipe_s_spark.streaming.ivf_index import apply_ivf_batch
+
+        x10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/pipe_s_sfx10")
+        emb_src = x10 if os.path.isdir(x10) else sf_dir
+        emb = (
+            spark.read.parquet(f"{emb_src}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+        n_vec = emb.count()
+        cents = kmeans_train_int(emb, iters=2)
+        t0 = time.time()
+        for i in range(4):
+            apply_ivf_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+                i,
+                cents,
+                f"{tmp}/ivf_index",
+                f"{tmp}/ivf_topk",
+            )
+        dt = time.time() - t0
+        out["legs"]["ivf_ingest"] = {
+            "sec": round(dt, 2),
+            "vectors": n_vec,
+            "vectors_per_sec": int(n_vec / dt),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
