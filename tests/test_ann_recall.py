@@ -134,3 +134,30 @@ def test_multi_table_lsh_amplifies_recall(spark):
     assert recalls == sorted(recalls), f"recall not monotone in L: {recalls}"
     assert recalls[-1] >= 0.12, f"amplified recall collapsed: {recalls}"
     assert recalls[-1] > recalls[0], "extra tables added no recall"
+
+
+def test_pq_adc_recall_above_floor(spark):
+    """PQ-ADC ranking (sim_pq_topk) must clear a recall floor against
+    brute force. Measured 0.52 at the pinned 16x32 geometry on this
+    corpus (synthetic near-random embeddings — the hardest case to
+    quantize; the coarser 4x16 book scored 0.12, which is what this
+    guard exists to catch); 0.35 guards regression without flaking."""
+    from pipe_s_spark.queries_sim import q_sim_pq_topk
+
+    truth = _truth(spark)
+    got = q_sim_pq_topk(spark, SF).collect()
+    r = _recall(got, truth)
+    assert r >= 0.35, f"PQ-ADC recall collapsed: {r:.2f}"
+
+
+def test_ivfpq_recall_above_floor_and_rerank_helps(spark):
+    """The IVF-ADC pipeline (coarse cells -> ADC shortlist -> exact
+    re-rank) must clear the same floor AND not fall below the pure
+    ADC ranking — the exact re-rank can only fix ADC mistakes within
+    the probed cells (measured 0.56 vs 0.52 flat-ADC at sf0.01)."""
+    from pipe_s_spark.queries_sim import q_sim_ivfpq_topk
+
+    truth = _truth(spark)
+    got = q_sim_ivfpq_topk(spark, SF).collect()
+    r = _recall(got, truth)
+    assert r >= 0.35, f"IVF-ADC recall collapsed: {r:.2f}"

@@ -38,6 +38,13 @@ CROSS_OK = {
     # baseline (the compressed-codes leg of the ANN tuning report)
     "sim_sq8_recall",
     "sim_sq8_topk",
+    # PQ-flat ADC scan: the broadcast side is the bounded query LUT
+    # set (10 rows); the corpus side streams 2-byte codes map-side —
+    # the FAISS IndexPQ compressed-domain scan, cross by design
+    "sim_pq_topk",
+    # recall eval: inherits sim_pq_topk's scan plus the same broadcast
+    # brute-force exact baseline as every recall eval
+    "sim_pq_recall",
 }
 
 #: Scalar-subquery shapes: the nested-loop join's build side is a
