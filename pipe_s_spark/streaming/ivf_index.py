@@ -87,6 +87,9 @@ def run_ivf_index_stream(
     cell_cap: int | None = IVF_CELL_CAP,
     compact_every: int | None = None,
     await_seconds: int | None = None,
+    pq_books: dict[tuple[int, int], list[int]] | None = None,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
     ``vec_stream``. The index holds (vec_id, embedding, cell,
@@ -99,7 +102,20 @@ def run_ivf_index_stream(
     committed per-batch partitions of all three tables every N epochs
     (streaming.dedup_index.compact_index_partitions — the ledger folds
     with ``dedupe=False`` because its (cell, n) rows legitimately
-    repeat across epochs)."""
+    repeat across epochs).
+
+    With ``pq_books`` (a trained functions.similarity.pq_train_int
+    codebook) the index runs in COMPRESSED mode — the FAISS IVFADC
+    memory model made continuous: the persisted index stores the
+    PQ ``codes`` column instead of the embedding (~26x smaller state
+    at the default geometry — the difference between an index that
+    fits in RAM at 10^10 vectors and one that doesn't), arriving
+    vectors build their ADC lookup tables once (Arrow kernel), and
+    the probe scores earlier members with m integer array lookups per
+    candidate; topk then holds (query_id, neighbor_id, adc_dot, rk,
+    batch_id). Same strictly-earlier reads, same ledger, same
+    replay/compaction contract — everything is exact int64, so a
+    replayed epoch rewrites byte-identical partitions."""
     os.makedirs(index_path, exist_ok=True)
     os.makedirs(topk_path, exist_ok=True)
 
@@ -115,6 +131,9 @@ def run_ivf_index_stream(
             nprobe=nprobe,
             k=k,
             cell_cap=cell_cap,
+            pq_books=pq_books,
+            pq_m=pq_m,
+            pq_k=pq_k,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             from pipe_s_spark.streaming.dedup_index import compact_index_partitions
@@ -152,14 +171,20 @@ def apply_ivf_batch(
     nprobe: int = 2,
     k: int = 5,
     cell_cap: int | None = IVF_CELL_CAP,
+    pq_books: dict[tuple[int, int], list[int]] | None = None,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
 ) -> None:
     """One epoch of index maintenance — the foreachBatch body, exposed
     so replay/recovery paths are directly testable: calling this twice
     with the same (batch, batch_id) rewrites the same partitions to
     identical content (exactly what a post-crash Structured Streaming
-    replay does)."""
+    replay does). See run_ivf_index_stream for the compressed
+    (``pq_books``) mode."""
     spark = batch_df.sparkSession
     cells_path = _cells_path(index_path)
+    pq_m = pq_m if pq_m is not None else S.PQ_M
+    pq_k = pq_k if pq_k is not None else S.PQ_K
 
     xq = S.quantize_vec(S.as_double_array(vec_col))
     probes = S.kmeans_probes_int(xq, centroids, nprobe=nprobe)
@@ -169,6 +194,21 @@ def apply_ivf_batch(
         F.element_at(probes, 1).alias("cell"),  # argmax = first probe
         probes.alias("probe_cells"),
     )
+    if pq_books is not None:
+        # compressed mode: the persisted member payload is the PQ code
+        # (the m-byte symbol), never the vector; xq rides along ONLY to
+        # build this epoch's query LUTs and is dropped before the write
+        dim = len(next(iter(pq_books.values()))) * pq_m
+        assigned = S.pq_encode_table(
+            assigned,
+            pq_books,
+            m=pq_m,
+            k=pq_k,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            carry_cols={"cell": "int", "probe_cells": "array<int>"},
+        ).drop("keys")
 
     # per-cell arrival rank: base = committed count of STRICTLY EARLIER
     # members (O(#cells) ledger rows — bounded metadata, never data),
@@ -205,7 +245,8 @@ def apply_ivf_batch(
         # candidate corpus: searchable members of strictly-earlier
         # epochs plus this batch itself (a vector may match a
         # same-batch arrival — mirrors the dedup index's self-join leg)
-        member_cols = [id_col, vec_col, "cell"]
+        member_payload = "codes" if pq_books is not None else vec_col
+        member_cols = [id_col, member_payload, "cell"]
         corpus = ranked.filter(F.col("searchable")).select(*member_cols)
         if _has_batch_partitions(index_path):
             earlier = (
@@ -214,35 +255,73 @@ def apply_ivf_batch(
                 .select(*member_cols)
             )
             corpus = corpus.unionByName(earlier)
-        queries = ranked.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_emb"),
-            F.explode("probe_cells").alias("cell"),
-        )
-        # per-cell matmul local top-k (similarity.grouped_topk_exact):
-        # members cross the wire once per cell instead of once per
-        # candidate pair — at batch x nprobe x cell_cap candidates the
-        # per-pair join's Arrow transfer alone dwarfs the FLOPs (the
-        # pair-join form measured ~400 vectors/s ingest; this one
-        # ~20x that). The union of a query's per-cell lists contains
-        # its global top-k (same (-cos, id) order locally and
-        # globally), which the per-query window below finishes.
-        local = S.grouped_topk_exact(
-            queries, corpus, "cell", id_col=id_col, vec_col=vec_col, k=k
-        )
-        wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-        topk = (
-            local.withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
-        )
+        if pq_books is not None:
+            # ADC probe: one LUT kernel pass over the batch, then each
+            # candidate costs pq_m integer array lookups — the index
+            # side never decodes (it has nothing to decode: it stores
+            # codes). Scores are exact int64, so ranking (and replay)
+            # is deterministic without any rounding convention.
+            dim = len(next(iter(pq_books.values()))) * pq_m
+            luts = S.pq_lut_table(
+                ranked.select(id_col, "xq"), pq_books, m=pq_m, k=pq_k, dim=dim,
+                id_col=id_col,
+            ).withColumnRenamed(id_col, "query_id")
+            queries = ranked.select(
+                F.col(id_col).alias("query_id"),
+                F.explode("probe_cells").alias("cell"),
+            ).join(luts, "query_id")
+            local = (
+                F.broadcast(queries)
+                .join(corpus, "cell")
+                .filter(F.col(id_col) != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col(id_col).alias("neighbor_id"),
+                    S.pq_adc_score(F.col("lut"), F.col("codes"), m=pq_m, k=pq_k).alias(
+                        "adc_dot"
+                    ),
+                )
+            )
+            wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+            topk = (
+                local.withColumn("rk", F.row_number().over(wq))
+                .filter(F.col("rk") <= k)
+                .select(
+                    "query_id", "neighbor_id", "adc_dot", F.col("rk").cast("int").alias("rk")
+                )
+            )
+        else:
+            queries = ranked.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_emb"),
+                F.explode("probe_cells").alias("cell"),
+            )
+            # per-cell matmul local top-k (similarity.grouped_topk_exact):
+            # members cross the wire once per cell instead of once per
+            # candidate pair — at batch x nprobe x cell_cap candidates the
+            # per-pair join's Arrow transfer alone dwarfs the FLOPs (the
+            # pair-join form measured ~400 vectors/s ingest; this one
+            # ~20x that). The union of a query's per-cell lists contains
+            # its global top-k (same (-cos, id) order locally and
+            # globally), which the per-query window below finishes.
+            local = S.grouped_topk_exact(
+                queries, corpus, "cell", id_col=id_col, vec_col=vec_col, k=k
+            )
+            wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+            topk = (
+                local.withColumn("rk", F.row_number().over(wq))
+                .filter(F.col("rk") <= k)
+                .select(
+                    "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
+                )
+            )
         _overwrite_epoch(topk, batch_id, topk_path)
         # canonical column order: the ledger join moves its key to the
         # front, so an epoch replayed against an existing ledger would
         # otherwise write its partition with a different column order
         # than it did the first time
         _overwrite_epoch(
-            ranked.select(id_col, vec_col, "cell", "cell_rank", "searchable"),
+            ranked.select(id_col, member_payload, "cell", "cell_rank", "searchable"),
             batch_id,
             index_path,
         )
