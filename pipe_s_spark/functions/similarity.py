@@ -495,6 +495,102 @@ def grouped_topk_exact(
     )
 
 
+def grouped_adc_topk(
+    queries: DataFrame,
+    members: DataFrame,
+    group_col: str,
+    query_id: str = "query_id",
+    lut_col: str = "lut",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    m: int | None = None,
+    k_codes: int | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group ADC LOCAL top-k — :func:`grouped_topk_exact` for the
+    COMPRESSED domain: each query row (carrying its m*k LUT) meets the
+    member rows (carrying m-byte PQ codes) sharing its ``group_col``,
+    scored with one numpy LUT-gather per group instead of a per-pair
+    join (which ships a 4 KB LUT once per CANDIDATE — measured 2.7x
+    slower end-to-end on the streaming index's ingest). Scores are
+    exact int64 sums of LUT entries, so ranking is bit-deterministic;
+    per-group top-k ranks by (-adc_dot, neighbor_id), the same total
+    order the caller's global window uses, so the union of a query's
+    per-group lists provably contains its global top-k. Self-matches
+    are excluded; cap member group size upstream. ``m``/``k_codes``
+    default to the module PQ geometry (resolved at call time — this
+    function is defined before the PQ section)."""
+    import numpy as np
+
+    if m is None:
+        m = PQ_M
+    if k_codes is None:
+        k_codes = PQ_K
+
+    qs = queries.select(
+        F.col(group_col).alias("_g"),
+        F.lit("q").alias("_role"),
+        F.col(query_id).alias("_id"),
+        F.col(lut_col).alias("_lut"),
+        F.lit(None).cast("array<int>").alias("_codes"),
+    )
+    ms = members.select(
+        F.col(group_col).alias("_g"),
+        F.lit("m").alias("_role"),
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast("array<bigint>").alias("_lut"),
+        F.col(codes_col).alias("_codes"),
+    )
+
+    def topk_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype="int64"),
+                "neighbor_id": np.array([], dtype="int64"),
+                "adc_dot": np.array([], dtype="int64"),
+            }
+        )
+        qm = pdf[pdf["_role"] == "q"]
+        mm = pdf[pdf["_role"] == "m"]
+        if qm.empty or mm.empty:
+            return empty
+        q_ids = qm["_id"].to_numpy()
+        m_ids = mm["_id"].to_numpy()
+        lut = np.stack(qm["_lut"].to_numpy()).astype("int64")
+        codes = np.stack(mm["_codes"].to_numpy()).astype("int64")
+        outs = []
+        chunk = 1024  # bounds the score matrix at chunk x group members
+        for lo in range(0, len(q_ids), chunk):
+            block = lut[lo : lo + chunk]
+            scores = np.zeros((block.shape[0], codes.shape[0]), dtype="int64")
+            for s in range(m):
+                scores += block[:, s * k_codes + codes[:, s]]
+            for j in range(scores.shape[0]):
+                qid = q_ids[lo + j]
+                row = scores[j]
+                order = np.lexsort((m_ids, -row))  # desc adc, asc id
+                picked = [i for i in order[: k + 1] if m_ids[i] != qid][:k]
+                if picked:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": m_ids[picked],
+                                "adc_dot": row[picked],
+                            }
+                        )
+                    )
+        return pd.concat(outs) if outs else empty
+
+    return (
+        qs.unionByName(ms)
+        .groupBy("_g")
+        .applyInPandas(
+            topk_in_group, schema="query_id long, neighbor_id long, adc_dot long"
+        )
+    )
+
+
 def knn_graph_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",

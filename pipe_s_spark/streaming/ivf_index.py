@@ -256,10 +256,13 @@ def apply_ivf_batch(
             )
             corpus = corpus.unionByName(earlier)
         if pq_books is not None:
-            # ADC probe: one LUT kernel pass over the batch, then each
-            # candidate costs pq_m integer array lookups — the index
-            # side never decodes (it has nothing to decode: it stores
-            # codes). Scores are exact int64, so ranking (and replay)
+            # ADC probe: one LUT kernel pass over the batch, then a
+            # per-cell LUT-gather kernel (grouped_adc_topk) scores the
+            # probed cells' members — the index side never decodes (it
+            # has nothing to decode: it stores codes), and a LUT
+            # crosses the wire once per probed CELL, not once per
+            # candidate (the per-pair join form measured 2.7x slower
+            # ingest). Scores are exact int64, so ranking (and replay)
             # is deterministic without any rounding convention.
             dim = len(next(iter(pq_books.values()))) * pq_m
             luts = S.pq_lut_table(
@@ -270,17 +273,8 @@ def apply_ivf_batch(
                 F.col(id_col).alias("query_id"),
                 F.explode("probe_cells").alias("cell"),
             ).join(luts, "query_id")
-            local = (
-                F.broadcast(queries)
-                .join(corpus, "cell")
-                .filter(F.col(id_col) != F.col("query_id"))
-                .select(
-                    "query_id",
-                    F.col(id_col).alias("neighbor_id"),
-                    S.pq_adc_score(F.col("lut"), F.col("codes"), m=pq_m, k=pq_k).alias(
-                        "adc_dot"
-                    ),
-                )
+            local = S.grouped_adc_topk(
+                queries, corpus, "cell", id_col=id_col, m=pq_m, k_codes=pq_k, k=k
             )
             wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
             topk = (

@@ -138,6 +138,41 @@ def main() -> None:
             "vectors": n_vec,
             "vectors_per_sec": int(n_vec / dt),
         }
+
+        # compressed (IVFADC) ingest leg: same four epochs, but the
+        # index persists PQ codes instead of vectors and the probe is
+        # ADC (m integer lookups per candidate). Codebook training is
+        # the same offline once-per-corpus step as centroid training —
+        # excluded from the timed window. index_mb vs the vector-mode
+        # index measures the compression claim on disk.
+        from pipe_s_spark.functions.similarity import pq_train_int
+
+        def _dir_mb(path: str) -> float:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return round(total / 1e6, 2)
+
+        books = pq_train_int(emb)
+        t0 = time.time()
+        for i in range(4):
+            apply_ivf_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+                i,
+                cents,
+                f"{tmp}/ivfpq_index",
+                f"{tmp}/ivfpq_topk",
+                pq_books=books,
+            )
+        dt = time.time() - t0
+        out["legs"]["ivfpq_ingest"] = {
+            "sec": round(dt, 2),
+            "vectors": n_vec,
+            "vectors_per_sec": int(n_vec / dt),
+            "index_mb": _dir_mb(f"{tmp}/ivfpq_index"),
+            "vector_index_mb": _dir_mb(f"{tmp}/ivf_index"),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
