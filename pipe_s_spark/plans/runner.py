@@ -292,6 +292,39 @@ def _ivf_centroids(
     )
 
 
+def _ivf_pq_books(
+    spark: SparkSession, cfg: Mapping[str, Any], df: DataFrame | None = None
+) -> dict[tuple[int, int], list[int]] | None:
+    """PQ codebook for the COMPRESSED ivf-index mode, config-gated on
+    `pq: true`: inline `pqBooks` ({sub: {code: [int64 components]}}),
+    else trained on `trainPath` (same offline split as the
+    centroids), else — batch bootstrap only — on the bootstrap corpus.
+    `pqM`/`pqK` pin the geometry (default: module constants)."""
+    if not cfg.get("pq"):
+        return None
+    from pipe_s_spark.functions import similarity as S
+
+    if "pqBooks" in cfg:
+        return {
+            (int(s), int(c)): [int(x) for x in w]
+            for s, codes in cfg["pqBooks"].items()
+            for c, w in codes.items()
+        }
+    m = int(cfg.get("pqM", S.PQ_M))
+    k = int(cfg.get("pqK", S.PQ_K))
+    iters = int(cfg.get("trainIters", 2))
+    vec_col = cfg.get("vecCol", "embedding")
+    if "trainPath" in cfg:
+        return S.pq_train_int(
+            spark.read.parquet(cfg["trainPath"]), vec_col=vec_col, m=m, k=k, iters=iters
+        )
+    if df is not None and not df.isStreaming:
+        return S.pq_train_int(df, vec_col=vec_col, m=m, k=k, iters=iters)
+    raise PipelineSpecError(
+        "ivf-index with pq needs `pqBooks`, `trainPath`, or a batch bootstrap input"
+    )
+
+
 def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
     typ = out.get("Type")
     cfg = out.get("Config", {})
@@ -408,6 +441,9 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
             nprobe=int(cfg.get("nprobe", 2)),
             k=int(cfg.get("k", 5)),
             cell_cap=cfg.get("cellCap", IVF_CELL_CAP),
+            pq_books=_ivf_pq_books(df.sparkSession, cfg, df),
+            pq_m=int(cfg["pqM"]) if "pqM" in cfg else None,
+            pq_k=int(cfg["pqK"]) if "pqK" in cfg else None,
         )
         return None
     if typ == "orc":
@@ -551,6 +587,9 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             k=int(cfg.get("k", 5)),
             cell_cap=cfg.get("cellCap", IVF_CELL_CAP),
             compact_every=cfg.get("compactEvery"),
+            pq_books=_ivf_pq_books(df.sparkSession, cfg),
+            pq_m=int(cfg["pqM"]) if "pqM" in cfg else None,
+            pq_k=int(cfg["pqK"]) if "pqK" in cfg else None,
         )
         q.awaitTermination(wait)
         return None

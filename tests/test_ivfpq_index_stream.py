@@ -128,3 +128,52 @@ def test_compressed_old_epoch_replay_is_idempotent(spark, tmp_path, cents, books
     apply_ivf_batch(b0, 0, cents, idx, tk, pq_books=books)  # zombie replay
     assert snap(idx) == before_ix
     assert snap(tk) == before_tk
+
+
+def test_runner_compressed_bootstrap_then_stream(spark, tmp_path, cents, books):
+    """Config-driven compressed form ('pq': true): the batch
+    'ivf-index' output bootstraps the even half as epoch 0 — codebook
+    AND centroids trained from trainPath — then a later epoch ingests
+    the odd half; its ADC top-k must match the batch IVFADC probe-join
+    over the full corpus."""
+    import json as _json
+
+    from pipe_s_spark.plans.runner import run_pipeline
+
+    vecs = _vectors(spark)
+    train = tmp_path / "train"
+    vecs.write.parquet(str(train))
+    base = tmp_path / "base"
+    vecs.filter(F.col("vec_id") % 2 == 0).write.parquet(str(base))
+    idx, tk = str(tmp_path / "idx"), str(tmp_path / "tk")
+    spec = {
+        "Input": {"Type": "parquet", "Config": {"path": str(base)}},
+        "Output": {
+            "Type": "ivf-index",
+            "Config": {
+                "indexPath": idx,
+                "topkPath": tk,
+                "trainPath": str(train),
+                "pq": True,
+            },
+        },
+    }
+    _json.dumps(spec)  # config-file form must stay JSON-serializable
+    run_pipeline(spark, spec)
+    index = spark.read.parquet(idx)
+    assert "codes" in index.columns and "embedding" not in index.columns
+
+    apply_ivf_batch(
+        vecs.filter(F.col("vec_id") % 2 == 1), 1, cents, idx, tk, pq_books=books
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"], r["rk"])
+        for r in _expected_adc_topk(
+            spark, cents, books, F.col("vec_id") % 2 == 1
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"], r["rk"])
+        for r in spark.read.parquet(tk).filter(F.col("batch_id") == 1).collect()
+    }
+    assert got == want and len(want) > 0
