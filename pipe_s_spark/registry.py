@@ -25,6 +25,7 @@ def all_queries() -> dict[str, QueryFn]:
         queries_dedup,
         queries_events,
         queries_multimodal,
+        queries_pq,
         queries_sampling,
         queries_sim,
         queries_sketch,
@@ -41,6 +42,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(queries_sampling.QUERIES)
     out.update(queries_dedup.QUERIES)
     out.update(queries_sim.QUERIES)
+    out.update(queries_pq.QUERIES)
     out.update(queries_sketch.QUERIES)
     out.update(queries_multimodal.QUERIES)
     out.update(queries_advanced.QUERIES)
@@ -58,6 +60,7 @@ def all_oracles() -> dict[str, str]:
         queries_dedup,
         queries_events,
         queries_multimodal,
+        queries_pq,
         queries_sampling,
         queries_sim,
         queries_sketch,
@@ -74,6 +77,7 @@ def all_oracles() -> dict[str, str]:
     out.update(queries_sampling.ORACLES)
     out.update(queries_dedup.ORACLES)
     out.update(queries_sim.ORACLES)
+    out.update(queries_pq.ORACLES)
     out.update(queries_sketch.ORACLES)
     out.update(queries_multimodal.ORACLES)
     out.update(queries_advanced.ORACLES)

@@ -142,7 +142,7 @@ def test_pq_adc_recall_above_floor(spark):
     corpus (synthetic near-random embeddings — the hardest case to
     quantize; the coarser 4x16 book scored 0.12, which is what this
     guard exists to catch); 0.35 guards regression without flaking."""
-    from pipe_s_spark.queries_sim import q_sim_pq_topk
+    from pipe_s_spark.queries_pq import q_sim_pq_topk
 
     truth = _truth(spark)
     got = q_sim_pq_topk(spark, SF).collect()
@@ -155,7 +155,7 @@ def test_ivfpq_recall_above_floor_and_rerank_helps(spark):
     re-rank) must clear the same floor AND not fall below the pure
     ADC ranking — the exact re-rank can only fix ADC mistakes within
     the probed cells (measured 0.56 vs 0.52 flat-ADC at sf0.01)."""
-    from pipe_s_spark.queries_sim import q_sim_ivfpq_topk
+    from pipe_s_spark.queries_pq import q_sim_ivfpq_topk
 
     truth = _truth(spark)
     got = q_sim_ivfpq_topk(spark, SF).collect()

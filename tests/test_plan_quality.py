@@ -45,6 +45,9 @@ CROSS_OK = {
     # recall eval: inherits sim_pq_topk's scan plus the same broadcast
     # brute-force exact baseline as every recall eval
     "sim_pq_recall",
+    # rerank_factor sweep: same broadcast brute-force exact baseline,
+    # plus a crossJoin with the 4-row shortlist literal
+    "sim_ivfpq_rerank_curve",
 }
 
 #: Scalar-subquery shapes: the nested-loop join's build side is a

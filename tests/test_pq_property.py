@@ -148,3 +148,59 @@ def test_pq_encode_matches_referee_assignment(spark):
                     want_key, want_code = key, c
             assert enc[i][0][s] == want_code
             assert enc[i][1][s] == want_key
+
+
+def test_grouped_adc_kernel_matches_expression_scoring(spark):
+    """The per-cell LUT-gather kernel (grouped_adc_topk — the
+    streaming index's probe) and the pq_adc_score expression (the
+    batch queries' scorer) are two implementations of the same exact
+    int64 ADC sum; on a single shared group their top-k must agree
+    row-for-row including scores."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in row] for row in rng.uniform(-1, 1, size=(30, DIM))]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    books = S.pq_train_int(df, m=M, k=K, iters=2, dim=DIM, quant=QUANT)
+    enc = S.pq_encode_table(df, books, m=M, k=K, dim=DIM, quant=QUANT)
+    luts = S.pq_lut_table(enc.filter(F.col("vec_id") < 5), books, m=M, k=K, dim=DIM)
+
+    # expression scoring over the full cross product
+    expr_scored = (
+        enc.select("vec_id", "codes")
+        .crossJoin(
+            F.broadcast(luts.select(F.col("vec_id").alias("query_id"), "lut"))
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.pq_adc_score(F.col("lut"), F.col("codes"), m=M, k=K).alias("adc_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    want = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"])
+        for r in expr_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+
+    # kernel scoring: one shared group = the same full cross product
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"])
+        for r in S.grouped_adc_topk(
+            luts.select(
+                F.lit(0).alias("cell"), F.col("vec_id").alias("query_id"), "lut"
+            ),
+            enc.select(F.lit(0).alias("cell"), "vec_id", "codes"),
+            "cell",
+            m=M,
+            k_codes=K,
+            k=3,
+        ).collect()
+    }
+    assert got == want and len(want) == 15
