@@ -1100,6 +1100,13 @@ def _pq_books_np(books: dict[tuple[int, int], list[int]], m: int, k: int):
     out = []
     for s in range(m):
         codes = sorted(c for (ss, c) in books if ss == s)
+        if not codes:
+            raise ValueError(
+                f"PQ codebook has no codes for subspace {s} of {m} — "
+                "geometry mismatch between the books and the caller's m? "
+                "(derive m as max(sub)+1 from the books, as "
+                "streaming.ivf_index.apply_ivf_batch does)"
+            )
         M = np.array([books[(s, c)] for c in codes], dtype=np.int64)
         out.append((np.array(codes, dtype=np.int64), M, (M * M).sum(axis=1)))
     return out

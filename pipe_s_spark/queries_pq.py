@@ -59,9 +59,9 @@ def _pq_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode pass runs once per (session, sf_dir); every consumer
     (ADC scan, recall eval, IVF-ADC, distortion report) reads the
     narrow encoded table, exactly like the persisted code table a
-    production index stores (2 bytes/vector here vs 256 bytes of
-    float32 — the compression that makes 100 TB of vectors scannable
-    from RAM)."""
+    production index stores (16 codes of 5 bits — ~10 packed bytes —
+    vs 256 bytes of float32 here: the compression that makes 100 TB
+    of vectors scannable from RAM)."""
 
     def build() -> DataFrame:
         books = _pq_books_cached(spark, sf_dir)
@@ -73,7 +73,7 @@ def _pq_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-flat ADC top-k (the FAISS ``IndexPQ`` shape): every corpus
-    vector is a 4-code product-quantized symbol; each query builds its
+    vector is an m-code product-quantized symbol; each query builds its
     m*k asymmetric-distance LUT ONCE (functions.similarity.pq_lut) and
     scoring a candidate is m integer array lookups — no float math, no
     decode. The crossJoin is the documented compressed-domain scan:
@@ -132,7 +132,7 @@ SELECT query_id, neighbor_id, adc_dot, CAST(rk AS INTEGER) AS rk FROM (
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the PQ-ADC ranking against the exact brute-force
     top-5 — the third leg of the ANN tuning report (LSH buckets / IVF
-    cells / PQ codes), quantifying what 128x compression costs in
+    cells / PQ codes), quantifying what ~26x compression costs in
     ranking fidelity. The exact side is the same allowlisted broadcast
     brute-force baseline every recall eval here pins."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -317,20 +317,22 @@ def q_sim_ivfpq_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
         "query_id", "neighbor_id"
     )
-    corpus = kidx.select("vec_id", "embedding", "cell").join(
-        pidx.select("vec_id", "codes"), "vec_id"
-    )
+    corpus = kidx.select("vec_id", "cell").join(pidx.select("vec_id", "codes"), "vec_id")
     luts = S.pq_lut_table(pidx.filter(F.col("vec_id") < 10), books)
     queries = (
         kidx.filter(F.col("vec_id") < 10)
         .join(luts, "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
             "lut",
             F.explode("probe_cells").alias("cell"),
         )
     )
+    # compressed-domain pass over ALL probed candidates (codes only —
+    # this is the cheap leg), then full-precision vectors are joined
+    # for the max(PQ_RERANK_LS) survivors alone: the whole point of
+    # the knob this curve prices is that exact cosine never touches
+    # more than k * rerank_factor rows per query.
     cand = (
         F.broadcast(queries)
         .join(corpus, "cell")
@@ -338,18 +340,32 @@ def q_sim_ivfpq_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                S.cosine(S.as_double_array("q_emb"), S.as_double_array("embedding")), 6
-            ).alias("cos_sim"),
             S.pq_adc_score(F.col("lut"), F.col("codes")).alias("adc_dot"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
-    swept = (
-        cand.withColumn("srk", F.row_number().over(w_adc))
-        .withColumn("shortlist", F.explode(F.array(*[F.lit(x) for x in PQ_RERANK_LS])))
-        .filter(F.col("srk") <= F.col("shortlist"))
+    short = cand.withColumn("srk", F.row_number().over(w_adc)).filter(
+        F.col("srk") <= max(PQ_RERANK_LS)
     )
+    q_embs = kidx.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n_embs = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    rescored = (
+        short.join(F.broadcast(q_embs), "query_id")
+        .join(n_embs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "srk",
+            F.round(
+                S.cosine(S.as_double_array("q_emb"), S.as_double_array("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    swept = rescored.withColumn(
+        "shortlist", F.explode(F.array(*[F.lit(x) for x in PQ_RERANK_LS]))
+    ).filter(F.col("srk") <= F.col("shortlist"))
     w_cos = Window.partitionBy("shortlist", "query_id").orderBy(
         F.desc("cos_sim"), "neighbor_id"
     )

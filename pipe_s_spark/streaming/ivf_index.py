@@ -183,8 +183,20 @@ def apply_ivf_batch(
     (``pq_books``) mode."""
     spark = batch_df.sparkSession
     cells_path = _cells_path(index_path)
-    pq_m = pq_m if pq_m is not None else S.PQ_M
-    pq_k = pq_k if pq_k is not None else S.PQ_K
+    if pq_books is not None:
+        # geometry is DERIVED from the codebook itself unless pinned:
+        # m = highest subspace id + 1, subdim = codeword length, and
+        # the LUT stride k = highest live code id + 1 (every consumer
+        # in this epoch — pq_encode_table, pq_lut_table,
+        # grouped_adc_topk — uses the same values, so a tail of
+        # dropped codes only shrinks the table). Trusting a caller's
+        # pqM default against differently-trained books would slice
+        # vectors past their width or feed _pq_books_np empty subs.
+        if pq_m is None:
+            pq_m = max(s for s, _c in pq_books) + 1
+        if pq_k is None:
+            pq_k = max(c for _s, c in pq_books) + 1
+        dim = len(next(iter(pq_books.values()))) * pq_m
 
     xq = S.quantize_vec(S.as_double_array(vec_col))
     probes = S.kmeans_probes_int(xq, centroids, nprobe=nprobe)
@@ -198,7 +210,6 @@ def apply_ivf_batch(
         # compressed mode: the persisted member payload is the PQ code
         # (the m-byte symbol), never the vector; xq rides along ONLY to
         # build this epoch's query LUTs and is dropped before the write
-        dim = len(next(iter(pq_books.values()))) * pq_m
         assigned = S.pq_encode_table(
             assigned,
             pq_books,
@@ -264,7 +275,6 @@ def apply_ivf_batch(
             # candidate (the per-pair join form measured 2.7x slower
             # ingest). Scores are exact int64, so ranking (and replay)
             # is deterministic without any rounding convention.
-            dim = len(next(iter(pq_books.values()))) * pq_m
             luts = S.pq_lut_table(
                 ranked.select(id_col, "xq"), pq_books, m=pq_m, k=pq_k, dim=dim,
                 id_col=id_col,

@@ -154,10 +154,16 @@ def test_ivfpq_recall_above_floor_and_rerank_helps(spark):
     """The IVF-ADC pipeline (coarse cells -> ADC shortlist -> exact
     re-rank) must clear the same floor AND not fall below the pure
     ADC ranking — the exact re-rank can only fix ADC mistakes within
-    the probed cells (measured 0.56 vs 0.52 flat-ADC at sf0.01)."""
-    from pipe_s_spark.queries_pq import q_sim_ivfpq_topk
+    the probed cells (measured 0.56 vs 0.52 flat-ADC at sf0.01; data
+    and both algorithms are deterministic, so the comparison cannot
+    flake)."""
+    from pipe_s_spark.queries_pq import q_sim_ivfpq_topk, q_sim_pq_topk
 
     truth = _truth(spark)
     got = q_sim_ivfpq_topk(spark, SF).collect()
     r = _recall(got, truth)
     assert r >= 0.35, f"IVF-ADC recall collapsed: {r:.2f}"
+    r_adc = _recall(q_sim_pq_topk(spark, SF).collect(), truth)
+    assert r >= r_adc, (
+        f"exact re-rank made recall WORSE than flat ADC: {r:.2f} < {r_adc:.2f}"
+    )
