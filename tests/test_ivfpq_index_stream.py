@@ -102,6 +102,17 @@ def test_compressed_stream_stores_codes_and_matches_batch_adc(spark, tmp_path, c
     }
     assert got == want and len(want) > 0
 
+    # restart on the same checkpoint: no new data -> nothing re-emitted
+    n_tk, n_ix = spark.read.parquet(tk).count(), index.count()
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_ivf_index_stream(stream2, cents, idx, tk, ck, await_seconds=240, pq_books=books)
+    assert spark.read.parquet(tk).count() == n_tk
+    assert spark.read.parquet(idx).count() == n_ix
+
 
 def test_compressed_old_epoch_replay_is_idempotent(spark, tmp_path, cents, books):
     """Zombie replay of epoch 0 after epoch 1 landed must rewrite
