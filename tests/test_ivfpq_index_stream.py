@@ -188,3 +188,18 @@ def test_runner_compressed_bootstrap_then_stream(spark, tmp_path, cents, books):
         for r in spark.read.parquet(tk).filter(F.col("batch_id") == 1).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_runner_inline_pq_books_parse(spark):
+    """The runner's inline `pqBooks` form ({sub: {code: [components]}},
+    the JSON-config shape for pinned deployments) must parse to the
+    exact trainer dict, surviving a JSON round-trip (string keys)."""
+    import json as _json
+
+    from pipe_s_spark.plans.runner import _ivf_pq_books
+
+    books = {(0, 1): [3, -4], (1, 0): [-7, 9]}
+    cfg_books = {"0": {"1": [3, -4]}, "1": {"0": [-7, 9]}}
+    cfg = _json.loads(_json.dumps({"pq": True, "pqBooks": cfg_books}))
+    assert _ivf_pq_books(spark, cfg) == books
+    assert _ivf_pq_books(spark, {"pq": False}) is None
