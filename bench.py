@@ -87,14 +87,39 @@ def main() -> None:
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
     import statistics
 
+    from pipe_s_spark.functions import shared as SH
+
+    def _cache_key_names(keys) -> list[str]:
+        # drop the applicationId head; keep a compact human label
+        return sorted("/".join(str(p) for p in k[1:]) for k in keys)
+
     timings: dict[str, float] = {}
+    # per-query shared-cache attribution (r8 verdict: a ×1.54 swing on
+    # dedup_ensemble could not be attributed because the artifact did
+    # not say whether the query PAID a signature/pair-table build or
+    # got it memoized). built_warmup keys are invisible in the median
+    # (the warmup run is discarded); built_timed keys are NOT — a
+    # non-empty built_timed means the reported median includes a cache
+    # build (e.g. FIFO eviction forced a rebuild) and is not
+    # comparable to a memoized-state round.
+    cache_attr: dict[str, dict[str, list[str]]] = {}
     for name in sorted(qs):
         samples: list[float] = []
-        for _ in range(runs):
+        keys_before = SH.live_keys()
+        for i in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            if i == 0:
+                keys_after_warmup = SH.live_keys()
+        built_warmup = _cache_key_names(keys_after_warmup - keys_before)
+        built_timed = _cache_key_names(SH.live_keys() - keys_after_warmup)
+        if built_warmup or built_timed:
+            cache_attr[name] = {
+                "built_warmup": built_warmup,
+                "built_timed": built_timed,
+            }
         timings[name] = round(statistics.median(samples[1:]), 4)
 
     total = round(sum(timings.values()), 4)
@@ -104,6 +129,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "probe_sec": probe_sec,
+        "cache_builds": cache_attr,
         "sf": sf,
     }
     # durable full-detail copy: the driver keeps only the last 2000

@@ -79,6 +79,15 @@ def materialized(
     return df
 
 
+def live_keys() -> set[tuple]:
+    """Snapshot of the memo's live keys (applicationId included) —
+    read-only introspection so the bench can attribute, per query,
+    which shared tables were BUILT during its runs vs already
+    memoized (a cache build hiding inside one query's timing is
+    otherwise indistinguishable from a plan regression)."""
+    return set(_memo.keys())
+
+
 def on_clear(hook: Callable[[], None]) -> None:
     """Register a teardown callback run by :func:`clear` (idempotent)."""
     if hook not in _clear_hooks:

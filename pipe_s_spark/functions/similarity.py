@@ -146,16 +146,90 @@ def lsh_bucket(
     return out.cast("int")
 
 
-def lsh_bucket_sql(vec: str, dim: int = 64, planes: int = LSH_PLANES) -> str:
-    """DuckDB rendering with the identical literal plane matrix."""
+def lsh_bucket_sql(
+    vec: str, dim: int = 64, planes: int = LSH_PLANES, plane_offset: int = 0
+) -> str:
+    """DuckDB rendering with the identical literal plane matrix.
+    ``plane_offset`` mirrors :func:`lsh_bucket`'s disjoint-plane-set
+    selector so multi-table LSH oracles replay the same hash family."""
     terms = []
     for p in range(planes):
-        ws = ", ".join(repr(plane_weight_value(p, i)) for i in range(1, dim + 1))
+        ws = ", ".join(
+            repr(plane_weight_value(plane_offset + p, i)) for i in range(1, dim + 1)
+        )
         d = (
             f"list_sum(list_transform(generate_series(1, {dim}), "
             f"i -> {vec}[i] * (ARRAY[{ws}]::DOUBLE[])[i]))"
         )
         terms.append(f"(CASE WHEN {d} > 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+#: Target bucket occupancy for the corpus-sized LSH signature. Verify
+#: work per bucket is O(bucket^2) cosines, so a 64-row target keeps the
+#: per-bucket verify at ~2K scores while total candidate volume stays
+#: ~target * n — LINEAR in the corpus (the pinned planes=LSH_PLANES
+#: form is n^2 / 2^planes, quadratic once n outgrows 2^planes).
+AUTO_PLANES_TARGET = 64
+
+#: Hard ceiling on the derived plane count (bucket id stays int32-safe).
+AUTO_PLANES_MAX = 30
+
+
+def auto_planes(
+    n_rows: int,
+    target_bucket_rows: int = AUTO_PLANES_TARGET,
+    max_planes: int = AUTO_PLANES_MAX,
+) -> int:
+    """Corpus-sized plane count in EXACT integer arithmetic: the
+    smallest p in [LSH_PLANES, max_planes] with target * 2^p >= n
+    (i.e. ceil(log2(n / target)) clamped — :func:`recommended_planes`
+    without the float log2, so an SQL oracle computing the same
+    comparison chain from COUNT(*) matches bit-for-bit at every
+    boundary)."""
+    for p in range(LSH_PLANES, max_planes + 1):
+        if (target_bucket_rows << p) >= n_rows:
+            return p
+    return max_planes
+
+
+def auto_planes_sql(
+    count_from: str = "embeddings",
+    target_bucket_rows: int = AUTO_PLANES_TARGET,
+    max_planes: int = AUTO_PLANES_MAX,
+) -> str:
+    """DuckDB CTE body (one row, column ``planes``) replaying
+    :func:`auto_planes` from a live COUNT(*) — same integer shift
+    comparison, same clamp."""
+    return (
+        f"SELECT COALESCE(MIN(p), {max_planes}) AS planes "
+        f"FROM generate_series({LSH_PLANES}, {max_planes}) t(p), "
+        f"(SELECT COUNT(*) AS n FROM {count_from}) n "
+        f"WHERE (CAST({target_bucket_rows} AS BIGINT) << p) >= n.n"
+    )
+
+
+def lsh_bucket_gated_sql(
+    vec: str,
+    planes_expr: str,
+    dim: int = 64,
+    max_planes: int = AUTO_PLANES_MAX,
+) -> str:
+    """DuckDB bucket signature whose plane COUNT is a runtime scalar
+    (``planes_expr``, e.g. the :func:`auto_planes_sql` CTE's column):
+    all ``max_planes`` literal plane dots are emitted, each bit gated
+    by ``p < planes``. Matches :func:`lsh_bucket` called with
+    ``planes=auto_planes(n)`` for any n the gate can reach."""
+    terms = []
+    for p in range(max_planes):
+        ws = ", ".join(repr(plane_weight_value(p, i)) for i in range(1, dim + 1))
+        d = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i] * (ARRAY[{ws}]::DOUBLE[])[i]))"
+        )
+        terms.append(
+            f"(CASE WHEN {p} < {planes_expr} AND {d} > 0 THEN {2**p} ELSE 0 END)"
+        )
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
 
 
@@ -353,6 +427,7 @@ def grouped_pairs_exact(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 6,
+    group_type: str = "int",
 ) -> DataFrame:
     """Within-group all-pairs cosine >= threshold — the exact-verify
     stage of any cluster/bucket blocking scheme (k-means cells, LSH
@@ -371,7 +446,7 @@ def grouped_pairs_exact(
     """
     import numpy as np
 
-    out_schema = f"id1 long, id2 long, {group_col} int, cos_sim double"
+    out_schema = f"id1 long, id2 long, {group_col} {group_type}, cos_sim double"
 
     def pairs_in_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (g,) = key
@@ -472,15 +547,21 @@ def grouped_topk_exact(
             for j in range(sims.shape[0]):
                 qid = q_ids[lo + j]
                 row = sims[j]
-                order = np.lexsort((m_ids, -row))  # desc cos, asc id
-                picked = [i for i in order[: k + 1] if m_ids[i] != qid][:k]
-                if picked:
+                # mask self-matches BEFORE truncation: with order[:k+1]
+                # a duplicate neighbor id equal to qid (possible when a
+                # streaming corpus re-ingests an id across epochs) would
+                # consume two of the k+1 slots and under-fill the top-k
+                valid = m_ids != qid
+                vids = m_ids[valid]
+                vrow = row[valid]
+                order = np.lexsort((vids, -vrow))[:k]  # desc cos, asc id
+                if order.size:
                     outs.append(
                         pd.DataFrame(
                             {
                                 "query_id": qid,
-                                "neighbor_id": m_ids[picked],
-                                "cos_sim": row[picked],
+                                "neighbor_id": vids[order],
+                                "cos_sim": vrow[order],
                             }
                         )
                     )
@@ -568,15 +649,19 @@ def grouped_adc_topk(
             for j in range(scores.shape[0]):
                 qid = q_ids[lo + j]
                 row = scores[j]
-                order = np.lexsort((m_ids, -row))  # desc adc, asc id
-                picked = [i for i in order[: k + 1] if m_ids[i] != qid][:k]
-                if picked:
+                # self-exclusion before truncation (same duplicate-id
+                # hazard as grouped_topk_exact — see that kernel)
+                valid = m_ids != qid
+                vids = m_ids[valid]
+                vrow = row[valid]
+                order = np.lexsort((vids, -vrow))[:k]  # desc adc, asc id
+                if order.size:
                     outs.append(
                         pd.DataFrame(
                             {
                                 "query_id": qid,
-                                "neighbor_id": m_ids[picked],
-                                "adc_dot": row[picked],
+                                "neighbor_id": vids[order],
+                                "adc_dot": vrow[order],
                             }
                         )
                     )
@@ -763,47 +848,77 @@ def lsh_candidates_multi(
     runs L tables and ORs the candidates: recall -> 1-(1-q)^L while
     the join stays an equi-join on (table, bucket).
 
-    Shape: ONE posexplode (L rows per vector), one capped self-join on
-    (table, bucket), distinct pairs, narrow verify. Cost scales
-    linearly in L; fan-out stays bounded by cap^2 per bucket per
-    table. The oracle-pinned query keeps the single-table form
-    (`sim_lsh_buckets`) — this is the scale/recall path, guarded by
-    the recall tests instead."""
+    Shape: ONE Arrow signature kernel (all L tables' buckets per
+    vector in one pass — the expression form builds L x planes x dim
+    literal Columns, ~10s of py4j plan construction at L=16 before any
+    data moves), capped (table, bucket) groups, per-group numpy-matmul
+    verify (grouped_pairs_exact — one Arrow kernel per bucket instead
+    of a self-join + per-pair expression-tree cosine, which spends ~9s
+    on 250K pairs because HOF lambdas don't fuse into codegen), then
+    distinct pairs across tables. Cost scales linearly in L; fan-out
+    stays bounded by cap^2 per bucket per table. Plane dots accumulate
+    LEFT-TO-RIGHT in the kernel, so the signs (and buckets) are
+    bit-identical to the engine fold / DuckDB list_sum — which is what
+    lets sim_knn_graph_lsh's oracle replay this candidate set exactly.
+    The oracle-pinned query keeps the single-table expression form
+    (`sim_lsh_buckets`)."""
+    import numpy as np
+
     from pipe_s_spark.functions.dedup import cap_group_size
 
-    v = as_double_array(vec_col)
-    buckets = F.array(
-        *[
-            lsh_bucket(F.col("v"), planes=planes, plane_offset=t * planes)
+    dim = 64
+    # (L*planes) x dim plane matrix, row t*planes+p = table t's plane p
+    W = np.array(
+        [
+            [plane_weight_value(t * planes + p, i) for i in range(1, dim + 1)]
             for t in range(n_tables)
-        ]
+            for p in range(planes)
+        ],
+        dtype="float64",
     )
-    e = (
-        corpus.select(F.col(id_col).alias("id"), v.alias("v"))
-        .select("id", "v", F.posexplode(buckets).alias("table_id", "bucket"))
+    pw = (2 ** np.arange(planes, dtype="int64"))
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype("float64")
+            # LEFT-TO-RIGHT accumulation (not matmul): bit-parity of the
+            # dot's sign with F.aggregate's sequential fold and DuckDB's
+            # list_sum — a reordered sum can flip a near-zero plane dot
+            dots = np.zeros((v.shape[0], W.shape[0]), dtype="float64")
+            for i in range(dim):
+                dots += v[:, i : i + 1] * W[None, :, i]
+            bits = (dots > 0).astype("int64")
+            frames = []
+            for t in range(n_tables):
+                bucket = bits[:, t * planes : (t + 1) * planes] @ pw
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gk": t * (2**planes) + bucket,  # collision-free
+                            "id": pdf["id"].to_numpy(),
+                            "v": pdf["v"],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    e = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).mapInPandas(sig_kernel, schema="gk long, id long, v array<double>")
+    e = cap_group_size(e, ["gk"], cap)
+    pairs = grouped_pairs_exact(
+        e,
+        "gk",
+        id_col="id",
+        vec_col="v",
+        threshold=threshold,
+        group_type="long",
     )
-    e = cap_group_size(e, ["table_id", "bucket"], cap)
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    return cand.select(
-        "id1",
-        "id2",
-        F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    # a pair sharing several tables' buckets verifies to the SAME
+    # rounded cosine in each, so dedup on the ids alone is exact
+    return pairs.dropDuplicates(["id1", "id2"]).select("id1", "id2", "cos_sim")
 
 
 def sq8_bounds(emb: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:

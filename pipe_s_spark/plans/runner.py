@@ -304,14 +304,32 @@ def _ivf_pq_books(
         return None
     from pipe_s_spark.functions import similarity as S
 
+    m = int(cfg.get("pqM", S.PQ_M))
+    k = int(cfg.get("pqK", S.PQ_K))
     if "pqBooks" in cfg:
-        return {
+        books = {
             (int(s), int(c)): [int(x) for x in w]
             for s, codes in cfg["pqBooks"].items()
             for c, w in codes.items()
         }
-    m = int(cfg.get("pqM", S.PQ_M))
-    k = int(cfg.get("pqK", S.PQ_K))
+        # geometry validation: the ADC LUT is laid out as m contiguous
+        # k-slot blocks, so a sub >= m or code >= k would silently
+        # scatter LUT entries into a NEIGHBORING subspace's slots
+        # (wrong scores) before the last subspace finally IndexErrors
+        bad_sub = [s for s, _ in books if not 0 <= s < m]
+        bad_code = [c for _, c in books if not 0 <= c < k]
+        if bad_sub or bad_code:
+            raise PipelineSpecError(
+                f"pqBooks geometry disagrees with pqM={m}/pqK={k}: "
+                f"subspaces out of range {sorted(set(bad_sub))}, "
+                f"codes out of range {sorted(set(bad_code))}"
+            )
+        widths = {len(w) for w in books.values()}
+        if len(widths) > 1:
+            raise PipelineSpecError(
+                f"pqBooks codewords have inconsistent widths {sorted(widths)}"
+            )
+        return books
     iters = int(cfg.get("trainIters", 2))
     vec_col = cfg.get("vecCol", "embedding")
     if "trainPath" in cfg:

@@ -376,8 +376,19 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builtin percentile() buffers every group value; see
     # functions.quantile) — bit-identical results
     med = dquantiles(ev, ["event_type"], "value", (0.5,), aliases=("med",))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # dev is consumed by THREE downstream passes (the MAD count agg,
+    # the second dquantiles — itself a multi-pass consumer — and the
+    # flag pass); without materialization each re-derives the
+    # events ⋈ med lineage from the source scan (~30 scans / 51
+    # shuffles measured in PLAN_REPORT — the slowest query in the
+    # bench for no semantic reason). localCheckpoint materializes the
+    # narrow (type, value, med, adev) projection once — exactly the
+    # intermediate a production job would persist between the two
+    # quantile passes.
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=True)
     )
     mad = (
         dev.groupBy("event_type")

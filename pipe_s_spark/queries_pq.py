@@ -78,8 +78,8 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring a candidate is m integer array lookups — no float math, no
     decode. The crossJoin is the documented compressed-domain scan:
     the broadcast side is the bounded query set (10 LUT rows), the
-    corpus side streams map-side over 2-byte codes instead of 256-byte
-    vectors. Training/encode/scoring are exact int64, so the unrolled-
+    corpus side streams map-side over ~10-byte (16x5-bit) codes
+    instead of 256-byte vectors. Training/encode/scoring are exact int64, so the unrolled-
     CTE oracle hash-matches bit-for-bit."""
     idx = _pq_index_cached(spark, sf_dir)
     books = _pq_books_cached(spark, sf_dir)

@@ -187,6 +187,157 @@ FROM (
 """
 
 
+#: Multi-table LSH geometry for the approximate kNN graph (OR over
+#: KNN_LSH_TABLES independent plane sets — see lsh_candidates_multi).
+#: 16 tables: measured edge recall vs the exact graph 0.25 at sf0.01 /
+#: 0.31 at sf0.1 (vs 0.14/0.17 at 8 tables) — candidate cost is linear
+#: in the table count, so recall is bought without any quadratic term.
+KNN_LSH_TABLES = 16
+
+
+def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide APPROXIMATE kNN graph — the scale-safe counterpart
+    of sim_knn_graph (which is exact all-pairs BY CONTRACT and measured
+    alpha_x10 ~ 1.6 in the x10 scaling study): candidates come from
+    multi-table hyperplane LSH (functions.similarity.
+    lsh_candidates_multi — KNN_LSH_TABLES OR-ed hash tables, capped
+    buckets, ONE posexplode + one equi-join), then the same per-node
+    rank-window tail emits each node's top-3 verified-cosine
+    candidates. Cost is linear in corpus size for fixed table count and
+    bucket cap (candidate volume is bounded by cap^2 per bucket per
+    table); recall vs the exact graph is pinned in
+    tests/test_ann_recall.py. The oracle replays all tables' bucket
+    signatures, the cap, the distinct pair union and the rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = S.lsh_candidates_multi(
+        emb,
+        n_tables=KNN_LSH_TABLES,
+        planes=S.LSH_PLANES,
+        cap=SIM_BUCKET_CAP,
+        threshold=-1.0,  # keep every verified candidate: graph edges
+    )
+    both = cand.select(
+        F.col("id1").alias("node_id"), F.col("id2").alias("neighbor_id"), "cos_sim"
+    ).unionByName(
+        cand.select(
+            F.col("id2").alias("node_id"), F.col("id1").alias("neighbor_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("node_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def _sql_sim_knn_graph_lsh() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS table_id, "
+        f"{S.lsh_bucket_sql('v', planes=S.LSH_PLANES, plane_offset=t * S.LSH_PLANES)}"
+        f" AS bucket FROM e"
+        for t in range(KNN_LSH_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tb AS (
+{branches}
+),
+tc AS (
+    SELECT vec_id, table_id, bucket FROM (
+        SELECT vec_id, table_id, bucket,
+               COUNT(*) OVER (PARTITION BY table_id, bucket) AS gs
+        FROM tb
+    ) WHERE gs <= {SIM_BUCKET_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+    FROM tc a JOIN tc b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT id1, id2, ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) AS cos_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = id1
+    JOIN e eb ON eb.vec_id = id2
+),
+both_dir AS (
+    SELECT id1 AS node_id, id2 AS neighbor_id, cos_sim FROM scored
+    UNION ALL
+    SELECT id2 AS node_id, id1 AS neighbor_id, cos_sim FROM scored
+)
+SELECT node_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT node_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY node_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM both_dir
+) WHERE rk <= 3
+"""
+
+
+def q_sim_lsh_buckets_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with a CORPUS-SIZED signature —
+    the scale-safe counterpart of sim_lsh_buckets (whose oracle-pinned
+    planes=8 makes bucket occupancy linear in n and the self-join
+    quadratic: 1.1s -> 18.5s at the x10 leg): the plane count derives
+    deterministically from the live corpus COUNT via
+    functions.similarity.auto_planes — exact integer arithmetic
+    (smallest p with target * 2^p >= n), so the oracle recomputes the
+    identical count-driven geometry and both engines hash the same
+    buckets. Expected bucket size stays ~AUTO_PLANES_TARGET rows, so
+    candidate volume is ~target * n — LINEAR in the corpus — and the
+    per-bucket cap still backstops degenerate (mass-duplicate) keys.
+    At the test SFs (n <= 2000) the derived count equals the pinned
+    LSH_PLANES floor, so results coincide with sim_lsh_buckets; the
+    x10 scaling leg (40K vectors) is where the signature actually
+    widens (10 planes) and the quadratic term disappears."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = S.auto_planes(emb.count())  # scalar metadata collect
+    e = emb.select(
+        "vec_id",
+        S.as_double_array("embedding").alias("v"),
+    ).withColumn("bucket", S.lsh_bucket(F.col("v"), planes=planes))
+    e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(S.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.lit(planes).cast("int").alias("planes"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+def _sql_sim_lsh_buckets_auto() -> str:
+    bucket = S.lsh_bucket_gated_sql("CAST(embedding AS DOUBLE[])", "pl.planes")
+    return f"""
+WITH pl AS ({S.auto_planes_sql('embeddings')}),
+e0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {bucket} AS bucket,
+           CAST(pl.planes AS INTEGER) AS planes
+    FROM embeddings CROSS JOIN pl
+),
+e AS (
+    SELECT vec_id, v, bucket, planes FROM (
+        SELECT vec_id, v, bucket, planes,
+               COUNT(*) OVER (PARTITION BY bucket) AS gs FROM e0
+    ) WHERE gs <= {SIM_BUCKET_CAP}
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+       ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim,
+       a.planes AS planes
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({S.cosine_sql('a.v', 'b.v')}, 6) >= 0.3
+"""
+
+
 def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY EVAL as an oracle-checked query: per probe, the
     recall@5 of the hyperplane-LSH bucket candidates against the exact
@@ -1018,6 +1169,16 @@ def q_sim_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-anchor-window shape as sim_hard_negatives; the extra cost is
     one self-join of two one-row-per-anchor tables."""
     pairs = _semantic_pairs_cached(spark, sf_dir)
+    return _triplets_from_pairs(spark, sf_dir, pairs)
+
+
+def _triplets_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Shared triplet-mining tail over any thresholded (id1, id2,
+    cos_sim) edge list: direction-doubling (narrow), two broadcast label joins,
+    per-anchor rank windows for the best positive / hardest negative,
+    one-row-per-anchor self-join, integer micro-unit margin."""
     both = pairs.select(
         F.col("id1").alias("anchor_id"), F.col("id2").alias("other_id"), "cos_sim"
     ).unionByName(
@@ -1064,16 +1225,34 @@ def q_sim_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sim_triplets() -> str:
-    return f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cand AS (
-    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
-           b.vec_id AS other_id, b.label AS other_label,
-           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
-    FROM e a, e b WHERE a.vec_id <> b.vec_id
-),
-hard AS (SELECT * FROM cand WHERE cos_sim >= 0.45),
+def q_sim_triplets_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING, SCALE-SAFE FORM: the same (anchor, positive,
+    negative, margin) contract as sim_triplets, but the edge list
+    comes from TRAINED-CELL BLOCKING (the session-materialized
+    cell-pairs table: k-means cells as the blocking key, capped cells,
+    one numpy-matmul verify per cell) instead of the exact all-pairs
+    block-matrix kernel. Work is sum-of-cell-size^2 on an equi-join —
+    the x10 scaling study measured the cell-verify source FLAT
+    (alpha_x10 ~ 0) where the exact pair source grows ~1.2 — and the
+    triplet tail itself is broadcast joins + per-anchor windows.
+
+    Hardness threshold: the blocked miner uses the edge list at
+    CELL_PAIRS_BASE_MIN (0.30) rather than sim_triplets' 0.45 —
+    cluster blocking already restricts candidates to semantically
+    close pairs, and anchors holding BOTH a same-label and a
+    different-label >= 0.45 cell-local edge are vanishingly rare
+    (zero at both test SFs, 3 rows corpus-wide even for the exact
+    form at sf0.1). Subset/coverage vs the exact 0.30-threshold
+    triplets is pinned in tests/test_ann_recall.py; the oracle
+    replays training + capping + verify + the same tail."""
+    pairs = _cell_pairs_cached(spark, sf_dir).select("id1", "id2", "cos_sim")
+    return _triplets_from_pairs(spark, sf_dir, pairs)
+
+
+#: Triplet-mining SQL tail over a CTE ``hard(anchor_id, anchor_label,
+#: other_id, other_label, cos_sim)`` — shared by the exact-pair and
+#: blocked-pair oracles (same windows, same margin arithmetic).
+_TRIPLETS_SQL_TAIL = """
 pos AS (
     SELECT anchor_id, anchor_label, other_id AS positive_id, cos_sim AS pos_cos
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -1092,6 +1271,37 @@ SELECT anchor_id, anchor_label, positive_id, negative_id, pos_cos, neg_cos,
        CAST(ROUND((pos_cos - neg_cos) * 1000000) AS BIGINT) AS margin_x1m
 FROM pos JOIN neg USING (anchor_id)
 """
+
+
+def _sql_sim_triplets() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+           b.vec_id AS other_id, b.label AS other_label,
+           ROUND({S.cosine_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+hard AS (SELECT * FROM cand WHERE cos_sim >= 0.45),
+{_TRIPLETS_SQL_TAIL}"""
+
+
+def _sql_sim_triplets_blocked() -> str:
+    return f"""
+WITH {_cell_pairs_sql_ctes()},
+both_dir AS (
+    SELECT id1 AS anchor_id, id2 AS other_id, cos_sim FROM cell_pairs
+    UNION ALL
+    SELECT id2 AS anchor_id, id1 AS other_id, cos_sim FROM cell_pairs
+),
+hard AS (
+    SELECT b.anchor_id, ea.label AS anchor_label,
+           b.other_id, eo.label AS other_label, b.cos_sim
+    FROM both_dir b
+    JOIN embeddings ea ON ea.vec_id = b.anchor_id
+    JOIN embeddings eo ON eo.vec_id = b.other_id
+),
+{_TRIPLETS_SQL_TAIL}"""
 
 
 def q_sim_pair_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,6 +1648,36 @@ def q_sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Verify threshold of the MATERIALIZED trained-cell edge list. Built
+#: once at the LOWEST threshold any consumer needs (the blocked triplet
+#: miner's 0.30); higher-threshold consumers (the 0.45 cell-pairs
+#: report) FILTER the shared table — rounded-cosine >= t2 over a
+#: >= t1 < t2 table is exactly the direct t2 build, so one kernel pass
+#: serves every threshold.
+CELL_PAIRS_BASE_MIN = 0.3
+
+
+def _cell_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized trained-cell near-dup edge list
+    (id1 < id2, cell, cos_sim >= CELL_PAIRS_BASE_MIN) — the
+    blocking-verified pair table the cell-pairs report and the blocked
+    triplet miner both consume. Pair-volume sized and bounded by the
+    per-cell cap, so it is exactly the persisted candidate table a
+    production cluster-then-verify dedup writes once and reads many
+    times."""
+
+    def build() -> DataFrame:
+        idx = _kmeans_index_cached(spark, sf_dir).select("vec_id", "embedding", "cell")
+        capped = D.cap_group_size(idx, ["cell"], SIM_BUCKET_CAP)
+        return S.grouped_pairs_exact(capped, "cell", threshold=CELL_PAIRS_BASE_MIN)
+
+    return SH.materialized(
+        spark,
+        ("cell_pairs", sf_dir, KMEANS_ITERS, SIM_BUCKET_CAP, CELL_PAIRS_BASE_MIN),
+        build,
+    )
+
+
 def q_sim_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs: candidates are vector
     pairs sharing a trained k-means cell (the FAISS-style cluster-then-
@@ -1452,15 +1692,16 @@ def q_sim_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.similarity.grouped_pairs_exact) — the self-join +
     expression-tree cosine form spent ~9s on the same 250K sf0.1
     candidates; the grouped Arrow kernel scores them in well under a
-    second."""
-    idx = _kmeans_index_cached(spark, sf_dir).select("vec_id", "embedding", "cell")
-    capped = D.cap_group_size(idx, ["cell"], SIM_BUCKET_CAP)
-    return S.grouped_pairs_exact(capped, "cell", threshold=0.45)
+    second. Reads the shared 0.30-threshold edge list and filters to
+    0.45 (identical to a direct 0.45 build — see CELL_PAIRS_BASE_MIN)."""
+    return _cell_pairs_cached(spark, sf_dir).filter(F.col("cos_sim") >= 0.45)
 
 
-def _sql_sim_cell_pairs() -> str:
-    return f"""
-WITH {S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
+def _cell_pairs_sql_ctes() -> str:
+    """CTE chain ending in ``cell_pairs(id1, id2, cell, cos_sim)`` —
+    the k-means training + assignment + cap + verify replay shared by
+    the cell-pairs oracle and the blocked-triplets oracle."""
+    return f"""{S.kmeans_sql_ctes(iters=KMEANS_ITERS)},
 assign AS (
     SELECT vec_id, cell FROM (
         SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
@@ -1470,15 +1711,23 @@ counted AS (SELECT cell, COUNT(*) AS csz FROM assign GROUP BY cell),
 keep AS (
     SELECT a.vec_id, a.cell FROM assign a JOIN counted USING (cell)
     WHERE csz <= {SIM_BUCKET_CAP}
-)
-SELECT ka.vec_id AS id1, kb.vec_id AS id2,
-       CAST(ka.cell AS INTEGER) AS cell,
-       ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) AS cos_sim
-FROM keep ka
-JOIN keep kb ON ka.cell = kb.cell AND ka.vec_id < kb.vec_id
-JOIN e ea ON ea.vec_id = ka.vec_id
-JOIN e eb ON eb.vec_id = kb.vec_id
-WHERE ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) >= 0.45
+),
+cell_pairs AS (
+    SELECT ka.vec_id AS id1, kb.vec_id AS id2,
+           CAST(ka.cell AS INTEGER) AS cell,
+           ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) AS cos_sim
+    FROM keep ka
+    JOIN keep kb ON ka.cell = kb.cell AND ka.vec_id < kb.vec_id
+    JOIN e ea ON ea.vec_id = ka.vec_id
+    JOIN e eb ON eb.vec_id = kb.vec_id
+    WHERE ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) >= {CELL_PAIRS_BASE_MIN}
+)"""
+
+
+def _sql_sim_cell_pairs() -> str:
+    return f"""
+WITH {_cell_pairs_sql_ctes()}
+SELECT id1, id2, cell, cos_sim FROM cell_pairs WHERE cos_sim >= 0.45
 """
 
 
@@ -1549,8 +1798,11 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_threshold_pairs": q_sim_threshold_pairs,
     "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_lsh_buckets_auto": q_sim_lsh_buckets_auto,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_knn_graph": q_sim_knn_graph,
+    "sim_knn_graph_lsh": q_sim_knn_graph_lsh,
+    "sim_triplets_blocked": q_sim_triplets_blocked,
     "sim_centroid_confusion": q_sim_centroid_confusion,
     "sim_pair_label_agreement": q_sim_pair_label_agreement,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -1574,8 +1826,11 @@ ORACLES = {
     "sim_cosine_topk": SQL_SIM_TOPK,
     "sim_threshold_pairs": SQL_SIM_THRESHOLD,
     "sim_lsh_buckets": SQL_SIM_LSH,
+    "sim_lsh_buckets_auto": _sql_sim_lsh_buckets_auto(),
     "sim_ivf_topk": SQL_SIM_IVF,
     "sim_knn_graph": SQL_SIM_KNN,
+    "sim_knn_graph_lsh": _sql_sim_knn_graph_lsh(),
+    "sim_triplets_blocked": _sql_sim_triplets_blocked(),
     "sim_centroid_confusion": _sql_sim_centroid_confusion(),
     "sim_pair_label_agreement": _sql_sim_pair_label_agreement(),
     "sim_hard_negatives": _sql_sim_hard_negatives(),

@@ -45,6 +45,18 @@ from pipe_s_spark.functions.dedup import (
     shingles,
 )
 
+#: DEFAULT-ON compaction cadence for every continuous-index sink
+#: (dedup index, IVF/IVFADC index, quarantine ledger). A long-running
+#: stream otherwise accumulates one parquet partition per micro-batch:
+#: O(#batches) directory listing on every strictly-earlier join plus
+#: the classic small-files problem — the same class of silent
+#: operational decay as an uncapped LSH band, so the guard must not
+#: depend on the caller remembering it (the band_cap precedent). 64 =
+#: folds cost amortize to <2% of epochs while partition count stays
+#: bounded at ~2x the cadence; pass ``compact_every=None`` to opt OUT
+#: (e.g. for forensic per-epoch retention), any int to retune.
+DEFAULT_COMPACT_EVERY = 64
+
 
 def _has_batch_partitions(path: str) -> bool:
     """True when ``path`` holds at least one ``batch_id=`` partition —
@@ -70,7 +82,7 @@ def run_dedup_index_stream(
     num_hashes: int = 16,
     bands: int = 4,
     band_cap: int | None = LSH_BAND_CAP,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
@@ -79,7 +91,8 @@ def run_dedup_index_stream(
 
     ``compact_every``: fold committed per-batch partitions of BOTH
     tables every N epochs (compact_index_partitions) so a long-running
-    stream keeps O(1) partitions instead of O(#batches). Safe inside
+    stream keeps O(1) partitions instead of O(#batches). DEFAULT-ON at
+    DEFAULT_COMPACT_EVERY (None opts out). Safe inside
     foreachBatch: when epoch N is executing, every epoch < N is
     committed (epochs are sequential), so watermark = N satisfies the
     compactor's contract and epoch N's own partition is never touched.

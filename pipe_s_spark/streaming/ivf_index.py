@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pipe_s_spark.functions import similarity as S
+from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
 
 #: default per-cell searchable-membership bound — the same constant the
 #: batch ANN queries cap buckets with (queries_llm_shared.SIM_BUCKET_CAP).
@@ -85,7 +86,7 @@ def run_ivf_index_stream(
     nprobe: int = 2,
     k: int = 5,
     cell_cap: int | None = IVF_CELL_CAP,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
     await_seconds: int | None = None,
     pq_books: dict[tuple[int, int], list[int]] | None = None,
     pq_m: int | None = None,
@@ -102,7 +103,8 @@ def run_ivf_index_stream(
     committed per-batch partitions of all three tables every N epochs
     (streaming.dedup_index.compact_index_partitions — the ledger folds
     with ``dedupe=False`` because its (cell, n) rows legitimately
-    repeat across epochs).
+    repeat across epochs). DEFAULT-ON at
+    streaming.dedup_index.DEFAULT_COMPACT_EVERY (None opts out).
 
     With ``pq_books`` (a trained functions.similarity.pq_train_int
     codebook) the index runs in COMPRESSED mode — the FAISS IVFADC
@@ -266,6 +268,16 @@ def apply_ivf_batch(
                 .select(*member_cols)
             )
             corpus = corpus.unionByName(earlier)
+        # restrict the member side to cells THIS batch actually probes
+        # (broadcast semi-join on the distinct probe-cell set — at most
+        # batch x nprobe values): without it every searchable member of
+        # every cell shuffles through the grouped kernel each epoch —
+        # O(index) exchange volume per ingest, exactly the term the
+        # per-epoch cost must not contain at 10^10 vectors. Members of
+        # unprobed cells can never appear in any local top-k, so the
+        # output is unchanged (groups without a query emit nothing).
+        probed = ranked.select(F.explode("probe_cells").alias("cell")).distinct()
+        corpus = corpus.join(F.broadcast(probed), "cell")
         if pq_books is not None:
             # ADC probe: one LUT kernel pass over the batch, then a
             # per-cell LUT-gather kernel (grouped_adc_topk) scores the

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipe_s_spark.operators.expectations import ExpectationSuite
+from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
 
 
 def run_quarantine_gate(
@@ -35,7 +36,7 @@ def run_quarantine_gate(
     quarantine_path: str,
     metrics_path: str,
     checkpoint: str,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
     await_seconds: int | None = None,
 ):
     """Start (and optionally await) the gate on ``stream``.
@@ -58,8 +59,10 @@ def run_quarantine_gate(
     ``dedupe=False`` — ledger rows may legitimately repeat, and the
     intent-log protocol gives exactly-once folding without relying on
     dedup) so a long-running gate keeps O(1) partitions instead of
-    O(#batches). Safe inside foreachBatch: epochs are sequential, so
-    watermark = the current epoch id only touches committed epochs.
+    O(#batches). DEFAULT-ON at streaming.dedup_index.
+    DEFAULT_COMPACT_EVERY (None opts out). Safe inside foreachBatch:
+    epochs are sequential, so watermark = the current epoch id only
+    touches committed epochs.
     """
     for p in (good_path, quarantine_path, metrics_path):
         os.makedirs(p, exist_ok=True)

@@ -136,6 +136,78 @@ def test_multi_table_lsh_amplifies_recall(spark):
     assert recalls[-1] > recalls[0], "extra tables added no recall"
 
 
+def test_knn_graph_lsh_recall_floor_and_subset(spark):
+    """The registered scale-safe kNN graph (sim_knn_graph_lsh) must
+    keep a useful fraction of the exact graph's edges, and every edge
+    it emits must carry the true exact cosine (LSH only BLOCKS; the
+    verify is exact). Deterministic md5 plane family + fixed corpus:
+    measured 0.25 at 16 tables on sf0.01 (0.31 at sf0.1); 0.2 guards a
+    table/cap/bucketing regression without flaking."""
+    from pipe_s_spark.queries_sim import q_sim_knn_graph, q_sim_knn_graph_lsh
+
+    exact_rows = q_sim_knn_graph(spark, SF).collect()
+    exact = {(r["node_id"], r["neighbor_id"]) for r in exact_rows}
+    got_rows = q_sim_knn_graph_lsh(spark, SF).collect()
+    got = {(r["node_id"], r["neighbor_id"]) for r in got_rows}
+    assert exact and len(got & exact) / len(exact) >= 0.2
+    # emitted cosines are exact: any (node, nb) present in BOTH graphs
+    # must agree on cos_sim bit-for-bit (same rounded-exact verify)
+    exact_cos = {(r["node_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_rows}
+    for r in got_rows:
+        key = (r["node_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cos_sim"] == exact_cos[key]
+
+
+def test_triplets_blocked_subset_and_coverage(spark):
+    """Blocked triplet mining (sim_triplets_blocked) vs the exact
+    triplet miner run at the same 0.30 hardness threshold: blocked
+    anchors must be a SUBSET (cell blocking only removes edges, never
+    adds), per-anchor pos/neg cosines can only go DOWN (max over a
+    subset), and anchor coverage must clear a floor. Deterministic
+    training + corpus: measured coverage 0.20 at sf0.01, 0.40 at
+    sf0.1; 0.15 guards a blocking/capping regression."""
+    from pipe_s_spark.functions import similarity as S2
+    from pipe_s_spark.queries_sim import (
+        _triplets_from_pairs,
+        q_sim_triplets_blocked,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact_pairs = S2.threshold_pairs_blocked(emb, threshold=0.3)
+    exact = {r["anchor_id"]: r for r in _triplets_from_pairs(spark, SF, exact_pairs).collect()}
+    blocked = {r["anchor_id"]: r for r in q_sim_triplets_blocked(spark, SF).collect()}
+    assert blocked, "blocked triplets empty at sf0.01"
+    assert set(blocked) <= set(exact), "blocked mined an anchor the exact form lacks"
+    assert len(blocked) / len(exact) >= 0.15
+    for a, r in blocked.items():
+        assert r["pos_cos"] <= exact[a]["pos_cos"]
+        assert r["neg_cos"] <= exact[a]["neg_cos"]
+
+
+def test_auto_planes_formula_and_test_scale_parity(spark):
+    """auto_planes: exact integer boundaries (smallest p with
+    target * 2^p >= n, clamped to [LSH_PLANES, 30]), and at test scale
+    the derived count collapses to the LSH_PLANES floor — so
+    sim_lsh_buckets_auto must emit exactly sim_lsh_buckets' pairs
+    (plus the planes column)."""
+    from pipe_s_spark.queries_sim import q_sim_lsh_buckets, q_sim_lsh_buckets_auto
+
+    assert S.auto_planes(1) == S.LSH_PLANES
+    assert S.auto_planes(64 << 8) == 8          # boundary: exactly fits
+    assert S.auto_planes((64 << 8) + 1) == 9    # one past the boundary
+    assert S.auto_planes(40_000) == 10          # the x10 scaling leg
+    assert S.auto_planes(10**12) == 30          # clamp
+    pinned = {
+        (r["id1"], r["id2"], r["bucket"], r["cos_sim"])
+        for r in q_sim_lsh_buckets(spark, SF).collect()
+    }
+    auto_rows = q_sim_lsh_buckets_auto(spark, SF).collect()
+    assert all(r["planes"] == S.LSH_PLANES for r in auto_rows)
+    auto = {(r["id1"], r["id2"], r["bucket"], r["cos_sim"]) for r in auto_rows}
+    assert auto == pinned
+
+
 def test_pq_adc_recall_above_floor(spark):
     """PQ-ADC ranking (sim_pq_topk) must clear a recall floor against
     brute force. Measured 0.52 at the pinned 16x32 geometry on this

@@ -281,6 +281,29 @@ def test_quarantine_gate_with_compaction(spark, tmp_path):
     assert parts == ["batch_id=1", "batch_id=2"]
 
 
+def test_compaction_is_default_on_across_continuous_sinks():
+    """Compaction must not depend on the caller remembering to opt in
+    (the band_cap precedent): every continuous-index sink's
+    ``compact_every`` DEFAULT is the shared positive cadence constant,
+    so a long-running stream folds partitions without any caller
+    action (None remains the explicit opt-out). The folding mechanism
+    itself is e2e-proven by the compact_every=2 tests in this file and
+    test_ivf_index_stream.py; this pins the default wiring."""
+    import inspect
+
+    from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
+    from pipe_s_spark.streaming.ivf_index import run_ivf_index_stream
+    from pipe_s_spark.streaming.quarantine import run_quarantine_gate
+
+    assert isinstance(DEFAULT_COMPACT_EVERY, int) and DEFAULT_COMPACT_EVERY > 0
+    for fn in (run_dedup_index_stream, run_ivf_index_stream, run_quarantine_gate):
+        default = inspect.signature(fn).parameters["compact_every"].default
+        assert default == DEFAULT_COMPACT_EVERY, (
+            f"{fn.__name__}: compact_every defaults to {default!r}, "
+            f"not the shared DEFAULT_COMPACT_EVERY"
+        )
+
+
 def test_stream_with_auto_compaction_matches_recompute(spark, tmp_path):
     """compact_every folds committed partitions DURING the stream;
     the final pair set still equals the batch recompute and the index

@@ -203,3 +203,33 @@ def test_runner_inline_pq_books_parse(spark):
     cfg = _json.loads(_json.dumps({"pq": True, "pqBooks": cfg_books}))
     assert _ivf_pq_books(spark, cfg) == books
     assert _ivf_pq_books(spark, {"pq": False}) is None
+
+
+def test_runner_inline_pq_books_geometry_validated(spark):
+    """Pinned pqM/pqK that disagree with the inline books' geometry
+    must be REJECTED at parse time: a code >= pqK scatters ADC LUT
+    entries into the next subspace's slots (silently wrong scores for
+    every subspace but the last, which IndexErrors), so the spec error
+    has to fire before any batch runs. Inconsistent codeword widths
+    are the same class of config rot."""
+    import pytest as _pytest
+
+    from pipe_s_spark.plans.runner import PipelineSpecError, _ivf_pq_books
+
+    # code 2 out of range for pqK=2
+    bad_code = {"pq": True, "pqM": 1, "pqK": 2, "pqBooks": {"0": {"2": [1, 2]}}}
+    with _pytest.raises(PipelineSpecError, match="codes out of range"):
+        _ivf_pq_books(spark, bad_code)
+    # subspace 1 out of range for pqM=1
+    bad_sub = {"pq": True, "pqM": 1, "pqK": 4, "pqBooks": {"1": {"0": [1, 2]}}}
+    with _pytest.raises(PipelineSpecError, match="subspaces out of range"):
+        _ivf_pq_books(spark, bad_sub)
+    # ragged codeword widths
+    ragged = {
+        "pq": True,
+        "pqM": 2,
+        "pqK": 4,
+        "pqBooks": {"0": {"0": [1, 2]}, "1": {"0": [1]}},
+    }
+    with _pytest.raises(PipelineSpecError, match="inconsistent widths"):
+        _ivf_pq_books(spark, ragged)

@@ -39,7 +39,8 @@ CROSS_OK = {
     "sim_sq8_recall",
     "sim_sq8_topk",
     # PQ-flat ADC scan: the broadcast side is the bounded query LUT
-    # set (10 rows); the corpus side streams 2-byte codes map-side —
+    # set (10 rows); the corpus side streams ~10-byte (16x5-bit)
+    # codes map-side —
     # the FAISS IndexPQ compressed-domain scan, cross by design
     "sim_pq_topk",
     # recall eval: inherits sim_pq_topk's scan plus the same broadcast

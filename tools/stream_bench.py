@@ -105,6 +105,13 @@ def main() -> None:
             "mb_per_sec": round(total_mb / dt, 1),
         }
 
+        if os.environ.get("SPARK_GRAFT_STREAMBENCH_SKIP_IVF"):
+            # CDC-only mode (tools/stream_scaling.py runs the three CDC
+            # legs at two amplifications; the IVF legs don't depend on
+            # the changelog size and would just repeat)
+            print(json.dumps(out))
+            return
+
         # ANN-index ingest leg: the continuous IVF index's vectors/s —
         # no reference analog (the reference has no ANN surface);
         # measured so the component ships with a number. Centroid
@@ -137,6 +144,35 @@ def main() -> None:
             "sec": round(dt, 2),
             "vectors": n_vec,
             "vectors_per_sec": int(n_vec / dt),
+            "epochs": 4,
+        }
+
+        # fixed-cost vs per-vector split: the SAME corpus in HALF the
+        # epochs (2x batch size). Total probe work is ~unchanged (the
+        # sum over epochs of batch x earlier candidates depends on the
+        # corpus, not the split), so the time delta vs the 4-epoch leg
+        # is ~2 epochs of pure fixed cost (ledger read + window + three
+        # fenced writes + job scheduling); per_epoch_fixed_sec_est and
+        # the per-vector share make the BASELINE.md "fixed-cost bound"
+        # claim a measured number instead of a diagnosis.
+        t0 = time.time()
+        for i in range(2):
+            apply_ivf_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i),
+                i,
+                cents,
+                f"{tmp}/ivf_index_2ep",
+                f"{tmp}/ivf_topk_2ep",
+            )
+        dt2 = time.time() - t0
+        fixed_est = max(0.0, (dt - dt2) / 2)
+        out["legs"]["ivf_ingest_2ep"] = {
+            "sec": round(dt2, 2),
+            "vectors": n_vec,
+            "vectors_per_sec": int(n_vec / dt2),
+            "epochs": 2,
+            "per_epoch_fixed_sec_est": round(fixed_est, 2),
+            "fixed_share_4ep_est": round(min(1.0, fixed_est * 4 / dt), 2),
         }
 
         # compressed (IVFADC) ingest leg: same four epochs, but the
