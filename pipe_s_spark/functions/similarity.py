@@ -830,6 +830,71 @@ def cosine_batch_kernel(
     return kernel
 
 
+def multi_table_signatures(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes: int = LSH_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """All ``n_tables`` tables' bucket signatures per vector in ONE
+    Arrow kernel pass, emitted as ``(gk, id, v)`` with
+    ``gk = table_id * 2^planes + bucket`` (collision-free: buckets are
+    < 2^planes; long, since auto-sized signatures reach 2^30 buckets).
+
+    The expression form (:func:`lsh_bucket` per table) builds
+    L x planes x dim literal Columns — ~10s of py4j plan construction
+    at L=16 before any data moves — and evaluates interpreted HOF
+    folds per row; the kernel computes the same plane dots in numpy
+    with LEFT-TO-RIGHT accumulation (NOT matmul), so every dot's SIGN
+    — hence every bucket — is bit-identical to F.aggregate's
+    sequential fold and to DuckDB's list_sum (the parity
+    sim_knn_graph_lsh's oracle replay rests on; pinned by
+    tests/test_ann_recall.py)."""
+    import numpy as np
+
+    # (L*planes) x dim plane matrix, row t*planes+p = table t's plane p
+    W = np.array(
+        [
+            [plane_weight_value(t * planes + p, i) for i in range(1, dim + 1)]
+            for t in range(n_tables)
+            for p in range(planes)
+        ],
+        dtype="float64",
+    )
+    pw = 2 ** np.arange(planes, dtype="int64")
+
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype("float64")
+            # LEFT-TO-RIGHT accumulation: a reordered sum can flip a
+            # near-zero plane dot and move a vector across buckets
+            dots = np.zeros((v.shape[0], W.shape[0]), dtype="float64")
+            for i in range(dim):
+                dots += v[:, i : i + 1] * W[None, :, i]
+            bits = (dots > 0).astype("int64")
+            frames = []
+            for t in range(n_tables):
+                bucket = bits[:, t * planes : (t + 1) * planes] @ pw
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gk": t * (2**planes) + bucket,
+                            "id": pdf["id"].to_numpy(),
+                            "v": pdf["v"],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).mapInPandas(sig_kernel, schema="gk long, id long, v array<double>")
+
+
 def lsh_candidates_multi(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -862,51 +927,11 @@ def lsh_candidates_multi(
     lets sim_knn_graph_lsh's oracle replay this candidate set exactly.
     The oracle-pinned query keeps the single-table expression form
     (`sim_lsh_buckets`)."""
-    import numpy as np
-
     from pipe_s_spark.functions.dedup import cap_group_size
 
-    dim = 64
-    # (L*planes) x dim plane matrix, row t*planes+p = table t's plane p
-    W = np.array(
-        [
-            [plane_weight_value(t * planes + p, i) for i in range(1, dim + 1)]
-            for t in range(n_tables)
-            for p in range(planes)
-        ],
-        dtype="float64",
+    e = multi_table_signatures(
+        corpus, id_col=id_col, vec_col=vec_col, n_tables=n_tables, planes=planes
     )
-    pw = (2 ** np.arange(planes, dtype="int64"))
-
-    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            v = np.stack(pdf["v"].to_numpy()).astype("float64")
-            # LEFT-TO-RIGHT accumulation (not matmul): bit-parity of the
-            # dot's sign with F.aggregate's sequential fold and DuckDB's
-            # list_sum — a reordered sum can flip a near-zero plane dot
-            dots = np.zeros((v.shape[0], W.shape[0]), dtype="float64")
-            for i in range(dim):
-                dots += v[:, i : i + 1] * W[None, :, i]
-            bits = (dots > 0).astype("int64")
-            frames = []
-            for t in range(n_tables):
-                bucket = bits[:, t * planes : (t + 1) * planes] @ pw
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "gk": t * (2**planes) + bucket,  # collision-free
-                            "id": pdf["id"].to_numpy(),
-                            "v": pdf["v"],
-                        }
-                    )
-                )
-            yield pd.concat(frames)
-
-    e = corpus.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
-    ).mapInPandas(sig_kernel, schema="gk long, id long, v array<double>")
     e = cap_group_size(e, ["gk"], cap)
     pairs = grouped_pairs_exact(
         e,

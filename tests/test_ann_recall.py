@@ -185,6 +185,38 @@ def test_triplets_blocked_subset_and_coverage(spark):
         assert r["neg_cos"] <= exact[a]["neg_cos"]
 
 
+def test_multi_table_signature_kernel_matches_expression(spark):
+    """The multi-table LSH signature kernel (numpy, left-to-right
+    accumulation) must produce bit-identical buckets to the engine's
+    expression form (F.aggregate's sequential fold) for every table —
+    this parity is what lets sim_knn_graph_lsh's DuckDB oracle (which
+    renders the same fold as list_sum) replay the candidate set
+    exactly. A reordered numpy sum (e.g. matmul) can flip a near-zero
+    plane dot and silently move vectors across buckets."""
+    emb = load_table(spark, SF, "embeddings")
+    n_tables, planes = 4, S.LSH_PLANES
+    v = S.as_double_array("embedding")
+    expr = emb.select(
+        "vec_id",
+        *[
+            S.lsh_bucket(v, planes=planes, plane_offset=t * planes).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).collect()
+    want = {
+        (r["vec_id"], t * (2**planes) + r[f"b{t}"])
+        for r in expr
+        for t in range(n_tables)
+    }
+    got = {
+        (r["id"], r["gk"])
+        for r in S.multi_table_signatures(
+            emb, n_tables=n_tables, planes=planes
+        ).collect()
+    }
+    assert got == want
+
+
 def test_auto_planes_formula_and_test_scale_parity(spark):
     """auto_planes: exact integer boundaries (smallest p with
     target * 2^p >= n, clamped to [LSH_PLANES, 30]), and at test scale
