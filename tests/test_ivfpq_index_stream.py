@@ -233,3 +233,11 @@ def test_runner_inline_pq_books_geometry_validated(spark):
     }
     with _pytest.raises(PipelineSpecError, match="inconsistent widths"):
         _ivf_pq_books(spark, ragged)
+    # UNPINNED geometry: a consistent codebook with non-default shape
+    # (32 subspaces > module PQ_M) must still parse — downstream
+    # derives m/k from the books when the config doesn't pin them
+    wide = {
+        "pq": True,
+        "pqBooks": {str(s): {"0": [1, 2]} for s in range(32)},
+    }
+    assert len(_ivf_pq_books(spark, wide)) == 32
