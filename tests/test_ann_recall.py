@@ -185,6 +185,56 @@ def test_triplets_blocked_subset_and_coverage(spark):
         assert r["neg_cos"] <= exact[a]["neg_cos"]
 
 
+def test_auto_planes_sql_matches_python_across_range():
+    """The SQL rendering of auto_planes (generate_series + integer
+    shift comparisons, evaluated by DuckDB from a live COUNT) must
+    equal the Python function for EVERY corpus size, not just the two
+    test SFs the oracle run exercises — including both sides of every
+    2^p boundary and the clamps."""
+    import duckdb
+
+    ns = [1, 2, 1023, 1024, 1025]
+    for p in range(8, 31):
+        ns += [(64 << p) - 1, 64 << p, (64 << p) + 1]
+    ns += [10**12, 10**15]
+    con = duckdb.connect()
+    # substitute the COUNT(*) scalar (materializing range(64<<30) rows
+    # is not feasible); the generate_series / shift / COALESCE logic —
+    # the part that could drift from the Python — still evaluates live
+    template = S.auto_planes_sql(count_from="__CF__")
+    probe = "(SELECT COUNT(*) AS n FROM __CF__) n"
+    assert probe in template
+    for n in ns:
+        sql = template.replace(probe, f"(SELECT CAST({n} AS BIGINT) AS n) n")
+        got = con.execute(sql).fetchone()[0]
+        assert got == S.auto_planes(n), (n, got, S.auto_planes(n))
+
+
+def test_gated_bucket_sql_matches_plain_sql():
+    """lsh_bucket_gated_sql with the gate pinned to p planes must
+    render the same bucket as lsh_bucket_sql(planes=p) — the gated
+    form is what the auto query's oracle evaluates, the plain form is
+    what every pinned oracle has used since round 1 (and is itself
+    pinned to the engine by the oracle suite)."""
+    import duckdb
+
+    con = duckdb.connect()
+    # deterministic pseudo-random test vectors from the same md5 family
+    vec_sql = (
+        "list_transform(generate_series(1, 64), i -> "
+        "(CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0 - 0.5))"
+    )
+    for planes in (8, 10, 12):
+        q = f"""
+        SELECT COUNT(*) FROM (
+            SELECT {S.lsh_bucket_sql('v', planes=planes)} AS a,
+                   {S.lsh_bucket_gated_sql('v', str(planes))} AS b
+            FROM (SELECT {vec_sql} AS v FROM generate_series(1, 50) t(s))
+        ) WHERE a <> b
+        """
+        assert con.execute(q).fetchone()[0] == 0, f"planes={planes}"
+
+
 def test_multi_table_signature_kernel_matches_expression(spark):
     """The multi-table LSH signature kernel (numpy, left-to-right
     accumulation) must produce bit-identical buckets to the engine's
