@@ -214,15 +214,22 @@ def lsh_bucket_gated_sql(
     planes_expr: str,
     dim: int = 64,
     max_planes: int = AUTO_PLANES_MAX,
+    plane_offset: int = 0,
 ) -> str:
     """DuckDB bucket signature whose plane COUNT is a runtime scalar
     (``planes_expr``, e.g. the :func:`auto_planes_sql` CTE's column):
     all ``max_planes`` literal plane dots are emitted, each bit gated
     by ``p < planes``. Matches :func:`lsh_bucket` called with
-    ``planes=auto_planes(n)`` for any n the gate can reach."""
+    ``planes=auto_planes(n)`` for any n the gate can reach.
+    ``plane_offset`` selects a disjoint plane range for multi-table
+    use — it must be a STATIC stride (e.g. table * PLANE_STRIDE), not
+    a multiple of the runtime plane count, because the literal weights
+    are baked per global plane index."""
     terms = []
     for p in range(max_planes):
-        ws = ", ".join(repr(plane_weight_value(p, i)) for i in range(1, dim + 1))
+        ws = ", ".join(
+            repr(plane_weight_value(plane_offset + p, i)) for i in range(1, dim + 1)
+        )
         d = (
             f"list_sum(list_transform(generate_series(1, {dim}), "
             f"i -> {vec}[i] * (ARRAY[{ws}]::DOUBLE[])[i]))"
@@ -231,6 +238,17 @@ def lsh_bucket_gated_sql(
             f"(CASE WHEN {p} < {planes_expr} AND {d} > 0 THEN {2**p} ELSE 0 END)"
         )
     return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+#: Static per-table plane-index stride for COUNT-ADAPTIVE multi-table
+#: LSH: table t draws its planes from global indices
+#: [t*PLANE_STRIDE, t*PLANE_STRIDE + planes). A static stride (>= the
+#: AUTO_PLANES_MAX cap) keeps each table's literal plane matrix
+#: independent of the runtime plane count — the property that lets a
+#: SQL oracle bake the weights while the count still derives from
+#: COUNT(*). (The default offset t*planes would make plane IDENTITY
+#: depend on the derived count.)
+PLANE_STRIDE = 32
 
 
 #: Number of IVF cells (coarse-quantizer partitions).
@@ -837,6 +855,7 @@ def multi_table_signatures(
     n_tables: int = 8,
     planes: int = LSH_PLANES,
     dim: int = 64,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """All ``n_tables`` tables' bucket signatures per vector in ONE
     Arrow kernel pass, emitted as ``(gk, id, v)`` with
@@ -851,13 +870,23 @@ def multi_table_signatures(
     — hence every bucket — is bit-identical to F.aggregate's
     sequential fold and to DuckDB's list_sum (the parity
     sim_knn_graph_lsh's oracle replay rests on; pinned by
-    tests/test_ann_recall.py)."""
+    tests/test_ann_recall.py).
+
+    ``plane_stride``: spacing of each table's global plane indices
+    (table t uses [t*stride, t*stride + planes)). Default None =
+    ``planes`` (tables pack contiguously — the lsh_bucket
+    plane_offset=t*planes family); pass :data:`PLANE_STRIDE` when the
+    plane COUNT is corpus-derived, so plane identity stays static and
+    a SQL oracle can bake the literal weights."""
     import numpy as np
 
+    stride = planes if plane_stride is None else plane_stride
+    if stride < planes:
+        raise ValueError(f"plane_stride {stride} < planes {planes}: tables overlap")
     # (L*planes) x dim plane matrix, row t*planes+p = table t's plane p
     W = np.array(
         [
-            [plane_weight_value(t * planes + p, i) for i in range(1, dim + 1)]
+            [plane_weight_value(t * stride + p, i) for i in range(1, dim + 1)]
             for t in range(n_tables)
             for p in range(planes)
         ],
@@ -903,6 +932,7 @@ def lsh_candidates_multi(
     planes: int = LSH_PLANES,
     cap: int = 1000,
     threshold: float = 0.45,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """OR-amplified hyperplane LSH: ``n_tables`` independent hash
     tables (disjoint plane sets), union of within-bucket candidates,
@@ -930,7 +960,12 @@ def lsh_candidates_multi(
     from pipe_s_spark.functions.dedup import cap_group_size
 
     e = multi_table_signatures(
-        corpus, id_col=id_col, vec_col=vec_col, n_tables=n_tables, planes=planes
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_tables=n_tables,
+        planes=planes,
+        plane_stride=plane_stride,
     )
     e = cap_group_size(e, ["gk"], cap)
     pairs = grouped_pairs_exact(

@@ -201,20 +201,31 @@ def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_x10 ~ 1.6 in the x10 scaling study): candidates come from
     multi-table hyperplane LSH (functions.similarity.
     lsh_candidates_multi — KNN_LSH_TABLES OR-ed hash tables, capped
-    buckets, ONE posexplode + one equi-join), then the same per-node
-    rank-window tail emits each node's top-3 verified-cosine
-    candidates. Cost is linear in corpus size for fixed table count and
-    bucket cap (candidate volume is bounded by cap^2 per bucket per
-    table); recall vs the exact graph is pinned in
-    tests/test_ann_recall.py. The oracle replays all tables' bucket
-    signatures, the cap, the distinct pair union and the rank."""
+    buckets, one Arrow signature pass + one grouped verify kernel),
+    then the same per-node rank-window tail emits each node's top-3
+    verified-cosine candidates.
+
+    FULLY corpus-sized: each table's plane count derives from the live
+    COUNT (functions.similarity.auto_planes — exact integer
+    arithmetic), and tables draw planes at the static PLANE_STRIDE so
+    plane identity does not depend on the derived count — which is
+    what lets the DuckDB oracle bake every table's literal plane
+    matrix while gating the bit count on its own COUNT(*). Expected
+    bucket occupancy therefore stays ~AUTO_PLANES_TARGET rows per
+    table at ANY corpus size: candidate volume is ~tables x target x n
+    (linear), with the per-bucket cap backstopping degenerate keys.
+    Recall vs the exact graph is pinned in tests/test_ann_recall.py;
+    recall at corpus scale is bought with the table count, not bucket
+    width."""
     emb = load_table(spark, sf_dir, "embeddings")
+    planes = S.auto_planes(emb.count())  # scalar metadata collect
     cand = S.lsh_candidates_multi(
         emb,
         n_tables=KNN_LSH_TABLES,
-        planes=S.LSH_PLANES,
+        planes=planes,
         cap=SIM_BUCKET_CAP,
         threshold=-1.0,  # keep every verified candidate: graph edges
+        plane_stride=S.PLANE_STRIDE,
     )
     both = cand.select(
         F.col("id1").alias("node_id"), F.col("id2").alias("neighbor_id"), "cos_sim"
@@ -234,12 +245,15 @@ def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_sim_knn_graph_lsh() -> str:
     branches = "\nUNION ALL\n".join(
         f"    SELECT vec_id, {t} AS table_id, "
-        f"{S.lsh_bucket_sql('v', planes=S.LSH_PLANES, plane_offset=t * S.LSH_PLANES)}"
-        f" AS bucket FROM e"
+        + S.lsh_bucket_gated_sql(
+            "v", "pl.planes", plane_offset=t * S.PLANE_STRIDE
+        )
+        + " AS bucket FROM e CROSS JOIN pl"
         for t in range(KNN_LSH_TABLES)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH pl AS ({S.auto_planes_sql('embeddings')}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 tb AS (
 {branches}
 ),
