@@ -101,20 +101,24 @@ def main() -> None:
     # (the warmup run is discarded); built_timed keys are NOT — a
     # non-empty built_timed means the reported median includes a cache
     # build (e.g. FIFO eviction forced a rebuild) and is not
-    # comparable to a memoized-state round.
+    # comparable to a memoized-state round. Attribution drains the
+    # memo's BUILD-EVENT log rather than diffing live-key snapshots:
+    # a key built in warmup, FIFO-evicted, then REBUILT during a timed
+    # run is net-absent from a snapshot diff (r9 advice) but appears
+    # twice in the event log.
     cache_attr: dict[str, dict[str, list[str]]] = {}
+    SH.drain_build_log()  # discard table-warmup builds
     for name in sorted(qs):
         samples: list[float] = []
-        keys_before = SH.live_keys()
+        built_warmup: list[str] = []
         for i in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
             if i == 0:
-                keys_after_warmup = SH.live_keys()
-        built_warmup = _cache_key_names(keys_after_warmup - keys_before)
-        built_timed = _cache_key_names(SH.live_keys() - keys_after_warmup)
+                built_warmup = _cache_key_names(SH.drain_build_log())
+        built_timed = _cache_key_names(SH.drain_build_log())
         if built_warmup or built_timed:
             cache_attr[name] = {
                 "built_warmup": built_warmup,

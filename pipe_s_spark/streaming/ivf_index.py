@@ -62,6 +62,18 @@ from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
 #: batch ANN queries cap buckets with (queries_llm_shared.SIM_BUCKET_CAP).
 IVF_CELL_CAP = 1000
 
+#: Sub-blocks per probed cell for the local-topk kernel. With few
+#: coarse cells (IVF_CELLS = 8) the grouped kernel runs as #cells
+#: tasks — 8 of 32 local cores — and each task scores
+#: batch/#cells x cell members in one matmul. Salting members by
+#: id % IVF_TOPK_SALT and replicating each query row to every
+#: sub-block multiplies parallelism by the salt at the cost of
+#: salt x query-row duplication; the union of a query's per-sub-block
+#: top-k still contains its global top-k (same (-score, id) order
+#: locally and globally), which the per-query window already
+#: finishes. Output-identical — the salt only changes work placement.
+IVF_TOPK_SALT = 4
+
 
 def _has_batch_partitions(path: str) -> bool:
     """True when ``path`` holds at least one ``batch_id=`` partition —
@@ -91,6 +103,7 @@ def run_ivf_index_stream(
     pq_books: dict[tuple[int, int], list[int]] | None = None,
     pq_m: int | None = None,
     pq_k: int | None = None,
+    topk_salt: int | None = IVF_TOPK_SALT,
 ):
     """Start (and optionally await) the index maintainer on
     ``vec_stream``. The index holds (vec_id, embedding, cell,
@@ -136,6 +149,7 @@ def run_ivf_index_stream(
             pq_books=pq_books,
             pq_m=pq_m,
             pq_k=pq_k,
+            topk_salt=topk_salt,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             from pipe_s_spark.streaming.dedup_index import compact_index_partitions
@@ -176,6 +190,7 @@ def apply_ivf_batch(
     pq_books: dict[tuple[int, int], list[int]] | None = None,
     pq_m: int | None = None,
     pq_k: int | None = None,
+    topk_salt: int | None = IVF_TOPK_SALT,
 ) -> None:
     """One epoch of index maintenance — the foreachBatch body, exposed
     so replay/recovery paths are directly testable: calling this twice
@@ -200,13 +215,12 @@ def apply_ivf_batch(
             pq_k = max(c for _s, c in pq_books) + 1
         dim = len(next(iter(pq_books.values()))) * pq_m
 
-    xq = S.quantize_vec(S.as_double_array(vec_col))
-    probes = S.kmeans_probes_int(xq, centroids, nprobe=nprobe)
-    assigned = batch_df.select(
-        id_col,
-        vec_col,
-        F.element_at(probes, 1).alias("cell"),  # argmax = first probe
-        probes.alias("probe_cells"),
+    # assignment + probe list in ONE Arrow kernel (exact int64 matmul,
+    # bit-identical to the kmeans_probes_int expression path — see
+    # kmeans_assign_probes_table): the interpreted HOF fold form
+    # measured ~1.2 s per 10K-vector epoch just to assign
+    assigned = S.kmeans_assign_probes_table(
+        batch_df, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
     if pq_books is not None:
         # compressed mode: the persisted member payload is the PQ code
@@ -278,6 +292,19 @@ def apply_ivf_batch(
         # output is unchanged (groups without a query emit nothing).
         probed = ranked.select(F.explode("probe_cells").alias("cell")).distinct()
         corpus = corpus.join(F.broadcast(probed), "cell")
+        # sub-block the probed cells (IVF_TOPK_SALT): the grouped
+        # kernel otherwise runs one task per CELL — 8 tasks on a
+        # 32-core local run, and one straggler cell per epoch at scale
+        salt_n = int(topk_salt) if topk_salt else 1
+        corpus = corpus.withColumn(
+            "gc", F.col("cell") * salt_n + F.pmod(F.col(id_col), F.lit(salt_n))
+        )
+
+        def _salted_queries(qdf: DataFrame) -> DataFrame:
+            return qdf.withColumn(
+                "s", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+            ).withColumn("gc", F.col("cell") * salt_n + F.col("s"))
+
         if pq_books is not None:
             # ADC probe: one LUT kernel pass over the batch, then a
             # per-cell LUT-gather kernel (grouped_adc_topk) scores the
@@ -291,12 +318,14 @@ def apply_ivf_batch(
                 ranked.select(id_col, "xq"), pq_books, m=pq_m, k=pq_k, dim=dim,
                 id_col=id_col,
             ).withColumnRenamed(id_col, "query_id")
-            queries = ranked.select(
-                F.col(id_col).alias("query_id"),
-                F.explode("probe_cells").alias("cell"),
-            ).join(luts, "query_id")
+            queries = _salted_queries(
+                ranked.select(
+                    F.col(id_col).alias("query_id"),
+                    F.explode("probe_cells").alias("cell"),
+                ).join(luts, "query_id")
+            )
             local = S.grouped_adc_topk(
-                queries, corpus, "cell", id_col=id_col, m=pq_m, k_codes=pq_k, k=k
+                queries, corpus, "gc", id_col=id_col, m=pq_m, k_codes=pq_k, k=k
             )
             wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
             topk = (
@@ -307,10 +336,12 @@ def apply_ivf_batch(
                 )
             )
         else:
-            queries = ranked.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("q_emb"),
-                F.explode("probe_cells").alias("cell"),
+            queries = _salted_queries(
+                ranked.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("q_emb"),
+                    F.explode("probe_cells").alias("cell"),
+                )
             )
             # per-cell matmul local top-k (similarity.grouped_topk_exact):
             # members cross the wire once per cell instead of once per
@@ -321,7 +352,7 @@ def apply_ivf_batch(
             # its global top-k (same (-cos, id) order locally and
             # globally), which the per-query window below finishes.
             local = S.grouped_topk_exact(
-                queries, corpus, "cell", id_col=id_col, vec_col=vec_col, k=k
+                queries, corpus, "gc", id_col=id_col, vec_col=vec_col, k=k
             )
             wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
             topk = (
@@ -341,13 +372,60 @@ def apply_ivf_batch(
             batch_id,
             index_path,
         )
-        counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-        _overwrite_epoch(counts, batch_id, cells_path)
+        counts = (
+            ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        _write_counts_epoch(counts, batch_id, cells_path)
     finally:
         ranked.unpersist()
 
 
-def _overwrite_epoch(df: DataFrame, batch_id: int, path: str) -> None:
+def _write_counts_epoch(rows, batch_id: int, cells_path: str) -> None:
+    """Driver-side pyarrow write of the O(#cells) ledger partition —
+    a Spark parquet write of ~#cells rows costs a full job + dynamic-
+    partition commit (~0.5 s of pure fixed overhead per epoch, the
+    ledger being the smallest of the three per-epoch writes); writing
+    the already-collected rows directly costs ~ms. Same idempotence
+    contract as the Spark dynamic overwrite: the partition directory
+    is replaced whole, so a replayed epoch rewrites identical content
+    (and a crash mid-write is repaired by the replay). Schema matches
+    the previous Spark write (cell int32, n int64; batch_id stays a
+    hive partition key) so compaction and the base-count reader are
+    unchanged."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    part = os.path.join(cells_path, f"batch_id={batch_id}")
+    tmp = part + "._tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    table = pa.table(
+        {
+            "cell": pa.array([r["cell"] for r in rows], type=pa.int32()),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        }
+    )
+    papq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(part, ignore_errors=True)
+    os.replace(tmp, part)
+
+
+def _overwrite_epoch(
+    df: DataFrame, batch_id: int, path: str, files: int | None = None
+) -> None:
+    """Dynamic-partition overwrite of one epoch. ``files`` optionally
+    bounds the epoch's file count via a repartition (not coalesce —
+    coalesce would collapse the upstream window/kernel stages into
+    ``files`` tasks). Default OFF: an A/B at the 10K-vector epoch
+    scale measured the extra shuffle costing MORE than the many-file
+    commit saves (files=4: 13.6 s / 4 epochs vs unbounded: 10.6 s);
+    small-file growth in the strictly-earlier reads is already handled
+    by compaction (DEFAULT_COMPACT_EVERY). Revisit on a real cluster
+    where the commit is object-store-backed and listing dominates."""
+    if files is not None:
+        df = df.repartition(files)
     (
         df.withColumn("batch_id", F.lit(batch_id).cast("long"))
         .write.mode("overwrite")

@@ -141,15 +141,16 @@ def test_knn_graph_lsh_recall_floor_and_subset(spark):
     keep a useful fraction of the exact graph's edges, and every edge
     it emits must carry the true exact cosine (LSH only BLOCKS; the
     verify is exact). Deterministic md5 plane family + fixed corpus:
-    measured 0.25 at 16 tables on sf0.01 (0.31 at sf0.1); 0.2 guards a
-    table/cap/bucketing regression without flaking."""
+    measured 0.605 at 8 tables WITH radius-1 multiprobe on sf0.01
+    (0.695 at sf0.1) — vs 0.25/0.31 for 16 unprobed tables (r9); 0.5
+    guards a probe/table/cap/bucketing regression without flaking."""
     from pipe_s_spark.queries_sim import q_sim_knn_graph, q_sim_knn_graph_lsh
 
     exact_rows = q_sim_knn_graph(spark, SF).collect()
     exact = {(r["node_id"], r["neighbor_id"]) for r in exact_rows}
     got_rows = q_sim_knn_graph_lsh(spark, SF).collect()
     got = {(r["node_id"], r["neighbor_id"]) for r in got_rows}
-    assert exact and len(got & exact) / len(exact) >= 0.2
+    assert exact and len(got & exact) / len(exact) >= 0.5
     # emitted cosines are exact: any (node, nb) present in BOTH graphs
     # must agree on cos_sim bit-for-bit (same rounded-exact verify)
     exact_cos = {(r["node_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_rows}
@@ -321,3 +322,130 @@ def test_ivfpq_recall_above_floor_and_rerank_helps(spark):
     assert r >= r_adc, (
         f"exact re-rank made recall WORSE than flat ADC: {r:.2f} < {r_adc:.2f}"
     )
+
+
+def test_multiprobe_candidates_are_exactly_hamming_le_1(spark):
+    """Radius-1 multiprobe via masked keys must admit EXACTLY the
+    pairs whose bucket signatures are at Hamming distance <= 1 in some
+    table (the masked-key construction's defining property: equal
+    buckets share the full key, distance-1 pairs share the one masked
+    key at their differing bit, distance>=2 pairs share nothing).
+    Verified against a direct recomputation of every table's bucket
+    from the expression form + popcount — no cap, so no drops."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    n_tables, planes = 2, S.LSH_PLANES
+    v = S.as_double_array("embedding")
+    sigs = emb.select(
+        "vec_id",
+        *[
+            S.lsh_bucket(v, planes=planes, plane_offset=t * S.PLANE_STRIDE).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).collect()
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            for t in range(n_tables):
+                if bin(a[f"b{t}"] ^ b[f"b{t}"]).count("1") <= 1:
+                    lo, hi = sorted((a["vec_id"], b["vec_id"]))
+                    want.add((lo, hi))
+    got = {
+        (r["id1"], r["id2"])
+        for r in S.lsh_candidates_multi(
+            emb,
+            n_tables=n_tables,
+            planes=planes,
+            cap=10**6,
+            threshold=-1.0,
+            plane_stride=S.PLANE_STRIDE,
+            multiprobe=True,
+            coarse_mod=64,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_coarse_packed_path_matches_fine_path(spark):
+    """The coarse-batched, binary-packed verify (coarse_mod + packed +
+    fused cap) must emit row-for-row identical pairs AND cosines to
+    the per-group array<double> path with the upstream cap helper —
+    the coarse key only changes work placement, and the float64 bytes
+    roundtrip is bit-exact."""
+    from pipe_s_spark.functions.dedup import cap_group_size
+
+    emb = load_table(spark, SF, "embeddings")
+    kw = dict(
+        n_tables=4,
+        planes=S.LSH_PLANES,
+        plane_stride=S.PLANE_STRIDE,
+        multiprobe=True,
+    )
+    coarse = {
+        (r["id1"], r["id2"], r["cos_sim"])
+        for r in S.lsh_candidates_multi(
+            emb, cap=64, threshold=-1.0, coarse_mod=32, **kw
+        ).collect()
+    }
+    sig = cap_group_size(S.multi_table_signatures(emb, **kw), ["gk"], 64)
+    fine = {
+        (r["id1"], r["id2"], r["cos_sim"])
+        for r in S.grouped_pairs_exact(
+            sig, "gk", id_col="id", vec_col="v", threshold=-1.0, group_type="long"
+        )
+        .dropDuplicates(["id1", "id2"])
+        .collect()
+    }
+    assert coarse == fine and coarse
+
+
+def test_query_directed_probe_bits_subset_and_rank_rule(spark):
+    """probe_bits=T candidates must be a SUBSET of full radius-1
+    probing (it emits a subset of the masked keys), must still contain
+    every exact-bucket (Hamming-0) pair, and the kernel's chosen mask
+    positions must be the stable-argsort T smallest |dot| planes —
+    recomputed here from the expression-side dots."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    kw = dict(
+        n_tables=2,
+        planes=S.LSH_PLANES,
+        cap=10**6,
+        threshold=-1.0,
+        plane_stride=S.PLANE_STRIDE,
+        multiprobe=True,
+        coarse_mod=32,
+    )
+    full = {
+        (r["id1"], r["id2"])
+        for r in S.lsh_candidates_multi(emb, **kw).collect()
+    }
+    sub = {
+        (r["id1"], r["id2"])
+        for r in S.lsh_candidates_multi(emb, probe_bits=3, **kw).collect()
+    }
+    assert sub <= full
+    exact_bucket = {
+        (r["id1"], r["id2"])
+        for r in S.lsh_candidates_multi(
+            emb,
+            n_tables=2,
+            planes=S.LSH_PLANES,
+            cap=10**6,
+            threshold=-1.0,
+            plane_stride=S.PLANE_STRIDE,
+        ).collect()
+    }
+    assert exact_bucket <= sub, "query-directed probing lost Hamming-0 pairs"
+    # rank rule: recompute each vector's table-0 plane dots driver-side
+    # with the same left-to-right fold and check the emitted masked key
+    # count is exactly 1 + T per (vector, table)
+    rows = S.multi_table_signatures(
+        emb, n_tables=2, planes=S.LSH_PLANES, plane_stride=S.PLANE_STRIDE,
+        multiprobe=True, probe_bits=3, packed=True,
+    ).collect()
+    per_vec: dict = {}
+    for r in rows:
+        per_vec.setdefault(r["id"], 0)
+        per_vec[r["id"]] += 1
+    assert set(per_vec.values()) == {2 * (1 + 3)}

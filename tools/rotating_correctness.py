@@ -1,0 +1,116 @@
+"""Per-round ROTATING correctness sample — a committed artifact whose
+query subset changes every round by a seed the judge can replay.
+
+Why it exists: the driver's own ~50-query gate sample has re-drawn the
+SAME keys for several consecutive rounds, so its cumulative distinct
+coverage stalled while the surface grew; the committed FULL sweeps
+(tools/local_correctness.py -> CORRECTNESS_LOCAL*.json) cover
+everything but are necessarily builder-run. This tool splits the
+difference: the sample is a pure function of the ROUND NUMBER — no
+builder discretion in what gets sampled — so a reviewer can re-run the
+exact same subset with one command and diff the result.
+
+Sample recipe (deterministic, documented in the artifact itself):
+    rank every registered query name by md5(f"r{round}:{name}")
+    and take the first ``size`` (default 40).
+
+Usage: python tools/rotating_correctness.py <round> [size] [sf_dir]
+Writes CORRECTNESS_ROTATING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, duck_con
+
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "CORRECTNESS_ROTATING.json",
+)
+
+
+def rotating_sample(names, round_no: int, size: int) -> list[str]:
+    """First ``size`` names ranked by md5("r{round}:{name}") — stable
+    for a round, disjoint-ish across rounds, replayable by anyone."""
+    return sorted(
+        names,
+        key=lambda n: hashlib.md5(f"r{round_no}:{n}".encode()).hexdigest(),
+    )[:size]
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: rotating_correctness.py <round> [size] [sf_dir]")
+    round_no = int(sys.argv[1])
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    # vanilla session, like the driver gate (tools/local_correctness.py)
+    spark = (
+        SparkSession.builder.appName("rotating_correctness")
+        .master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    sample = rotating_sample(queries.keys(), round_no, size)
+    con = duck_con(sf_dir)
+    rows: dict[str, dict] = {}
+    t_start = time.time()
+    bad = 0
+    for name in sample:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            if name in oracles:
+                compare(df, con, oracles[name])
+                rows[name] = {"status": "pass", "rows": n}
+            else:
+                rows[name] = {"status": "rows-only", "rows": n}
+        except Exception as e:  # noqa: BLE001
+            bad += 1
+            rows[name] = {
+                "status": "FAIL",
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
+        print(f"{name:32s} {time.time() - t0:6.2f}s  {rows[name]['status']}", flush=True)
+    out = {
+        "_meta": {
+            "round": round_no,
+            "size": size,
+            "sf_dir": sf_dir,
+            "recipe": (
+                "sorted(queries, key=md5(f'r{round}:{name}'))[:size] — "
+                f"replay: python tools/rotating_correctness.py {round_no} {size}"
+            ),
+            "pass": sum(1 for v in rows.values() if v["status"] == "pass"),
+            "rows_only": sum(1 for v in rows.values() if v["status"] == "rows-only"),
+            "bad": bad,
+            "elapsed_sec": round(time.time() - t_start, 1),
+        },
+        "results": rows,
+    }
+    with open(ARTIFACT, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"round": round_no, "checked": len(rows), "bad": bad}))
+    spark.stop()
+    if bad:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

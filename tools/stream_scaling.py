@@ -33,8 +33,33 @@ def _run(rows: int) -> dict:
         capture_output=True,
         text=True,
         env=env,
-        check=True,
     )
+    if proc.returncode != 0:
+        # check=True would swallow the leg's stderr, making a crashed
+        # leg undiagnosable from the raised CalledProcessError alone
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"stream_bench.py({rows} rows) exited {proc.returncode}")
+    last = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")][-1]
+    return json.loads(last)
+
+
+def _alpha(t1: float, t10: float, factor: float) -> float | None:
+    """log-ratio growth exponent; None when either 2-decimal-rounded
+    leg time is 0 (the ratio is meaningless, not infinite work)."""
+    if t1 <= 0 or t10 <= 0:
+        return None
+    return round(math.log(t10 / t1) / math.log(factor), 3)
+
+
+def _run_index(corpus: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "index_ingest_bench.py"), corpus],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"index_ingest_bench.py({corpus}) exited {proc.returncode}")
     last = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")][-1]
     return json.loads(last)
 
@@ -53,7 +78,7 @@ def main() -> None:
             "x10_sec": t10,
             "x1_rows_per_sec": x1["legs"][leg]["rows_per_sec"],
             "x10_rows_per_sec": x10["legs"][leg]["rows_per_sec"],
-            "alpha_x10": round(math.log(t10 / t1) / math.log(factor), 3),
+            "alpha_x10": _alpha(t1, t10, factor),
         }
     out = {
         "x1_rows": x1["rows"],
@@ -61,6 +86,37 @@ def main() -> None:
         "factor": round(factor, 2),
         "legs": legs,
     }
+
+    # continuous-index ingest legs (IVF + dedup index): amplification
+    # comes from the CORPUS (x10 dir = 20x documents/embeddings), not
+    # the synthetic changelog row count, so they run through
+    # tools/index_ingest_bench.py at sf0.1 and the amplified corpus —
+    # each in its own subprocess/session like the CDC legs.
+    x10_dir = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/pipe_s_sfx10")
+    if os.path.isdir(x10_dir):
+        ix1 = _run_index("/root/testdata/sf0.1")
+        ix10 = _run_index(x10_dir)
+        index_legs = {}
+        for leg in ("ivf_ingest", "dedup_index_ingest"):
+            a, b = ix1["legs"][leg], ix10["legs"][leg]
+            ifactor = b["rows"] / max(1, a["rows"])
+            index_legs[leg] = {
+                "x1_sec": a["sec"],
+                "x10_sec": b["sec"],
+                "x1_rows": a["rows"],
+                "x10_rows": b["rows"],
+                "factor": round(ifactor, 2),
+                "x1_rows_per_sec": a["rows_per_sec"],
+                "x10_rows_per_sec": b["rows_per_sec"],
+                "alpha_x10": _alpha(a["sec"], b["sec"], ifactor),
+            }
+        out["index_legs"] = index_legs
+    else:
+        sys.stderr.write(
+            f"[stream_scaling] {x10_dir} missing — index ingest legs skipped "
+            "(python tools/make_sfx10.py)\n"
+        )
+
     with open(os.path.join(ROOT, "STREAM_SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
