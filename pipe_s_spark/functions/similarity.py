@@ -548,6 +548,92 @@ def grouped_pairs_exact(
     return coarse.groupBy("_ck").applyInPandas(pairs_in_coarse, schema=out_schema)
 
 
+def grouped_knn_candidates(
+    corpus: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_to: int = 6,
+    coarse_mod: int = 256,
+    cap: int | None = None,
+    packed: bool = False,
+) -> DataFrame:
+    """Per-group DIRECTED local top-k for kNN-GRAPH building: within
+    every ``group_col`` block (an LSH bucket / probe key), each member
+    emits its ``k`` highest-cosine partners — instead of every
+    verified pair. The union of a node's per-group top-k lists
+    provably contains its global top-k (local and global use the same
+    (-cos, id) total order: if fewer than k candidates precede X
+    globally, fewer precede it in any shared group), so the caller's
+    dedup + global rank window produces IDENTICAL graph rows while
+    the kernel emits <= n x groups-per-node x k rows instead of
+    occupancy x groups-per-node x n: under radius-1 multiprobe the
+    all-pairs emission is occupancy x (1+planes) x tables per node
+    (~3,400 rows/node at the 40K-vector x10 leg — the dedup+window
+    shuffle over those raw pairs, not the verify FLOPs, drove the x10
+    exponent to 0.89), vs <= (1+planes) x tables x k here.
+
+    Same coarse-batched, packed-bytes, fused-cap machinery as
+    :func:`grouped_pairs_exact`'s coarse path; members sort by id
+    inside each block so the chunk-wide stable argsort breaks cosine
+    ties toward the smaller neighbor id, matching the downstream
+    window's ORDER BY cos DESC, neighbor ASC."""
+    import numpy as np
+
+    out_schema = "node_id long, neighbor_id long, cos_sim double"
+    empty = pd.DataFrame(
+        {
+            "node_id": np.array([], dtype="int64"),
+            "neighbor_id": np.array([], dtype="int64"),
+            "cos_sim": np.array([], dtype="float64"),
+        }
+    )
+
+    def topk_in_block(ids, mn) -> pd.DataFrame | None:
+        order0 = np.argsort(ids, kind="stable")
+        ids = ids[order0]
+        mn = mn[order0]
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return None
+        sims = (mn @ mn.T).round(round_to)
+        # self-mask: -2.0 sorts after every legal cosine (>= -1); a
+        # group never holds duplicate ids (one row per vector per key)
+        np.fill_diagonal(sims, -2.0)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(sims, order, axis=1)
+        keep = (vals > -1.5).ravel()
+        if not keep.any():
+            return None
+        return pd.DataFrame(
+            {
+                "node_id": np.repeat(ids, kk)[keep],
+                "neighbor_id": ids[order].ravel()[keep],
+                "cos_sim": vals.ravel()[keep],
+            }
+        )
+
+    def _mat(pdf: pd.DataFrame):
+        if packed:
+            m = np.frombuffer(b"".join(pdf[vec_col]), dtype="<f8").reshape(len(pdf), -1)
+        else:
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def knn_in_coarse(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _g, sub in pdf.groupby(group_col, sort=False):
+            if len(sub) > 1 and (cap is None or len(sub) <= cap):
+                out = topk_in_block(sub[id_col].to_numpy(), _mat(sub))
+                if out is not None:
+                    outs.append(out)
+        return pd.concat(outs) if outs else empty
+
+    coarse = corpus.withColumn("_ck", F.col(group_col) % F.lit(int(coarse_mod)))
+    return coarse.groupBy("_ck").applyInPandas(knn_in_coarse, schema=out_schema)
+
+
 def grouped_topk_exact(
     queries: DataFrame,
     members: DataFrame,

@@ -72,6 +72,14 @@ IVF_CELL_CAP = 1000
 #: top-k still contains its global top-k (same (-score, id) order
 #: locally and globally), which the per-query window already
 #: finishes. Output-identical — the salt only changes work placement.
+#:
+#: VECTOR mode only by default: an ADC query row carries its m*k LUT
+#: (~4 KB), so salting multiplies the heaviest column 4x — ~320 MB of
+#: Arrow per 10K-vector epoch — which measured FASTER isolated (1577
+#: vs 1416 v/s) but 2.6x SLOWER inside the full stream_bench session
+#: (535 vs ~1400 v/s), where the CDC legs' checkpoints already
+#: pressure executor memory. apply_ivf_batch resolves topk_salt=None
+#: to IVF_TOPK_SALT for the vector index and 1 for the compressed one.
 IVF_TOPK_SALT = 4
 
 
@@ -103,7 +111,7 @@ def run_ivf_index_stream(
     pq_books: dict[tuple[int, int], list[int]] | None = None,
     pq_m: int | None = None,
     pq_k: int | None = None,
-    topk_salt: int | None = IVF_TOPK_SALT,
+    topk_salt: int | None = None,
 ):
     """Start (and optionally await) the index maintainer on
     ``vec_stream``. The index holds (vec_id, embedding, cell,
@@ -190,7 +198,7 @@ def apply_ivf_batch(
     pq_books: dict[tuple[int, int], list[int]] | None = None,
     pq_m: int | None = None,
     pq_k: int | None = None,
-    topk_salt: int | None = IVF_TOPK_SALT,
+    topk_salt: int | None = None,
 ) -> None:
     """One epoch of index maintenance — the foreachBatch body, exposed
     so replay/recovery paths are directly testable: calling this twice
@@ -294,8 +302,13 @@ def apply_ivf_batch(
         corpus = corpus.join(F.broadcast(probed), "cell")
         # sub-block the probed cells (IVF_TOPK_SALT): the grouped
         # kernel otherwise runs one task per CELL — 8 tasks on a
-        # 32-core local run, and one straggler cell per epoch at scale
-        salt_n = int(topk_salt) if topk_salt else 1
+        # 32-core local run, and one straggler cell per epoch at scale.
+        # None = mode default: salt the vector index, NOT the ADC one
+        # (its 4 KB LUT rows make salt-duplication the dominant cost —
+        # see the IVF_TOPK_SALT note)
+        if topk_salt is None:
+            topk_salt = 1 if pq_books is not None else IVF_TOPK_SALT
+        salt_n = max(1, int(topk_salt))
         corpus = corpus.withColumn(
             "gc", F.col("cell") * salt_n + F.pmod(F.col(id_col), F.lit(salt_n))
         )

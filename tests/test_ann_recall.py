@@ -449,3 +449,45 @@ def test_query_directed_probe_bits_subset_and_rank_rule(spark):
         per_vec.setdefault(r["id"], 0)
         per_vec[r["id"]] += 1
     assert set(per_vec.values()) == {2 * (1 + 3)}
+
+
+def test_grouped_knn_candidates_match_all_pairs_flow(spark):
+    """The directed per-group local-top-k kernel (grouped_knn_candidates
+    — what sim_knn_graph_lsh ships) must produce the IDENTICAL final
+    graph to the all-pairs flow (lsh_candidates_multi at threshold=-1 +
+    symmetrize): the union of a node's per-group top-k lists contains
+    its global top-k under the shared (-cos, id) total order, so local
+    truncation must only drop rows the global window would drop."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, SF, "embeddings")
+    kw = dict(n_tables=4, planes=S.LSH_PLANES, plane_stride=S.PLANE_STRIDE)
+    sig = S.multi_table_signatures(emb, multiprobe=True, packed=True, **kw)
+    cand = S.grouped_knn_candidates(
+        sig, "gk", id_col="id", vec_col="v", k=3, cap=64, coarse_mod=32, packed=True
+    )
+    w = Window.partitionBy("node_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    fast = {
+        (r["node_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in cand.dropDuplicates(["node_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    pairs = S.lsh_candidates_multi(
+        emb, cap=64, threshold=-1.0, multiprobe=True, coarse_mod=32, **kw
+    )
+    both = pairs.select(
+        F.col("id1").alias("node_id"), F.col("id2").alias("neighbor_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("node_id"), F.col("id1").alias("neighbor_id"), "cos_sim"
+        )
+    )
+    slow = {
+        (r["node_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert fast == slow and fast

@@ -121,6 +121,14 @@ def main() -> None:
         from pipe_s_spark.functions.similarity import kmeans_train_int
         from pipe_s_spark.streaming.ivf_index import apply_ivf_batch
 
+        # drop the CDC legs' state before the index legs: the 2M-row
+        # amplified changelog checkpoint (and the merge target's cached
+        # buckets) otherwise stay pinned in executor memory and the IVF
+        # legs time GC/spill pressure instead of the ingest operator —
+        # measured swings up to 2x between identical-code runs
+        log.unpersist()
+        spark.catalog.clearCache()
+
         x10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/pipe_s_sfx10")
         emb_src = x10 if os.path.isdir(x10) else sf_dir
         emb = (
