@@ -746,6 +746,7 @@ def grouped_adc_topk(
     m: int | None = None,
     k_codes: int | None = None,
     k: int = 5,
+    packed: bool = False,
 ) -> DataFrame:
     """Per-group ADC LOCAL top-k — :func:`grouped_topk_exact` for the
     COMPRESSED domain: each query row (carrying its m*k LUT) meets the
@@ -767,6 +768,7 @@ def grouped_adc_topk(
     if k_codes is None:
         k_codes = PQ_K
 
+    lut_null_t = "binary" if packed else "array<bigint>"
     qs = queries.select(
         F.col(group_col).alias("_g"),
         F.lit("q").alias("_role"),
@@ -778,7 +780,7 @@ def grouped_adc_topk(
         F.col(group_col).alias("_g"),
         F.lit("m").alias("_role"),
         F.col(id_col).alias("_id"),
-        F.lit(None).cast("array<bigint>").alias("_lut"),
+        F.lit(None).cast(lut_null_t).alias("_lut"),
         F.col(codes_col).alias("_codes"),
     )
 
@@ -800,7 +802,10 @@ def grouped_adc_topk(
         # (see that kernel for why the per-query loop had to go)
         morder = np.argsort(mm["_id"].to_numpy(), kind="stable")
         m_ids = mm["_id"].to_numpy()[morder]
-        lut = np.stack(qm["_lut"].to_numpy()).astype("int64")
+        if packed:
+            lut = np.frombuffer(b"".join(qm["_lut"]), dtype="<i8").reshape(len(qm), -1)
+        else:
+            lut = np.stack(qm["_lut"].to_numpy()).astype("int64")
         codes = np.stack(mm["_codes"].to_numpy()).astype("int64")[morder]
         outs = []
         chunk = 1024  # bounds the score matrix at chunk x group members
@@ -1812,6 +1817,7 @@ def pq_lut_table(
     k: int = PQ_K,
     dim: int = 64,
     id_col: str = "vec_id",
+    packed: bool = False,
 ) -> DataFrame:
     """Per-query ADC lookup tables from an (id, xq) table: flat
     array<long> of length m*k where slot sub*k + code holds the exact
@@ -1820,7 +1826,14 @@ def pq_lut_table(
     candidate costs m array lookups instead of a dim-length dot
     product — at 100 TB the scan over compressed codes does m adds per
     row instead of dim multiplies. Dropped codes keep slot value 0 (no
-    stored code references them)."""
+    stored code references them).
+
+    ``packed=True`` emits ``lut`` as little-endian int64 BYTES instead
+    of array<bigint>: a LUT row is m*k (512) elements — ~4 KB — and
+    Arrow's per-element list conversion on the batch x probes x LUT
+    rows is the dominant Arrow cost of the streaming ADC ingest (the
+    same list-column tax the packed LSH signatures avoid). Bytes are
+    bit-exact int64; pair with grouped_adc_topk(packed=True)."""
     subdim = dim // m
     books_np = _pq_books_np(books, m, k)
 
@@ -1837,9 +1850,11 @@ def pq_lut_table(
                 lut[:, s * k + live] = _fold_dot_np(
                     XQ[:, s * subdim:(s + 1) * subdim], M
                 )
-            yield type(pdf)({id_col: pdf[id_col], "lut": list(lut)})
+            col = [row.tobytes() for row in lut] if packed else list(lut)
+            yield type(pdf)({id_col: pdf[id_col], "lut": col})
 
-    return df.select(id_col, "xq").mapInPandas(fn, f"{id_col} bigint, lut array<bigint>")
+    lut_t = "binary" if packed else "array<bigint>"
+    return df.select(id_col, "xq").mapInPandas(fn, f"{id_col} bigint, lut {lut_t}")
 
 
 def pq_adc_score(lut: Column, codes: Column, m: int = PQ_M, k: int = PQ_K) -> Column:

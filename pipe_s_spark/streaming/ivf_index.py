@@ -75,10 +75,11 @@ IVF_CELL_CAP = 1000
 #:
 #: VECTOR mode only by default: an ADC query row carries its m*k LUT
 #: (~4 KB), so salting multiplies the heaviest column 4x — ~320 MB of
-#: Arrow per 10K-vector epoch — which measured FASTER isolated (1577
-#: vs 1416 v/s) but 2.6x SLOWER inside the full stream_bench session
-#: (535 vs ~1400 v/s), where the CDC legs' checkpoints already
-#: pressure executor memory. apply_ivf_batch resolves topk_salt=None
+#: Arrow per 10K-vector epoch — measured FASTER isolated (even more so
+#: once LUTs ship as packed bytes: 2144 vs 1884 v/s) but consistently
+#: SLOWER inside the full stream_bench session (1043 vs 1697 v/s
+#: packed; 535 vs ~1400 unpacked), where the CDC legs' state already
+#: pressures executor memory. apply_ivf_batch resolves topk_salt=None
 #: to IVF_TOPK_SALT for the vector index and 1 for the compressed one.
 IVF_TOPK_SALT = 4
 
@@ -327,9 +328,12 @@ def apply_ivf_batch(
             # candidate (the per-pair join form measured 2.7x slower
             # ingest). Scores are exact int64, so ranking (and replay)
             # is deterministic without any rounding convention.
+            # packed=True: a LUT is m*k int64 (~4 KB); Arrow's
+            # per-element list conversion on batch x probes LUT rows
+            # was the dominant Arrow cost of the compressed ingest
             luts = S.pq_lut_table(
                 ranked.select(id_col, "xq"), pq_books, m=pq_m, k=pq_k, dim=dim,
-                id_col=id_col,
+                id_col=id_col, packed=True,
             ).withColumnRenamed(id_col, "query_id")
             queries = _salted_queries(
                 ranked.select(
@@ -338,7 +342,8 @@ def apply_ivf_batch(
                 ).join(luts, "query_id")
             )
             local = S.grouped_adc_topk(
-                queries, corpus, "gc", id_col=id_col, m=pq_m, k_codes=pq_k, k=k
+                queries, corpus, "gc", id_col=id_col, m=pq_m, k_codes=pq_k, k=k,
+                packed=True,
             )
             wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
             topk = (
