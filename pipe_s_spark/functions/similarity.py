@@ -1103,8 +1103,12 @@ def multi_table_signatures(
             if packed:
                 # one bytes object per row, SHARED by reference across
                 # all (table, probe) frames — the concat below copies
-                # references, not buffers
-                vcol = np.array([row.tobytes() for row in v], dtype=object)
+                # references, not buffers. Explicit '<f8' (no-copy on
+                # LE hosts): every consumer decodes little-endian, and
+                # native-order tobytes() on a big-endian executor would
+                # silently corrupt every cosine downstream.
+                v_le = v.astype("<f8", copy=False)
+                vcol = np.array([row.tobytes() for row in v_le], dtype=object)
             else:
                 vcol = pdf["v"].to_numpy()
             frames = []
@@ -1382,6 +1386,15 @@ def kmeans_assign_probes_table(
     import numpy as np
 
     cells_sorted = sorted(cents)
+    if nprobe > len(cells_sorted):
+        # order[:, :nprobe] would silently yield fewer probe cells than
+        # requested — a config typo must fail loudly, not quietly
+        # reduce recall
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the {len(cells_sorted)} trained "
+            "cells — probing every cell is a brute-force scan; pass "
+            f"nprobe <= {len(cells_sorted)}"
+        )
     C = np.array([cents[c] for c in cells_sorted], dtype=np.int64)
     cells_arr = np.array(cells_sorted, dtype=np.int64)
     vec_t = df.schema[vec_col].dataType.simpleString()
@@ -1850,7 +1863,14 @@ def pq_lut_table(
                 lut[:, s * k + live] = _fold_dot_np(
                     XQ[:, s * subdim:(s + 1) * subdim], M
                 )
-            col = [row.tobytes() for row in lut] if packed else list(lut)
+            # explicit '<i8' (no-copy on LE hosts): consumers decode
+            # little-endian, so native-order bytes would corrupt ADC
+            # scores on a big-endian executor
+            col = (
+                [row.tobytes() for row in lut.astype("<i8", copy=False)]
+                if packed
+                else list(lut)
+            )
             yield type(pdf)({id_col: pdf[id_col], "lut": col})
 
     lut_t = "binary" if packed else "array<bigint>"

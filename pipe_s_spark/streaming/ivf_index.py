@@ -416,7 +416,11 @@ def _write_counts_epoch(rows, batch_id: int, cells_path: str) -> None:
     import pyarrow.parquet as papq
 
     part = os.path.join(cells_path, f"batch_id={batch_id}")
-    tmp = part + "._tmp"
+    # leading '_' so Spark partition discovery ignores the staging dir:
+    # a crash between write_table and os.replace leaves it behind, and
+    # a non-hidden "batch_id=N._tmp" would make any ledger read before
+    # the epoch replays fail on the unparseable partition value
+    tmp = os.path.join(cells_path, f"_staging_batch_id={batch_id}")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     table = pa.table(

@@ -437,18 +437,47 @@ def test_query_directed_probe_bits_subset_and_rank_rule(spark):
         ).collect()
     }
     assert exact_bucket <= sub, "query-directed probing lost Hamming-0 pairs"
-    # rank rule: recompute each vector's table-0 plane dots driver-side
-    # with the same left-to-right fold and check the emitted masked key
-    # count is exactly 1 + T per (vector, table)
+    # rank rule: recompute every vector's plane dots driver-side with
+    # the same left-to-right fold and assert the emitted masked gk
+    # values EQUAL the keys derived from stable-argsort of |dot| — a
+    # kernel that picked the T LARGEST margins (or dropped the abs())
+    # would pass a count-only check but fail this one
+    T, planes, n_tables = 3, S.LSH_PLANES, 2
     rows = S.multi_table_signatures(
-        emb, n_tables=2, planes=S.LSH_PLANES, plane_stride=S.PLANE_STRIDE,
-        multiprobe=True, probe_bits=3, packed=True,
+        emb, n_tables=n_tables, planes=planes, plane_stride=S.PLANE_STRIDE,
+        multiprobe=True, probe_bits=T, packed=True,
     ).collect()
-    per_vec: dict = {}
+    got: dict[int, set[int]] = {}
     for r in rows:
-        per_vec.setdefault(r["id"], 0)
-        per_vec[r["id"]] += 1
-    assert set(per_vec.values()) == {2 * (1 + 3)}
+        got.setdefault(r["id"], set()).add(r["gk"])
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    dim = len(next(iter(vecs.values())))
+    W = np.array(
+        [
+            [S.plane_weight_value(t * S.PLANE_STRIDE + p, i) for i in range(1, dim + 1)]
+            for t in range(n_tables)
+            for p in range(planes)
+        ]
+    )
+    V = np.array([vecs[i] for i in sorted(vecs)], dtype="float64")
+    ids = sorted(vecs)
+    dots = np.zeros((len(ids), W.shape[0]))
+    for i in range(dim):  # the kernel's left-to-right fold, bit-exact
+        dots += V[:, i : i + 1] * W[None, :, i]
+    pw = 2 ** np.arange(planes, dtype="int64")
+    width = planes + 1
+    for vi, vid in enumerate(ids):
+        want: set[int] = set()
+        for t in range(n_tables):
+            tdots = dots[vi, t * planes : (t + 1) * planes]
+            bucket = int(((tdots > 0).astype("int64") * pw).sum())
+            want.add((t * width) * (2**planes) + bucket)
+            for j in np.argsort(np.abs(tdots), kind="stable")[:T]:
+                want.add(
+                    (t * width + int(j) + 1) * (2**planes)
+                    + (bucket - (bucket & (1 << int(j))))
+                )
+        assert got[vid] == want, f"vec {vid}: masked keys diverge from rank rule"
 
 
 def test_grouped_knn_candidates_match_all_pairs_flow(spark):

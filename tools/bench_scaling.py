@@ -62,6 +62,13 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 X10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/pipe_s_sfx10")
 
 
+def _fmt_alpha(a) -> str:
+    """stream_scaling's _alpha() returns None when a rounded leg time
+    is 0; formatting None with :.2f would abort the whole SCALING.md
+    regeneration — exactly the case the None guard exists for."""
+    return f"{a:.2f}" if a is not None else "n/a"
+
+
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
@@ -275,7 +282,7 @@ def main() -> None:
             lines.append(
                 f"| {leg} | {v['x1_sec']} | {v['x10_sec']} "
                 f"| {v['x1_rows_per_sec']:,} | {v['x10_rows_per_sec']:,} "
-                f"| {v['alpha_x10']:.2f} |"
+                f"| {_fmt_alpha(v['alpha_x10'])} |"
             )
         lines.append("")
         if ss.get("index_legs"):
@@ -298,7 +305,7 @@ def main() -> None:
                 lines.append(
                     f"| {leg} | {v['x1_sec']} | {v['x10_sec']} "
                     f"| {v['x1_rows_per_sec']:,} | {v['x10_rows_per_sec']:,} "
-                    f"| {v['factor']} | {v['alpha_x10']:.2f} |"
+                    f"| {v['factor']} | {_fmt_alpha(v['alpha_x10'])} |"
                 )
             lines.append("")
     with open(os.path.join(root, "SCALING.md"), "w") as f:
