@@ -747,6 +747,8 @@ def grouped_adc_topk(
     k_codes: int | None = None,
     k: int = 5,
     packed: bool = False,
+    books: dict[tuple[int, int], list[int]] | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Per-group ADC LOCAL top-k — :func:`grouped_topk_exact` for the
     COMPRESSED domain: each query row (carrying its m*k LUT) meets the
@@ -760,15 +762,30 @@ def grouped_adc_topk(
     per-group lists provably contains its global top-k. Self-matches
     are excluded; cap member group size upstream. ``m``/``k_codes``
     default to the module PQ geometry (resolved at call time — this
-    function is defined before the PQ section)."""
+    function is defined before the PQ section).
+
+    With ``books`` (a pq_train_int codebook dict), ``lut_col`` carries
+    the PACKED QUERY ``xq`` (little-endian int64 bytes, dim elements —
+    pq_encode_table(pack_xq=True)'s ``xqb``, ~512 B) instead of a LUT,
+    and the kernel builds each query's LUT in-task from the
+    closure-shipped codebook (m*k*subdim int64 — ~16 KB, a broadcast-
+    sized constant) with the SAME _fold_dot_np int64 fold pq_lut_table
+    uses, so scores stay bit-identical to the shipped-LUT path (pinned
+    by tests/test_pq_property.py). The point is the wire: the heaviest
+    probe column shrinks 8x (m*k=512 LUT slots -> dim=64 xq words), so
+    replicating query rows across probe cells AND salt sub-blocks is
+    ~free — the reason the streaming ADC index can afford the same
+    IVF_TOPK_SALT sub-blocking as the vector mode."""
     import numpy as np
 
     if m is None:
         m = PQ_M
     if k_codes is None:
         k_codes = PQ_K
+    books_np = _pq_books_np(books, m, k_codes) if books is not None else None
+    subdim = dim // m
 
-    lut_null_t = "binary" if packed else "array<bigint>"
+    lut_null_t = "binary" if (packed or books is not None) else "array<bigint>"
     qs = queries.select(
         F.col(group_col).alias("_g"),
         F.lit("q").alias("_role"),
@@ -802,7 +819,20 @@ def grouped_adc_topk(
         # (see that kernel for why the per-query loop had to go)
         morder = np.argsort(mm["_id"].to_numpy(), kind="stable")
         m_ids = mm["_id"].to_numpy()[morder]
-        if packed:
+        if books_np is not None:
+            # in-kernel LUT: decode the packed query xq and rebuild the
+            # table with the identical int64 fold pq_lut_table runs —
+            # O(n * dim * k_codes) adds per task, paid to keep the 8x
+            # heavier LUT column off the wire entirely
+            XQ = np.frombuffer(b"".join(qm["_lut"]), dtype="<i8").reshape(
+                len(qm), dim
+            )
+            lut = np.zeros((len(qm), m * k_codes), dtype=np.int64)
+            for s, (live, M, _csq) in enumerate(books_np):
+                lut[:, s * k_codes + live] = _fold_dot_np(
+                    XQ[:, s * subdim : (s + 1) * subdim], M
+                )
+        elif packed:
             lut = np.frombuffer(b"".join(qm["_lut"]), dtype="<i8").reshape(len(qm), -1)
         else:
             lut = np.stack(qm["_lut"].to_numpy()).astype("int64")
@@ -1779,6 +1809,7 @@ def pq_encode_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_cols: dict[str, str] | None = None,
+    pack_xq: bool = False,
 ) -> DataFrame:
     """PQ-encode a vector table -> (id, xq, codes, keys): quantization
     stays a narrow JVM expression (quantize_vec — one rounding
@@ -1787,7 +1818,10 @@ def pq_encode_table(
     the m-byte compressed vector, keys the per-subspace quantization
     error (int64 micro-units^2). ``carry_cols`` ({name: ddl_type})
     pass extra input columns through the kernel unchanged (e.g. a
-    coarse cell id for IVF-ADC)."""
+    coarse cell id for IVF-ADC). ``pack_xq=True`` adds ``xqb`` — the
+    quantized query as little-endian int64 BYTES (dim*8, ~512 B): the
+    payload grouped_adc_topk's in-kernel-LUT mode consumes, 8x
+    smaller than the m*k LUT it replaces on the wire."""
     subdim = dim // m
     books_np = _pq_books_np(books, m, k)
     carry = dict(carry_cols or {})
@@ -1811,14 +1845,20 @@ def pq_encode_table(
                 "codes": list(codes),
                 "keys": list(keys),
             }
+            if pack_xq:
+                # explicit '<i8' (no-copy on LE hosts) — consumers
+                # decode little-endian (grouped_adc_topk books mode)
+                out["xqb"] = [row.tobytes() for row in XQ.astype("<i8", copy=False)]
             for c in carry:
                 out[c] = pdf[c]
             yield type(pdf)(out)
 
     carry_ddl = "".join(f", {c} {t}" for c, t in carry.items())
+    xqb_ddl = ", xqb binary" if pack_xq else ""
     return src.mapInPandas(
         fn,
         f"{id_col} bigint, xq array<bigint>, codes array<int>, keys array<bigint>"
+        + xqb_ddl
         + carry_ddl,
     )
 

@@ -73,14 +73,15 @@ IVF_CELL_CAP = 1000
 #: locally and globally), which the per-query window already
 #: finishes. Output-identical — the salt only changes work placement.
 #:
-#: VECTOR mode only by default: an ADC query row carries its m*k LUT
-#: (~4 KB), so salting multiplies the heaviest column 4x — ~320 MB of
-#: Arrow per 10K-vector epoch — measured FASTER isolated (even more so
-#: once LUTs ship as packed bytes: 2144 vs 1884 v/s) but consistently
-#: SLOWER inside the full stream_bench session (1043 vs 1697 v/s
-#: packed; 535 vs ~1400 unpacked), where the CDC legs' state already
-#: pressures executor memory. apply_ivf_batch resolves topk_salt=None
-#: to IVF_TOPK_SALT for the vector index and 1 for the compressed one.
+#: BOTH modes salt by default. The ADC mode used to opt out: when its
+#: query rows carried their m*k LUT (~4 KB each), salting multiplied
+#: the heaviest column 4x (~320 MB of Arrow per 10K-vector epoch) —
+#: faster isolated but consistently slower under full-session memory
+#: pressure (1043 vs 1919 v/s). The LUT column no longer exists: ADC
+#: queries ship the packed 512-byte xq and the kernel rebuilds LUTs
+#: in-task from the broadcast-sized codebook (grouped_adc_topk
+#: books=), so salt duplication costs 1/8th of what it did and the
+#: mode keeps its isolated-salting win inside the full session.
 IVF_TOPK_SALT = 4
 
 
@@ -94,6 +95,52 @@ def _has_batch_partitions(path: str) -> bool:
     except FileNotFoundError:
         return False
     return any(e.startswith("batch_id=") for e in entries)
+
+
+#: below this many trained cells, skip the probed-cells broadcast
+#: semi-join on the member side: a batch of any size probes essentially
+#: every cell, so the filter passes everything while costing a full
+#: Spark job (distinct + broadcast build) per epoch. Above it the join
+#: is the term that keeps per-epoch exchange volume O(batch x probed
+#: members) instead of O(index) — see apply_ivf_batch.
+PROBE_FILTER_MIN_CELLS = 64
+
+
+def _read_base_counts(cells_path: str, batch_id: int) -> dict[int, int] | None:
+    """Driver-side pyarrow fold of the strictly-earlier ledger
+    partitions into {cell: count} — the read half of
+    _write_counts_epoch's driver-side write. The ledger is O(#cells x
+    epochs) rows of bounded metadata (and compaction keeps the
+    partition count itself bounded), so reading it through a Spark job
+    + broadcast exchange cost ~0.5 s of pure per-epoch fixed overhead
+    for a table that fits in a dict. Strictly-earlier filtering is on
+    the partition directory name, identical to the Spark read's
+    ``batch_id < batch_id`` filter; compacted partitions (folded to
+    ``batch_id = watermark - 1`` with multiplicity preserved) sum the
+    same. Returns None when no earlier partition exists (epoch 0 /
+    fresh index)."""
+    import pyarrow.parquet as papq
+
+    try:
+        entries = os.listdir(cells_path)
+    except FileNotFoundError:
+        return None
+    base: dict[int, int] = {}
+    seen = False
+    for e in entries:
+        if not e.startswith("batch_id="):
+            continue
+        try:
+            bid = int(e.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid >= batch_id:
+            continue
+        seen = True
+        t = papq.read_table(os.path.join(cells_path, e), columns=["cell", "n"])
+        for c, n in zip(t["cell"].to_pylist(), t["n"].to_pylist()):
+            base[c] = base.get(c, 0) + n
+    return base if seen else None
 
 
 def run_ivf_index_stream(
@@ -134,10 +181,11 @@ def run_ivf_index_stream(
     PQ ``codes`` column instead of the embedding (~26x smaller state
     at the default geometry — the difference between an index that
     fits in RAM at 10^10 vectors and one that doesn't), arriving
-    vectors build their ADC lookup tables once (Arrow kernel), and
-    the probe scores earlier members with m integer array lookups per
-    candidate; topk then holds (query_id, neighbor_id, adc_dot, rk,
-    batch_id). Same strictly-earlier reads, same ledger, same
+    vectors ship their packed 512-byte quantized form to the probe
+    kernel — which rebuilds each query's ADC lookup table in-task
+    from the broadcast-sized codebook — and the probe scores earlier
+    members with m integer array lookups per candidate; topk then
+    holds (query_id, neighbor_id, adc_dot, rk, batch_id). Same strictly-earlier reads, same ledger, same
     replay/compaction contract — everything is exact int64, so a
     replayed epoch rewrites byte-identical partitions."""
     os.makedirs(index_path, exist_ok=True)
@@ -233,8 +281,12 @@ def apply_ivf_batch(
     )
     if pq_books is not None:
         # compressed mode: the persisted member payload is the PQ code
-        # (the m-byte symbol), never the vector; xq rides along ONLY to
-        # build this epoch's query LUTs and is dropped before the write
+        # (the m-byte symbol), never the vector; xqb (packed 512-byte
+        # query) rides along ONLY as this epoch's probe payload — the
+        # ADC kernel rebuilds each query's LUT in-task from the
+        # broadcast-sized codebook, so the 4 KB LUT column never
+        # exists as a DataFrame column at all — and is dropped before
+        # the write
         assigned = S.pq_encode_table(
             assigned,
             pq_books,
@@ -244,37 +296,53 @@ def apply_ivf_batch(
             id_col=id_col,
             vec_col=vec_col,
             carry_cols={"cell": "int", "probe_cells": "array<int>"},
-        ).drop("keys")
+            pack_xq=True,
+        ).drop("keys", "xq")
 
     # per-cell arrival rank: base = committed count of STRICTLY EARLIER
     # members (O(#cells) ledger rows — bounded metadata, never data),
     # plus a deterministic within-batch rank. Replay-safe: the base
     # reads batch_id < this epoch only, so a replayed epoch recomputes
-    # identical ranks even if later epochs already appended.
-    if _has_batch_partitions(cells_path):
-        base = (
-            spark.read.parquet(cells_path)
-            .filter(F.col("batch_id") < batch_id)
-            .groupBy("cell")
-            .agg(F.sum("n").alias("base_n"))
-        )
-    else:
-        base = None
+    # identical ranks even if later epochs already appended. The base
+    # is folded DRIVER-SIDE (pyarrow — _read_base_counts) into a
+    # literal map expression: reading bounded metadata through a Spark
+    # job + broadcast exchange was ~0.5 s of per-epoch fixed cost. A
+    # very large trained cell count falls back to a broadcast join on
+    # a driver-local DataFrame (still no parquet-scan job) — a literal
+    # map with 10^5 entries would bloat the plan tree instead.
+    base_map = _read_base_counts(cells_path, batch_id)
     w = Window.partitionBy("cell").orderBy(id_col)
     ranked = assigned.withColumn("batch_rank", F.row_number().over(w))
-    if base is not None:
-        ranked = ranked.join(F.broadcast(base), "cell", "left").withColumn(
+    if not base_map:
+        ranked = ranked.withColumn("cell_rank", F.col("batch_rank").cast("long"))
+    elif len(base_map) <= 4096:
+        mp = F.create_map(*[F.lit(v) for kv in base_map.items() for v in kv])
+        ranked = ranked.withColumn(
             "cell_rank",
-            (F.coalesce(F.col("base_n"), F.lit(0)) + F.col("batch_rank")).cast("long"),
+            (F.coalesce(mp[F.col("cell")], F.lit(0)) + F.col("batch_rank")).cast(
+                "long"
+            ),
         )
     else:
-        ranked = ranked.withColumn("cell_rank", F.col("batch_rank").cast("long"))
+        base = spark.createDataFrame(
+            list(base_map.items()), "cell int, base_n long"
+        )
+        ranked = (
+            ranked.join(F.broadcast(base), "cell", "left")
+            .withColumn(
+                "cell_rank",
+                (F.coalesce(F.col("base_n"), F.lit(0)) + F.col("batch_rank")).cast(
+                    "long"
+                ),
+            )
+            .drop("base_n")
+        )
     searchable = (
         F.col("cell_rank") <= F.lit(cell_cap) if cell_cap is not None else F.lit(True)
     )
     ranked = (
         ranked.withColumn("searchable", searchable)
-        .drop("batch_rank", "base_n")
+        .drop("batch_rank")
         .persist()
     )
     try:
@@ -298,17 +366,21 @@ def apply_ivf_batch(
         # O(index) exchange volume per ingest, exactly the term the
         # per-epoch cost must not contain at 10^10 vectors. Members of
         # unprobed cells can never appear in any local top-k, so the
-        # output is unchanged (groups without a query emit nothing).
-        probed = ranked.select(F.explode("probe_cells").alias("cell")).distinct()
-        corpus = corpus.join(F.broadcast(probed), "cell")
+        # output is unchanged (groups without a query emit nothing) —
+        # which is also why the join is SKIPPED under
+        # PROBE_FILTER_MIN_CELLS: with few trained cells any batch
+        # probes all of them, so the filter passes everything while its
+        # distinct + broadcast build cost a Spark job per epoch.
+        if len(centroids) >= PROBE_FILTER_MIN_CELLS:
+            probed = ranked.select(F.explode("probe_cells").alias("cell")).distinct()
+            corpus = corpus.join(F.broadcast(probed), "cell")
         # sub-block the probed cells (IVF_TOPK_SALT): the grouped
         # kernel otherwise runs one task per CELL — 8 tasks on a
         # 32-core local run, and one straggler cell per epoch at scale.
-        # None = mode default: salt the vector index, NOT the ADC one
-        # (its 4 KB LUT rows make salt-duplication the dominant cost —
-        # see the IVF_TOPK_SALT note)
+        # Both modes salt now that the ADC probe payload is the packed
+        # 512-byte xq instead of a 4 KB LUT (see IVF_TOPK_SALT note)
         if topk_salt is None:
-            topk_salt = 1 if pq_books is not None else IVF_TOPK_SALT
+            topk_salt = IVF_TOPK_SALT
         salt_n = max(1, int(topk_salt))
         corpus = corpus.withColumn(
             "gc", F.col("cell") * salt_n + F.pmod(F.col(id_col), F.lit(salt_n))
@@ -320,30 +392,28 @@ def apply_ivf_batch(
             ).withColumn("gc", F.col("cell") * salt_n + F.col("s"))
 
         if pq_books is not None:
-            # ADC probe: one LUT kernel pass over the batch, then a
-            # per-cell LUT-gather kernel (grouped_adc_topk) scores the
-            # probed cells' members — the index side never decodes (it
-            # has nothing to decode: it stores codes), and a LUT
-            # crosses the wire once per probed CELL, not once per
-            # candidate (the per-pair join form measured 2.7x slower
-            # ingest). Scores are exact int64, so ranking (and replay)
+            # ADC probe: each query row ships its PACKED xq (512 B) to
+            # the per-cell kernel, which rebuilds the m*k LUT in-task
+            # from the closure-shipped codebook (~16 KB constant) and
+            # LUT-gathers the probed cells' members — the index side
+            # never decodes (it has nothing to decode: it stores
+            # codes), and NOTHING LUT-sized ever crosses the wire (the
+            # shipped-LUT forms measured: per-pair join 2.7x slower;
+            # per-cell packed-LUT rows 8x heavier than xq, which is
+            # what made salting a net loss for this mode before).
+            # Scores are exact int64 — the in-kernel fold is the same
+            # _fold_dot_np pq_lut_table runs — so ranking (and replay)
             # is deterministic without any rounding convention.
-            # packed=True: a LUT is m*k int64 (~4 KB); Arrow's
-            # per-element list conversion on batch x probes LUT rows
-            # was the dominant Arrow cost of the compressed ingest
-            luts = S.pq_lut_table(
-                ranked.select(id_col, "xq"), pq_books, m=pq_m, k=pq_k, dim=dim,
-                id_col=id_col, packed=True,
-            ).withColumnRenamed(id_col, "query_id")
             queries = _salted_queries(
                 ranked.select(
                     F.col(id_col).alias("query_id"),
+                    F.col("xqb"),
                     F.explode("probe_cells").alias("cell"),
-                ).join(luts, "query_id")
+                )
             )
             local = S.grouped_adc_topk(
-                queries, corpus, "gc", id_col=id_col, m=pq_m, k_codes=pq_k, k=k,
-                packed=True,
+                queries, corpus, "gc", lut_col="xqb", id_col=id_col, m=pq_m,
+                k_codes=pq_k, k=k, books=pq_books, dim=dim,
             )
             wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
             topk = (

@@ -204,3 +204,55 @@ def test_grouped_adc_kernel_matches_expression_scoring(spark):
         ).collect()
     }
     assert got == want and len(want) == 15
+
+
+def test_grouped_adc_in_kernel_lut_matches_shipped_lut(spark):
+    """The in-kernel-LUT mode (books= — queries ship their packed
+    512-byte xq and the kernel rebuilds the LUT from the
+    closure-shipped codebook) must be BIT-IDENTICAL to the shipped-LUT
+    mode on the same groups: same _fold_dot_np int64 fold, so every
+    (query, neighbor, adc_dot) triple — scores included — must agree.
+    This is the exactness contract that lets the streaming ADC index
+    keep only the 8x-smaller xq column on the wire."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    vecs = [[float(x) for x in row] for row in rng.uniform(-1, 1, size=(40, DIM))]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    books = S.pq_train_int(df, m=M, k=K, iters=2, dim=DIM, quant=QUANT)
+    enc = S.pq_encode_table(
+        df, books, m=M, k=K, dim=DIM, quant=QUANT, pack_xq=True
+    ).withColumn("cell", (F.col("vec_id") % 3).cast("int"))
+    qs = enc.filter(F.col("vec_id") < 8)
+
+    members = enc.select("cell", "vec_id", "codes")
+    shipped = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"])
+        for r in S.grouped_adc_topk(
+            S.pq_lut_table(qs.select("vec_id", "xq"), books, m=M, k=K, dim=DIM)
+            .join(qs.select("vec_id", "cell"), "vec_id")
+            .select("cell", F.col("vec_id").alias("query_id"), "lut"),
+            members,
+            "cell",
+            m=M,
+            k_codes=K,
+            k=4,
+        ).collect()
+    }
+    in_kernel = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"])
+        for r in S.grouped_adc_topk(
+            qs.select("cell", F.col("vec_id").alias("query_id"), "xqb"),
+            members,
+            "cell",
+            lut_col="xqb",
+            m=M,
+            k_codes=K,
+            k=4,
+            books=books,
+            dim=DIM,
+        ).collect()
+    }
+    assert in_kernel == shipped and len(shipped) > 0

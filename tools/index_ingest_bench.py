@@ -57,6 +57,19 @@ def main() -> None:
         )
         n_vec = emb.count()
         cents = kmeans_train_int(emb, iters=2)
+        # operator warmup (untimed, throwaway index): JIT the assign /
+        # grouped-topk pipelines so the timed epochs measure the
+        # steady-state ingest rate, not whole-stage-codegen compilation
+        # (see tools/stream_bench.py — same protocol)
+        apply_ivf_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 0),
+            0,
+            cents,
+            f"{tmp}/warm_index",
+            f"{tmp}/warm_topk",
+        )
+        for d in ("warm_index", "warm_index.cells", "warm_topk"):
+            shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(
@@ -68,6 +81,43 @@ def main() -> None:
             )
         dt = time.time() - t0
         out["legs"]["ivf_ingest"] = {
+            "sec": round(dt, 2),
+            "rows": n_vec,
+            "rows_per_sec": int(n_vec / dt),
+        }
+
+        # compressed (IVFADC) ingest leg — ask of the r10 brief: the
+        # x10 scaling study covered the vector-mode and dedup indexes
+        # only; this gives `ivfpq_ingest` the same fresh-session
+        # two-scale protocol. Codebook training is the same offline
+        # once-per-corpus step as centroid training (untimed), and the
+        # ADC kernels get their own throwaway warmup epoch (they share
+        # nothing JIT-wise with the vector probe).
+        from pipe_s_spark.functions.similarity import pq_train_int
+
+        books = pq_train_int(emb)
+        apply_ivf_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 0),
+            0,
+            cents,
+            f"{tmp}/warm_pq_index",
+            f"{tmp}/warm_pq_topk",
+            pq_books=books,
+        )
+        for d in ("warm_pq_index", "warm_pq_index.cells", "warm_pq_topk"):
+            shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
+        t0 = time.time()
+        for i in range(4):
+            apply_ivf_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+                i,
+                cents,
+                f"{tmp}/ivfpq_index",
+                f"{tmp}/ivfpq_topk",
+                pq_books=books,
+            )
+        dt = time.time() - t0
+        out["legs"]["ivfpq_ingest"] = {
             "sec": round(dt, 2),
             "rows": n_vec,
             "rows_per_sec": int(n_vec / dt),

@@ -125,9 +125,15 @@ def main() -> None:
         # amplified changelog checkpoint (and the merge target's cached
         # buckets) otherwise stay pinned in executor memory and the IVF
         # legs time GC/spill pressure instead of the ingest operator —
-        # measured swings up to 2x between identical-code runs
+        # measured swings up to 2x between identical-code runs. The
+        # explicit GC + settle drains the CDC legs' shuffle garbage NOW
+        # instead of concurrently inside the first timed index epoch
+        # (r11: the first leg after the CDC section ran ~7 s slower
+        # than the identical work re-run moments later).
         log.unpersist()
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
 
         x10 = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/pipe_s_sfx10")
         emb_src = x10 if os.path.isdir(x10) else sf_dir
@@ -138,6 +144,26 @@ def main() -> None:
         )
         n_vec = emb.count()
         cents = kmeans_train_int(emb, iters=2)
+        # operator warmup (excluded from the timed window, like the
+        # session warmup above): one small epoch into a THROWAWAY index
+        # JITs the assign/topk kernel pipelines — the steady-state
+        # ingest rate is the production-relevant number for an index
+        # that runs forever, and without this the first timed epoch
+        # measures whole-stage-codegen compilation (~3-4 s) instead of
+        # the operator (isolated profile: epoch times 5.3/3.5/2.2/2.2 s
+        # for identical work). The throwaway path keeps the timed
+        # epochs' probe work exactly what it was: every epoch still
+        # probes everything indexed earlier in the REAL index only.
+        apply_ivf_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 0),
+            0,
+            cents,
+            f"{tmp}/warm_index",
+            f"{tmp}/warm_topk",
+        )
+        shutil.rmtree(f"{tmp}/warm_index", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/warm_index.cells", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/warm_topk", ignore_errors=True)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(
@@ -199,6 +225,20 @@ def main() -> None:
             return round(total / 1e6, 2)
 
         books = pq_train_int(emb)
+        # ADC-mode warmup epoch (throwaway index, untimed): the
+        # compressed path runs different kernels (pq_encode +
+        # in-kernel-LUT grouped_adc_topk) that the vector legs never
+        # JIT'd — same rationale as the vector-mode warmup above
+        apply_ivf_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 0),
+            0,
+            cents,
+            f"{tmp}/warm_pq_index",
+            f"{tmp}/warm_pq_topk",
+            pq_books=books,
+        )
+        for d in ("warm_pq_index", "warm_pq_index.cells", "warm_pq_topk"):
+            shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(

@@ -97,7 +97,7 @@ def main() -> None:
         ix1 = _run_index("/root/testdata/sf0.1")
         ix10 = _run_index(x10_dir)
         index_legs = {}
-        for leg in ("ivf_ingest", "dedup_index_ingest"):
+        for leg in ("ivf_ingest", "ivfpq_ingest", "dedup_index_ingest"):
             a, b = ix1["legs"][leg], ix10["legs"][leg]
             ifactor = b["rows"] / max(1, a["rows"])
             index_legs[leg] = {
