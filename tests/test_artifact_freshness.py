@@ -40,3 +40,45 @@ def test_correctness_artifact_rows_are_green():
 
     bad = {name for name, row in data.items() if not green(row)}
     assert not bad, f"non-green artifact rows: {sorted(bad)}"
+
+
+def test_rotating_artifact_is_fresh_and_recipe_true():
+    """The r9/r10 briefs' rotating-sample mitigation only carries
+    evidentiary weight if the committed artifact is (a) from THIS
+    round, (b) green, and (c) exactly the sample the public recipe
+    produces — a stale or hand-picked artifact must fail CI, not
+    review. Round truth = the latest PROGRESS.jsonl row (the driver's
+    own marker); the expected key set is recomputed from the live
+    registry through the same rotating_sample() the tool uses, so a
+    registry change without a re-run also fails here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.rotating_correctness import default_sf_dir, rotating_sample
+
+    with open("/root/repo/PROGRESS.jsonl") as f:
+        rounds = [json.loads(ln)["round"] for ln in f if ln.strip()]
+    current_round = rounds[-1]
+
+    with open("/root/repo/CORRECTNESS_ROTATING.json") as f:
+        art = json.load(f)
+    meta = art["_meta"]
+    assert meta["round"] == current_round, (
+        f"rotating artifact is from round {meta['round']}, driver is on "
+        f"{current_round} — re-run: python tools/rotating_correctness.py "
+        f"{current_round}"
+    )
+    assert meta["bad"] == 0, f"rotating artifact records failures: {meta}"
+    assert meta["sf_dir"] == default_sf_dir(current_round), (
+        "rotating artifact scale violates the parity rule "
+        f"(want {default_sf_dir(current_round)}, got {meta['sf_dir']})"
+    )
+
+    from pipe_s_spark.registry import all_queries
+
+    want = set(rotating_sample(all_queries(), current_round, meta["size"]))
+    got = set(art["results"])
+    assert got == want, (
+        f"artifact keys are not the recipe sample: missing={sorted(want - got)} "
+        f"extra={sorted(got - want)}"
+    )

@@ -12,10 +12,20 @@ exact same subset with one command and diff the result.
 
 Sample recipe (deterministic, documented in the artifact itself):
     rank every registered query name by md5(f"r{round}:{name}")
-    and take the first ``size`` (default 40).
+    and take the first ``size`` (default 60 — at ~1.7 s/query that is
+    ~2 minutes and covers the never-driver-sampled set within ~3
+    rounds).
+
+The default scale ALTERNATES by round parity (default_sf_dir): even
+rounds sweep sf0.01 (the driver gate's scale), odd rounds sf0.1 — so
+across two rounds the rotation exercises both the value-hash grain and
+the 10x data grain with zero builder discretion in either choice.
 
 Usage: python tools/rotating_correctness.py <round> [size] [sf_dir]
 Writes CORRECTNESS_ROTATING.json at the repo root.
+tests/test_artifact_freshness.py pins the committed artifact to this
+recipe: round must match PROGRESS.jsonl's latest round, the key set
+must equal rotating_sample(all_queries(), round, size), and bad == 0.
 """
 
 from __future__ import annotations
@@ -48,12 +58,19 @@ def rotating_sample(names, round_no: int, size: int) -> list[str]:
     )[:size]
 
 
+def default_sf_dir(round_no: int) -> str:
+    """Even rounds sf0.01 (driver-gate scale), odd rounds sf0.1 —
+    parity-determined so the scale choice is as builder-discretion-free
+    as the sample itself."""
+    return "/root/testdata/sf0.01" if round_no % 2 == 0 else "/root/testdata/sf0.1"
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit("usage: rotating_correctness.py <round> [size] [sf_dir]")
     round_no = int(sys.argv[1])
-    size = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else default_sf_dir(round_no)
 
     # vanilla session, like the driver gate (tools/local_correctness.py)
     spark = (
