@@ -379,6 +379,40 @@ def simhash_bands(sig: DataFrame, id_col: str, bits: int = 64, bands: int = 4) -
     )
 
 
+#: contracted graphs at or below this many edges fold DRIVER-SIDE
+#: (one union-find over bounded metadata, zero label-propagation
+#: jobs); larger ones run the distributed hop loop. The contracted
+#: graph has one vertex per task-local component and one edge per
+#: (vertex, extra task it appeared in) — for near-dup corpora it is
+#: orders of magnitude smaller than the edge list, but it CAN reach
+#: O(V) on adversarial partitionings, hence the guarded fallback
+#: rather than an unconditional collect.
+CC_DRIVER_FOLD_MAX_EDGES = 200_000
+
+
+def _min_union_find(pairs):
+    """Union-find with union-by-min: after all unions, find(x) is the
+    MINIMUM element of x's component (every union hangs the larger
+    root under the smaller) — the canonical label both the SQL oracles
+    and the distributed min-label loop produce."""
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return parent, find
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
@@ -390,49 +424,114 @@ def connected_components(
     resolution step of near-dup dedup (candidate pairs -> groups, keep
     one doc per group).
 
-    Iterative min-label propagation: every vertex starts as its own
-    label; each hop a vertex adopts the minimum label among itself
-    and its neighbors, until a fixpoint. Hops needed = graph diameter
-    (near-dup clusters are shallow; ``2 * max_iter`` total hops guards
-    pathology). Each hop is one shuffle (join on vertex) + one
-    aggregation; ``localCheckpoint`` truncates the lineage so plans
-    stay flat at any iteration count — the standard Spark formulation
-    of label propagation (GraphFrames' connectedComponents does the
-    same shape).
+    TWO-PHASE (r10 brief: pure hop-by-hop label propagation pays
+    diameter x per-hop job overhead — ~0.4 s/hop of fixed cost on an
+    800-edge graph whose actual compute is microseconds):
 
-    Convergence detection exploits monotonicity: a hop can only ever
-    LOWER a label, so the labels are unchanged iff the exact
-    decimal(38) label sum is unchanged — two scalar aggregates per
-    hop, no compare-join. The first no-change hop certifies the
-    fixpoint, so a diameter-d graph costs exactly d+1 hops (the old
-    two-hops-per-round + join-count scheme paid up to 2d+2 hops plus a
-    join per round — measured 1.5-2x slower on the sf0.1 dedup family).
+    1. LOCAL fold: repartition the (bidirectional, distinct) edge list
+       by source — co-locating every vertex's adjacency — and run one
+       union-by-min pass per task (mapInPandas). Each task-local
+       component contracts to its minimum vertex id ("local root").
+    2. CONTRACT + resolve: a vertex seen by several tasks ties all its
+       local roots together, so the contracted graph is {(min root of
+       v, other root of v)} over the per-vertex root sets. Any
+       original edge (a, b) was witnessed by exactly one task, which
+       merged a and b locally — so connectivity is exactly preserved
+       through shared roots, and components of the contracted graph
+       lift back to the original by root lookup. The contracted graph
+       is bounded-metadata-sized for real dedup graphs and folds
+       driver-side (CC_DRIVER_FOLD_MAX_EDGES, one union-find — the
+       same bounded-driver-state pattern as the streaming index's
+       cell ledger); above the bound it runs the distributed
+       min-label hop loop (one shuffle join + one aggregation per
+       hop, lineage truncated per hop, convergence = exact
+       decimal(38) label-sum fixpoint — a hop can only LOWER labels,
+       so an unchanged sum certifies the fixpoint).
 
-    Returns (vertex, component) with component = min vertex id reachable.
+    Returns (vertex, component) with component = min vertex id
+    reachable — a fixpoint property independent of which algorithm
+    computed it, which is what keeps the DuckDB oracles valid.
 
-    If the fixpoint is NOT reached within the hop budget the labels
-    are not components — silently returning them would hand the caller
-    split clusters (dedup would keep extra near-dup copies).
-    ``on_non_convergence``: "raise" (default) raises RuntimeError;
-    "warn" logs and returns the partial labels for callers that
-    explicitly tolerate over-segmentation.
+    If the distributed fallback's fixpoint is NOT reached within the
+    hop budget the labels are not components — silently returning
+    them would hand the caller split clusters (dedup would keep extra
+    near-dup copies). ``on_non_convergence``: "raise" (default)
+    raises RuntimeError; "warn" logs and returns the partial labels
+    for callers that explicitly tolerate over-segmentation.
     """
     if on_non_convergence not in ("raise", "warn"):
         raise ValueError(f"on_non_convergence must be 'raise' or 'warn', got {on_non_convergence!r}")
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        # materialize once: every round joins against the edge list, and
-        # without this the (possibly expensive) upstream candidate
-        # pipeline would re-execute per iteration
+    # NO distinct, NO checkpoint here: the fast path reads the edge
+    # list exactly once (inside the per_v job below), duplicate edges
+    # are free no-ops to union-find, and each eliminated shuffle /
+    # materialization job was ~0.2-0.4 s of the fixed cost this
+    # rewrite exists to remove. The distributed fallback dedupes its
+    # own (contracted) edge list.
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vt = und.schema["a"].dataType.simpleString()
+
+    def local_fold(batches):
+        import pandas as pd
+
+        acc: list = []
+        for pdf in batches:
+            if len(pdf):
+                acc.append(pdf)
+        if not acc:
+            return
+        pdf = pd.concat(acc) if len(acc) > 1 else acc[0]
+        parent, find = _min_union_find(zip(pdf["a"], pdf["b"]))
+        verts = list(parent)
+        yield pd.DataFrame({"v": verts, "r": [find(x) for x in verts]})
+
+    # per-vertex root set across tasks: r0 = min root (the vertex's
+    # candidate component label), rs = every root it was folded into
+    per_v = (
+        und.repartition("a")
+        .mapInPandas(local_fold, f"v {vt}, r {vt}")
+        .groupBy("v")
+        .agg(F.min("r").alias("r0"), F.collect_set("r").alias("rs"))
         .localCheckpoint(eager=True)
     )
-    labels = und.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
+    contracted = per_v.select(
+        F.col("r0").alias("ca"), F.explode("rs").alias("cb")
+    ).filter(F.col("ca") != F.col("cb"))
+    # limit(MAX+1) bounds the driver transfer AND answers "is it over
+    # the fold bound" in the same single job a count would cost: a
+    # truncated result proves the graph is too big, an untruncated one
+    # IS the whole contracted edge list
+    probe = contracted.limit(CC_DRIVER_FOLD_MAX_EDGES + 1).collect()
+
+    if not probe:
+        # no root ever tied to another: local roots ARE the components
+        return per_v.select("v", F.col("r0").alias("component"))
+
+    if len(probe) <= CC_DRIVER_FOLD_MAX_EDGES:
+        parent, find = _min_union_find((r["ca"], r["cb"]) for r in probe)
+        labels_c = spark.createDataFrame(
+            [(x, find(x)) for x in list(parent)], f"r0 {vt}, component {vt}"
+        )
+        # labels_c is a driver-local relation of bounded size — Spark
+        # broadcasts it; roots never tied keep themselves as label
+        return per_v.join(labels_c, "r0", "left").select(
+            "v", F.coalesce("component", "r0").alias("component")
+        )
+
+    # distributed fallback: min-label propagation over the CONTRACTED
+    # graph (strictly fewer vertices and hops than the original)
+    und_c = (
+        contracted.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .unionByName(contracted.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und_c.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
 
     def hop(lbl):
         nb_min = (
-            und.join(lbl, und["b"] == lbl["v"])
+            und_c.join(lbl, und_c["b"] == lbl["v"])
             .select(F.col("a").alias("v"), F.col("label").alias("nb"))
             .groupBy("v")
             .agg(F.min("nb").alias("nb"))
@@ -466,7 +565,11 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels.select(F.col("v"), F.col("label").alias("component"))
+    return per_v.join(
+        labels.select(F.col("v").alias("r0"), F.col("label").alias("component")),
+        "r0",
+        "left",
+    ).select("v", F.coalesce("component", "r0").alias("component"))
 
 
 def tfidf_cosine_pairs(

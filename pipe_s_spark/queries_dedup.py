@@ -615,12 +615,16 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out caps; CC cost is driven by the union's component sizes.
 
     The cluster table is session-materialized (functions.shared) like
-    `dedup_clusters` already is: label propagation pays a fixed
-    join+agg+checkpoint cost PER HOP regardless of graph size (the
-    sf0.1 merged graph is 800 undirected edges converging in 4 hops —
-    ~1.6 s of pure per-job overhead, the r8/r9 bench mystery), and a
-    production ensemble writes its component table once per corpus
-    snapshot, not once per downstream read."""
+    `dedup_clusters` already is: a production ensemble writes its
+    component table once per corpus snapshot, not once per downstream
+    read. The COLD build cost itself was attacked in r11: hop-by-hop
+    label propagation paid a fixed join+agg+checkpoint cost PER HOP
+    regardless of graph size (the sf0.1 merged graph is 800 undirected
+    edges converging in 4 hops — ~1.6 s of pure per-job overhead, the
+    r8/r9 bench mystery); functions.dedup.connected_components is now
+    two-phase (per-task union-find + driver fold of the
+    bounded-metadata contracted graph), making the cold CC ~0.97 s and
+    the whole warm-dependency build ~1.2 s in a fresh session."""
 
     def build() -> DataFrame:
         lex = q_dedup_minhash_lsh(spark, sf_dir).filter(

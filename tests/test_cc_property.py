@@ -78,3 +78,31 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_cc_distributed_fallback_matches_union_find(spark, monkeypatch):
+    """Force the contracted graph over CC_DRIVER_FOLD_MAX_EDGES so the
+    distributed min-label hop loop runs (it never triggers naturally
+    at test scale) — both resolution paths must produce the identical
+    min-vertex-id labeling."""
+    import pipe_s_spark.functions.dedup as D
+
+    monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
+    # without this, AQE folds the tiny repartition shuffle into one
+    # task and the local union-find resolves everything — the hop loop
+    # this test exists to pin would never run
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    base = 1_000_000
+    all_edges = []
+    expected: dict[int, int] = {}
+    for g, edges in _random_graphs(seed=61, n_graphs=8):
+        ns_edges = [(g * base + a, g * base + b) for a, b in edges]
+        all_edges.extend(ns_edges)
+        for v, lbl in _union_find(ns_edges).items():
+            expected[v] = lbl
+    df = spark.createDataFrame(all_edges, "d1 long, d2 long")
+    try:
+        got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert got == expected

@@ -498,21 +498,34 @@ def test_schema_registry_get_or_fetch_lazy_refetch(spark):
     assert calls == ["t1"], "fetched schema is cached"
 
 
-def test_connected_components_non_convergence_raises_or_warns(spark):
+def test_connected_components_non_convergence_raises_or_warns(spark, monkeypatch):
     import pytest as _pytest
 
+    import pipe_s_spark.functions.dedup as D
     from pipe_s_spark.functions.dedup import connected_components
 
+    # hop budgets only exist on the DISTRIBUTED fallback (the driver
+    # fold resolves any graph in one union-find pass) — force it. AQE
+    # partition coalescing must also be off: it folds the tiny
+    # repartition shuffle into ONE task, whose local union-find
+    # resolves the whole chain with no hops at all. Scattered over 32
+    # tasks, the 60-edge chain's contracted diameter stays well above
+    # a 2-hop budget (max_iter=1).
+    monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     path_edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "d1 long, d2 long"
+        [(i, i + 1) for i in range(60)], "d1 long, d2 long"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path_edges, max_iter=1)
-    with _pytest.warns(RuntimeWarning, match="did not converge"):
-        partial = connected_components(path_edges, max_iter=1, on_non_convergence="warn")
-        assert partial.count() == 13  # partial labels still returned
-    full = connected_components(path_edges)  # default budget converges
-    assert full.groupBy("component").count().count() == 1
+    try:
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(path_edges, max_iter=1)
+        with _pytest.warns(RuntimeWarning, match="did not converge"):
+            partial = connected_components(path_edges, max_iter=1, on_non_convergence="warn")
+            assert partial.count() == 61  # partial labels still returned
+        full = connected_components(path_edges)  # default budget converges
+        assert full.groupBy("component").count().count() == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def test_fork_multiple_return_branches_rejected(spark):
