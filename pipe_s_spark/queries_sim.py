@@ -246,7 +246,24 @@ def q_sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe factor — with the per-bucket cap backstopping degenerate
     keys. Measured edge recall vs the exact graph: 0.605 at sf0.01 /
     0.695 at sf0.1 (pinned in tests/test_ann_recall.py) — 2.2x the
-    16-table unprobed r9 geometry at comparable cost."""
+    16-table unprobed r9 geometry at comparable cost.
+
+    Why NOT query-directed probing (measured negative result, r11):
+    registering the graph on probe_bits=T (mask only the T
+    smallest-|dot| planes — multi_table_signatures' tested
+    query-directed mode, the r10 brief's suggested signature-volume
+    cut) was measured at T in {4, 5, 6} on both SFs: recall fell to
+    0.335/0.44 (T=4), 0.419/0.526 (T=5), 0.493/0.602 (T=6) —
+    UNDER the 0.5 floor at sf0.01 for every T that saves meaningful
+    signature volume — while wall time moved inside the run-to-run
+    envelope (and T=4 at sf0.1 measured SLOWER: the chosen masks
+    concentrate on near-hyperplane bits, whose shared masked buckets
+    are systematically the crowded ones). A distance-1 pair is found
+    only if the differing bit ranks in BOTH endpoints' T smallest
+    margins, and at this corpus's plane counts (17-20) that joint
+    condition discards too much of the radius-1 recall. The
+    probe_bits mode stays available (and rank-rule-pinned) for
+    callers whose corpora have fewer planes or laxer floors."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = S.auto_planes(_corpus_count(spark, sf_dir))  # memoized scalar
     sig = S.multi_table_signatures(
