@@ -837,15 +837,33 @@ def grouped_adc_topk(
         else:
             lut = np.stack(qm["_lut"].to_numpy()).astype("int64")
         codes = np.stack(mm["_codes"].to_numpy()).astype("int64")[morder]
+        # ADC-as-matmul: scores = LUT @ onehot(codes), one dgemm per
+        # chunk instead of m python-level fancy-gather passes (the
+        # gather loop was the compressed ingest's dominant kernel cost
+        # once everything else was wire-optimal). EXACT despite BLAS
+        # running float64: every score is a sum of m integer LUT
+        # entries, and m * max|entry| < 2^53 keeps every partial sum
+        # in float64's exact-integer range (checked below — the
+        # gather loop remains as the unconditional-exactness fallback
+        # for exotic quantizations).
+        fits_f64 = m * (np.abs(lut).max() if lut.size else 0) < 2**53
+        if fits_f64:
+            onehot = np.zeros((m * k_codes, codes.shape[0]), dtype="float64")
+            flat = codes + np.arange(m, dtype="int64")[None, :] * k_codes
+            onehot[flat.T.ravel(), np.tile(np.arange(codes.shape[0]), m)] = 1.0
+            lutf = lut.astype("float64")
         outs = []
         chunk = 1024  # bounds the score matrix at chunk x group members
         kk = min(k, len(m_ids))
         for lo in range(0, len(q_ids), chunk):
             qb = q_ids[lo : lo + chunk]
             block = lut[lo : lo + chunk]
-            scores = np.zeros((block.shape[0], codes.shape[0]), dtype="int64")
-            for s in range(m):
-                scores += block[:, s * k_codes + codes[:, s]]
+            if fits_f64:
+                scores = (lutf[lo : lo + chunk] @ onehot).astype("int64")
+            else:
+                scores = np.zeros((block.shape[0], codes.shape[0]), dtype="int64")
+                for s in range(m):
+                    scores += block[:, s * k_codes + codes[:, s]]
             # self-exclusion before truncation (same duplicate-id
             # hazard as grouped_topk_exact). Sentinel is -(2^62), NOT
             # int64 min: the argsort negates scores and -int64.min
