@@ -316,7 +316,16 @@ def apply_ivf_batch(
     if not base_map:
         ranked = ranked.withColumn("cell_rank", F.col("batch_rank").cast("long"))
     elif len(base_map) <= 4096:
-        mp = F.create_map(*[F.lit(v) for kv in base_map.items() for v in kv])
+        # explicit casts: F.lit infers int32 vs int64 PER literal, and
+        # a count crossing 2^31 would otherwise mix value types inside
+        # one create_map (analysis error)
+        mp = F.create_map(
+            *[
+                c
+                for cell, n in base_map.items()
+                for c in (F.lit(cell).cast("int"), F.lit(n).cast("long"))
+            ]
+        )
         ranked = ranked.withColumn(
             "cell_rank",
             (F.coalesce(mp[F.col("cell")], F.lit(0)) + F.col("batch_rank")).cast(

@@ -290,8 +290,10 @@ def main() -> None:
                 "## Continuous-index ingest legs (tools/stream_scaling.py"
                 " -> tools/index_ingest_bench.py)",
                 "",
-                "The streaming IVF index (vector mode) and the streaming "
-                "MinHash-LSH dedup index, each ingesting the corpus in 4 "
+                "The streaming IVF index (vector mode), its COMPRESSED "
+                "IVFADC mode (ivfpq_ingest — PQ codes persisted, "
+                "in-kernel ADC LUTs), and the streaming MinHash-LSH "
+                "dedup index, each ingesting the corpus in 4 "
                 "epochs (every epoch probing/banding against everything "
                 "indexed earlier) at sf0.1 and the amplified x10 corpus "
                 "(20x documents/embeddings), fresh session per scale. "
