@@ -220,9 +220,10 @@ CLUSTER_EDGE_MIN = 0.5
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: MinHash candidate pairs above
-    CLUSTER_EDGE_MIN become edges; connected components (iterative
-    min-label propagation, see functions.dedup.connected_components)
-    assign each clustered doc its canonical group = min doc_id. The
+    CLUSTER_EDGE_MIN become edges; connected components (two-phase
+    per-task union-find + contracted-graph fold, see
+    functions.dedup.connected_components) assign each clustered doc
+    its canonical group = min doc_id. The
     oracle replays the same graph via a recursive CTE. The labels table
     is session-materialized: every downstream keep/drop policy consumes
     the SAME clusters table instead of re-running CC (the persisted
