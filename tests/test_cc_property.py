@@ -106,3 +106,23 @@ def test_cc_distributed_fallback_matches_union_find(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert got == expected
+
+
+def test_cc_string_vertices(spark):
+    """The two-phase implementation derives its kernel schema from the
+    edge dtype and unions by min via generic comparison — pin that a
+    STRING vertex graph (e.g. URL or content-hash dedup keys) resolves
+    with lexicographic-min labels on both resolution phases."""
+    edges = [
+        ("b", "c"), ("c", "d"),          # chain -> component "b"
+        ("x", "y"), ("y", "x"),          # both directions + cycle -> "x"
+        ("m", "m"),                      # self-loop singleton -> "m"
+        ("a", "d"),                      # joins the chain -> component "a"
+    ]
+    df = spark.createDataFrame(edges, "d1 string, d2 string")
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "m": "m",
+    }
