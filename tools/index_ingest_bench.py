@@ -70,6 +70,9 @@ def main() -> None:
         )
         for d in ("warm_index", "warm_index.cells", "warm_topk"):
             shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
+        # drain the warmup epoch's garbage (see tools/stream_bench.py)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(
@@ -106,6 +109,8 @@ def main() -> None:
         )
         for d in ("warm_pq_index", "warm_pq_index.cells", "warm_pq_topk"):
             shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(

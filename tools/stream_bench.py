@@ -164,6 +164,13 @@ def main() -> None:
         shutil.rmtree(f"{tmp}/warm_index", ignore_errors=True)
         shutil.rmtree(f"{tmp}/warm_index.cells", ignore_errors=True)
         shutil.rmtree(f"{tmp}/warm_topk", ignore_errors=True)
+        # drain the WARMUP epoch's own garbage too: without this the
+        # first timed epoch still collected it concurrently (measured
+        # ~2-5 s of first-leg penalty the 2-epoch leg never paid;
+        # with it the in-session 4-epoch rate matches the isolated
+        # profile)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(
@@ -239,6 +246,8 @@ def main() -> None:
         )
         for d in ("warm_pq_index", "warm_pq_index.cells", "warm_pq_topk"):
             shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
         t0 = time.time()
         for i in range(4):
             apply_ivf_batch(
