@@ -384,3 +384,42 @@ def test_jaccard_pairs_matches_bruteforce_random_corpus(spark, seed):
 
     assert got == pytest.approx(want)
     assert any(v == 1.0 for v in got.values())  # the planted dups
+
+
+def test_ivf_epoch_job_count_pinned(spark, tmp_path):
+    """The r11 fixed-cost work removed two whole Spark jobs from every
+    index epoch (the strictly-earlier ledger read + broadcast build,
+    and the probed-cells distinct under PROBE_FILTER_MIN_CELLS); at
+    the 10K-vector grain those jobs were ~25% of steady-state ingest
+    time. Pin the steady-state epoch's job count so a regression that
+    reintroduces a per-epoch scan job (ledger via Spark read, probe
+    semi-join at small cell counts, an extra count) trips CI instead
+    of only the bench. Measured: 9 jobs/epoch (AQE decomposes the two
+    writes + counts collect into sub-jobs); the bound leaves +1 slack
+    for AQE plan-shape variation — a reintroduced read+broadcast
+    costs at least +2."""
+    from pyspark.sql import functions as F
+
+    from pipe_s_spark.functions.similarity import kmeans_train_int
+    from pipe_s_spark.streaming.ivf_index import apply_ivf_batch
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    cents = kmeans_train_int(emb, iters=2)
+    ix, tk = str(tmp_path / "ix"), str(tmp_path / "tk")
+    for i in range(2):
+        apply_ivf_batch(
+            emb.filter(F.pmod("vec_id", F.lit(3)) == i), i, cents, ix, tk
+        )
+    store = spark.sparkContext._jsc.sc().statusStore()
+    n0 = store.jobsList(None).size()
+    apply_ivf_batch(emb.filter(F.pmod("vec_id", F.lit(3)) == 2), 2, cents, ix, tk)
+    jobs = store.jobsList(None).size() - n0
+    assert jobs <= 10, (
+        f"steady-state IVF epoch launched {jobs} Spark jobs (pinned <= 10): "
+        "a per-epoch fixed job crept back in (ledger read? probe semi-join "
+        "below PROBE_FILTER_MIN_CELLS? extra action?)"
+    )
