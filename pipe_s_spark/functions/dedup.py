@@ -389,6 +389,20 @@ def simhash_bands(sig: DataFrame, id_col: str, bits: int = 64, bands: int = 4) -
 #: rather than an unconditional collect.
 CC_DRIVER_FOLD_MAX_EDGES = 200_000
 
+#: local_fold emits its (vertex, root) table in slices of this many
+#: rows so a skewed partition never materializes as a single Arrow
+#: record batch proportional to partition size (Arrow/JVM batches cap
+#: at 2 GB; 1M rows of two columns stays comfortably inside it).
+CC_LOCAL_FOLD_CHUNK_ROWS = 1_000_000
+
+#: telemetry for the most recent connected_components call — how big
+#: the contracted graph actually was and which resolution path ran.
+#: Real dedup corpora should sit orders of magnitude under
+#: CC_DRIVER_FOLD_MAX_EDGES; tests/test_scale_guards.py pins that the
+#: sf0.1 corpus does, so drift toward the bound is visible before the
+#: fallback ever fires in production.
+CC_TELEMETRY: dict = {"contracted_edges": None, "path": None}
+
 
 def _min_union_find(pairs):
     """Union-find with union-by-min: after all unions, find(x) is the
@@ -445,8 +459,9 @@ def connected_components(
        cell ledger); above the bound it runs the distributed
        min-label hop loop (one shuffle join + one aggregation per
        hop, lineage truncated per hop, convergence = exact
-       decimal(38) label-sum fixpoint — a hop can only LOWER labels,
-       so an unchanged sum certifies the fixpoint).
+       changed-row count: each hop flags the labels it lowered and a
+       zero flag-sum certifies the fixpoint — type-agnostic, so
+       string vertex ids converge-check correctly too).
 
     Returns (vertex, component) with component = min vertex id
     reachable — a fixpoint property independent of which algorithm
@@ -484,7 +499,13 @@ def connected_components(
         pdf = pd.concat(acc) if len(acc) > 1 else acc[0]
         parent, find = _min_union_find(zip(pdf["a"], pdf["b"]))
         verts = list(parent)
-        yield pd.DataFrame({"v": verts, "r": [find(x) for x in verts]})
+        # fixed-size output slices: a skewed partition must not become
+        # one partition-sized Arrow batch (2 GB batch limit / executor
+        # memory spike) — the union-find state is dict-of-scalars and
+        # stays, only the emitted table is chunked
+        for lo in range(0, len(verts), CC_LOCAL_FOLD_CHUNK_ROWS):
+            chunk = verts[lo : lo + CC_LOCAL_FOLD_CHUNK_ROWS]
+            yield pd.DataFrame({"v": chunk, "r": [find(x) for x in chunk]})
 
     # per-vertex root set across tasks: r0 = min root (the vertex's
     # candidate component label), rs = every root it was folded into
@@ -503,12 +524,15 @@ def connected_components(
     # truncated result proves the graph is too big, an untruncated one
     # IS the whole contracted edge list
     probe = contracted.limit(CC_DRIVER_FOLD_MAX_EDGES + 1).collect()
+    CC_TELEMETRY["contracted_edges"] = len(probe)
 
     if not probe:
         # no root ever tied to another: local roots ARE the components
+        CC_TELEMETRY["path"] = "local_only"
         return per_v.select("v", F.col("r0").alias("component"))
 
     if len(probe) <= CC_DRIVER_FOLD_MAX_EDGES:
+        CC_TELEMETRY["path"] = "driver_fold"
         parent, find = _min_union_find((r["ca"], r["cb"]) for r in probe)
         labels_c = spark.createDataFrame(
             [(x, find(x)) for x in list(parent)], f"r0 {vt}, component {vt}"
@@ -521,6 +545,7 @@ def connected_components(
 
     # distributed fallback: min-label propagation over the CONTRACTED
     # graph (strictly fewer vertices and hops than the original)
+    CC_TELEMETRY["path"] = "distributed"
     und_c = (
         contracted.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
         .unionByName(contracted.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
@@ -530,6 +555,10 @@ def connected_components(
     labels = und_c.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
 
     def hop(lbl):
+        # chg flags the rows this hop actually lowered — summing it is
+        # an EXACT, type-agnostic fixpoint test (works for string
+        # vertices, where the old decimal(38,0) label-sum cast was NULL
+        # and NULL == NULL silently declared convergence after one hop)
         nb_min = (
             und_c.join(lbl, und_c["b"] == lbl["v"])
             .select(F.col("a").alias("v"), F.col("label").alias("nb"))
@@ -537,24 +566,19 @@ def connected_components(
             .agg(F.min("nb").alias("nb"))
         )
         return lbl.join(nb_min, on="v", how="left").select(
-            "v", F.least(F.col("label"), F.coalesce("nb", "label")).alias("label")
+            "v",
+            F.least(F.col("label"), F.coalesce("nb", "label")).alias("label"),
+            (F.coalesce("nb", "label") < F.col("label")).cast("int").alias("chg"),
         )
 
-    def label_sum(lbl):
-        return lbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
-    prev_sum = label_sum(labels)
     converged = False
     for _ in range(2 * max_iter):
         new = hop(labels).localCheckpoint(eager=True)
-        cur_sum = label_sum(new)
-        labels = new
-        if cur_sum == prev_sum:
+        n_changed = new.agg(F.sum("chg").alias("c")).first()["c"] or 0
+        labels = new.select("v", "label")
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         msg = (
             f"connected_components did not converge in {2 * max_iter} hops: "

@@ -108,6 +108,28 @@ def test_cc_distributed_fallback_matches_union_find(spark, monkeypatch):
     assert got == expected
 
 
+def test_cc_string_vertices_distributed_fallback(spark, monkeypatch):
+    """Regression (r11 advisory, dedup.py label_sum): the fallback's
+    old convergence check summed cast(label as decimal), which is NULL
+    for STRING vertices — NULL == NULL declared convergence after one
+    hop and a 60-edge string chain silently came back as ~49 split
+    components. The check is now an exact changed-row count, so the
+    same forced-fallback chain must resolve to ONE component (and the
+    multi-hop loop must actually iterate to get there)."""
+    import pipe_s_spark.functions.dedup as D
+
+    monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(60)]
+    df = spark.createDataFrame(edges, "d1 string, d2 string")
+    try:
+        got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert got == {f"v{i:03d}": "v000" for i in range(61)}
+    assert D.CC_TELEMETRY["path"] == "distributed"
+
+
 def test_cc_string_vertices(spark):
     """The two-phase implementation derives its kernel schema from the
     edge dtype and unions by min via generic comparison — pin that a

@@ -397,7 +397,10 @@ def test_ivf_epoch_job_count_pinned(spark, tmp_path):
     of only the bench. Measured: 9 jobs/epoch (AQE decomposes the two
     writes + counts collect into sub-jobs); the bound leaves +1 slack
     for AQE plan-shape variation — a reintroduced read+broadcast
-    costs at least +2."""
+    costs at least +2. The count comes from the PUBLIC
+    statusTracker()/job-group API (not the private _jsc statusStore),
+    so a Spark upgrade can't silently break the probe; the 9-job
+    baseline was measured on Spark 4.1.2 with AQE on."""
     from pyspark.sql import functions as F
 
     from pipe_s_spark.functions.similarity import kmeans_train_int
@@ -414,12 +417,39 @@ def test_ivf_epoch_job_count_pinned(spark, tmp_path):
         apply_ivf_batch(
             emb.filter(F.pmod("vec_id", F.lit(3)) == i), i, cents, ix, tk
         )
-    store = spark.sparkContext._jsc.sc().statusStore()
-    n0 = store.jobsList(None).size()
-    apply_ivf_batch(emb.filter(F.pmod("vec_id", F.lit(3)) == 2), 2, cents, ix, tk)
-    jobs = store.jobsList(None).size() - n0
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_epoch_pin", "steady-state epoch job-count pin")
+    try:
+        apply_ivf_batch(emb.filter(F.pmod("vec_id", F.lit(3)) == 2), 2, cents, ix, tk)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("ivf_epoch_pin"))
     assert jobs <= 10, (
         f"steady-state IVF epoch launched {jobs} Spark jobs (pinned <= 10): "
         "a per-epoch fixed job crept back in (ledger read? probe semi-join "
         "below PROBE_FILTER_MIN_CELLS? extra action?)"
+    )
+
+
+def test_cc_contracted_graph_stays_far_under_driver_fold_bound(spark):
+    """The two-phase CC's driver fold is bounded (CC_DRIVER_FOLD_MAX_EDGES,
+    proven by limit(N+1)) and the distributed fallback is force-tested —
+    but nothing recorded how close REAL corpora come to the bound. Run
+    the full sf0.1 ensemble dedup graph (lexical + semantic edges, the
+    largest CC input in the suite) and assert the contracted graph the
+    driver actually folds is well under 10% of the bound, via the
+    CC_TELEMETRY the r12 round added. Drift toward the bound (e.g. a
+    band-cap change exploding edge counts, or a partitioning change
+    shattering task-local components) trips here long before the
+    fallback fires in production."""
+    import pipe_s_spark.functions.dedup as D
+    from pipe_s_spark.queries_dedup import q_dedup_ensemble
+
+    D.CC_TELEMETRY.update(contracted_edges=None, path=None)
+    q_dedup_ensemble(spark, "/root/testdata/sf0.1").count()
+    edges = D.CC_TELEMETRY["contracted_edges"]
+    assert D.CC_TELEMETRY["path"] in ("driver_fold", "local_only")
+    assert edges is not None and edges <= D.CC_DRIVER_FOLD_MAX_EDGES // 10, (
+        f"sf0.1 ensemble contracted graph has {edges} edges — creeping toward "
+        f"the {D.CC_DRIVER_FOLD_MAX_EDGES}-edge driver-fold bound"
     )
