@@ -105,6 +105,18 @@ def _has_batch_partitions(path: str) -> bool:
 #: members) instead of O(index) — see apply_ivf_batch.
 PROBE_FILTER_MIN_CELLS = 64
 
+#: ... but cell count alone is a TRAINING choice independent of index
+#: size (r11 advisory): a few-cell index with cell_cap opted OUT can
+#: hold millions of members, and skipping the semi-join would shuffle
+#: all of them through the kernel every epoch. The skip therefore also
+#: requires the strictly-earlier SEARCHABLE membership — known
+#: driver-side for free from the same ledger fold that seeds cell
+#: ranks: sum(min(n, cell_cap)) — to stay under this bound. With the
+#: default cap the searchable corpus of a <64-cell index is <= 64K
+#: members and the skip always applies; with cap=None a grown index
+#: crosses the bound and the semi-join switches back on by itself.
+PROBE_SKIP_MAX_MEMBERS = 250_000
+
 
 def _read_base_counts(cells_path: str, batch_id: int) -> dict[int, int] | None:
     """Driver-side pyarrow fold of the strictly-earlier ledger
@@ -355,6 +367,17 @@ def apply_ivf_batch(
         .persist()
     )
     try:
+        # ledger counts FIRST (r12): the cheapest action over `ranked`
+        # materializes the persisted batch for every consumer below,
+        # and its result both feeds the driver-side ledger write (~ms)
+        # and frees the two fenced table writes to run CONCURRENTLY at
+        # the end (they only read the now-materialized cache). Order
+        # within an epoch is replay-free: a crashed epoch re-runs whole
+        # and every write replaces its batch_id partition.
+        counts = (
+            ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        _write_counts_epoch(counts, batch_id, cells_path)
         # candidate corpus: searchable members of strictly-earlier
         # epochs plus this batch itself (a vector may match a
         # same-batch arrival — mirrors the dedup index's self-join leg)
@@ -379,8 +402,23 @@ def apply_ivf_batch(
         # which is also why the join is SKIPPED under
         # PROBE_FILTER_MIN_CELLS: with few trained cells any batch
         # probes all of them, so the filter passes everything while its
-        # distinct + broadcast build cost a Spark job per epoch.
-        if len(centroids) >= PROBE_FILTER_MIN_CELLS:
+        # distinct + broadcast build cost a Spark job per epoch. The
+        # skip additionally requires the earlier SEARCHABLE membership
+        # (driver-side from the same ledger fold) to stay bounded —
+        # cell count is a training choice, not a size bound
+        # (PROBE_SKIP_MAX_MEMBERS; r11 advisory).
+        searchable_earlier = (
+            sum(
+                (min(n, cell_cap) if cell_cap is not None else n)
+                for n in base_map.values()
+            )
+            if base_map
+            else 0
+        )
+        if (
+            len(centroids) >= PROBE_FILTER_MIN_CELLS
+            or searchable_earlier > PROBE_SKIP_MAX_MEMBERS
+        ):
             probed = ranked.select(F.explode("probe_cells").alias("cell")).distinct()
             corpus = corpus.join(F.broadcast(probed), "cell")
         # sub-block the probed cells (IVF_TOPK_SALT): the grouped
@@ -459,20 +497,39 @@ def apply_ivf_batch(
                     "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
                 )
             )
-        _overwrite_epoch(topk, batch_id, topk_path)
-        # canonical column order: the ledger join moves its key to the
-        # front, so an epoch replayed against an existing ledger would
-        # otherwise write its partition with a different column order
-        # than it did the first time
-        _overwrite_epoch(
-            ranked.select(id_col, member_payload, "cell", "cell_rank", "searchable"),
-            batch_id,
-            index_path,
+        # the two fenced writes run CONCURRENTLY (r12): the index write
+        # only scans the already-materialized cache (~0.3 s of pure
+        # job+commit fixed cost per epoch) and hides entirely under the
+        # probe-kernel job. InheritableThread, not bare Thread, so JVM
+        # local properties (job group/description — the job-count pin
+        # test counts by group) propagate to both submissions.
+        # Canonical column order on the index write: the ledger join
+        # moves its key to the front, so an epoch replayed against an
+        # existing ledger would otherwise write its partition with a
+        # different column order than it did the first time.
+        from pyspark import InheritableThread
+
+        index_df = ranked.select(
+            id_col, member_payload, "cell", "cell_rank", "searchable"
         )
-        counts = (
-            ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        _write_counts_epoch(counts, batch_id, cells_path)
+        errs: list[BaseException] = []
+
+        def _write(df: DataFrame, path: str) -> None:
+            try:
+                _overwrite_epoch(df, batch_id, path)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [
+            InheritableThread(target=_write, args=(topk, topk_path)),
+            InheritableThread(target=_write, args=(index_df, index_path)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
     finally:
         ranked.unpersist()
 
