@@ -82,3 +82,35 @@ def test_rotating_artifact_is_fresh_and_recipe_true():
         f"artifact keys are not the recipe sample: missing={sorted(want - got)} "
         f"extra={sorted(got - want)}"
     )
+
+
+def test_coverage_ledger_tracks_rotating_artifact():
+    """The r12 recipe ranks NEVER-SAMPLED keys first, which is only
+    replayable if the committed COVERAGE_SAMPLED.json ledger (a) is
+    internally consistent (strictly-before semantics mean this round's
+    own entries never influence this round's draw), (b) contains every
+    key the committed rotating artifact drew, and (c) only names
+    registered queries. A green rotating run must also have folded its
+    draw into the ledger — forgetting that silently degrades the next
+    round's bias back to pure rotation."""
+    from tools.rotating_correctness import covered_before
+
+    with open("/root/repo/COVERAGE_SAMPLED.json") as f:
+        ledger = json.load(f)["first_sampled"]
+    with open("/root/repo/CORRECTNESS_ROTATING.json") as f:
+        art = json.load(f)
+    rnd = art["_meta"]["round"]
+    from pipe_s_spark.registry import all_queries
+
+    registry = set(all_queries())
+    unknown = set(ledger) - registry
+    assert not unknown, f"ledger rows for unregistered queries: {sorted(unknown)}"
+    missing = set(art["results"]) - set(ledger)
+    assert not missing, (
+        f"rotating draws absent from the coverage ledger: {sorted(missing)}"
+    )
+    # the artifact's recorded never-sampled count must match a replay
+    # against the committed ledger (strictly-before covered set)
+    cov = covered_before(rnd)
+    replay = sum(1 for n in art["results"] if n not in cov)
+    assert art["_meta"].get("never_sampled_drawn") == replay

@@ -11,10 +11,18 @@ builder discretion in what gets sampled — so a reviewer can re-run the
 exact same subset with one command and diff the result.
 
 Sample recipe (deterministic, documented in the artifact itself):
-    rank every registered query name by md5(f"r{round}:{name}")
-    and take the first ``size`` (default 60 — at ~1.7 s/query that is
-    ~2 minutes and covers the never-driver-sampled set within ~3
-    rounds).
+    partition the registry into NEVER-SAMPLED (no row in the committed
+    COVERAGE_SAMPLED.json ledger with first_sampled.round < round) and
+    already-covered keys, rank each partition by md5(f"r{round}:{name}"),
+    concatenate never-sampled first, take the first ``size`` (default
+    60). Pure md5 rotation resamples already-covered keys forever
+    (r11 verdict: 70 of 215 never independently sampled after 11
+    rounds); biasing the deterministic order toward the uncovered set
+    closes cumulative coverage in ~2 rounds while staying replayable —
+    the ledger is committed, entries carry the round they were first
+    drawn in, and the covered set for round R is exactly the entries
+    with round < R, so a replay after the ledger update still draws
+    the identical sample.
 
 The default scale ALTERNATES by round parity (default_sf_dir): even
 rounds sweep sf0.01 (the driver gate's scale), odd rounds sf0.1 — so
@@ -43,19 +51,59 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duck_con
 
-ARTIFACT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "CORRECTNESS_ROTATING.json",
-)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(_ROOT, "CORRECTNESS_ROTATING.json")
+LEDGER = os.path.join(_ROOT, "COVERAGE_SAMPLED.json")
+
+
+def covered_before(round_no: int) -> set[str]:
+    """Keys independently sampled (driver gate or rotating artifact)
+    in any round BEFORE ``round_no``, per the committed ledger. The
+    strict inequality makes the recipe replayable after the ledger is
+    updated with this round's own draws."""
+    try:
+        with open(LEDGER) as f:
+            ledger = json.load(f)
+    except FileNotFoundError:
+        return set()
+    return {
+        name
+        for name, row in ledger["first_sampled"].items()
+        if row["round"] < round_no
+    }
 
 
 def rotating_sample(names, round_no: int, size: int) -> list[str]:
-    """First ``size`` names ranked by md5("r{round}:{name}") — stable
-    for a round, disjoint-ish across rounds, replayable by anyone."""
-    return sorted(
-        names,
-        key=lambda n: hashlib.md5(f"r{round_no}:{n}".encode()).hexdigest(),
-    )[:size]
+    """NEVER-SAMPLED keys first (per COVERAGE_SAMPLED.json), each
+    partition ranked by md5("r{round}:{name}"), first ``size`` taken —
+    stable for a round, biased toward unexplored coverage, replayable
+    by anyone from the committed ledger."""
+    cov = covered_before(round_no)
+
+    def h(n: str) -> str:
+        return hashlib.md5(f"r{round_no}:{n}".encode()).hexdigest()
+
+    never = sorted((n for n in names if n not in cov), key=h)
+    seen = sorted((n for n in names if n in cov), key=h)
+    return (never + seen)[:size]
+
+
+def update_ledger(sampled, round_no: int, source: str) -> None:
+    """Record first-sample rounds for this draw (idempotent: existing
+    earlier entries win)."""
+    try:
+        with open(LEDGER) as f:
+            ledger = json.load(f)
+    except FileNotFoundError:
+        ledger = {"_meta": {}, "first_sampled": {}}
+    fs = ledger["first_sampled"]
+    for name in sampled:
+        if name not in fs or fs[name]["round"] > round_no:
+            fs[name] = {"round": round_no, "source": source}
+    ledger["first_sampled"] = dict(sorted(fs.items()))
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=1)
+        f.write("\n")
 
 
 def default_sf_dir(round_no: int) -> str:
@@ -110,8 +158,13 @@ def main() -> None:
             "size": size,
             "sf_dir": sf_dir,
             "recipe": (
-                "sorted(queries, key=md5(f'r{round}:{name}'))[:size] — "
+                "never-sampled-first (COVERAGE_SAMPLED.json, first_sampled."
+                "round < round), each partition sorted by "
+                "md5(f'r{round}:{name}'), first `size` taken — "
                 f"replay: python tools/rotating_correctness.py {round_no} {size}"
+            ),
+            "never_sampled_drawn": sum(
+                1 for n in sample if n not in covered_before(round_no)
             ),
             "pass": sum(1 for v in rows.values() if v["status"] == "pass"),
             "rows_only": sum(1 for v in rows.values() if v["status"] == "rows-only"),
@@ -123,6 +176,8 @@ def main() -> None:
     with open(ARTIFACT, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
+    if not bad:
+        update_ledger(sample, round_no, "rotating")
     print(json.dumps({"round": round_no, "checked": len(rows), "bad": bad}))
     spark.stop()
     if bad:
