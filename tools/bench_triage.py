@@ -1,0 +1,73 @@
+"""Isolated re-measure of bench queries flagged as regressed — the
+fresh-session half of bench.py's triage protocol (r11 verdict #1).
+
+Two consecutive rounds burnt attribution effort on PHANTOM regressions:
+single-session medians on this host swing up to 2x on untouched code
+(r10: percentiles family; r11: 12 queries >30% slower while the machine
+probe got FASTER), because session state (JVM heap shape, GC pressure
+from earlier queries, codegen cache) drifts over a 215-query run.
+A regression that is REAL — a plan change, a new shuffle — reproduces
+in a fresh session; session-state noise does not.
+
+This script is run by bench.py in a SUBPROCESS (own JVM, quiet host:
+the parent session is stopped first) with the flagged query names, and
+re-times each with the identical per-query protocol (1 discarded warmup
++ median of 3). Prints ONE JSON line {name: sec}.
+
+Usage: python tools/bench_triage.py <sf_dir> <name> [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+
+    from pipe_s_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_triage",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # identical warmup to bench.py: parquet footers + python workers
+    from pipe_s_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    spark.range(256).repartition(
+        int(spark.sparkContext.defaultParallelism)
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
+    out: dict[str, float] = {}
+    for name in names:
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples[1:]), 4)
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
