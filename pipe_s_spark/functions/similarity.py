@@ -1881,6 +1881,74 @@ def pq_encode_table(
     )
 
 
+def ivf_adc_prepare_table(
+    df: DataFrame,
+    cents: dict[int, list[int]],
+    books: dict[tuple[int, int], list[int]],
+    nprobe: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    quant: int = KMEANS_QUANT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FUSED coarse-assign + probe-list + PQ-encode kernel for the
+    compressed streaming index — one Arrow pass computing exactly what
+    ``kmeans_assign_probes_table`` followed by
+    ``pq_encode_table(pack_xq=True)`` compute in two (bit-identical by
+    construction: the same JVM-side quantize_vec feeds the same int64
+    argsort rule and the same _pq_encode_np; pinned by
+    tests/test_pq_property.py). The two-pass form ships the raw vector
+    column through the worker boundary twice and quantizes it twice —
+    ~0.3 s of pure Arrow/transfer cost per 10K-vector ingest epoch that
+    the index never needs, since the compressed index persists only
+    ``codes`` and probes with ``xqb``. Returns
+    (id, codes, xqb, cell, probe_cells)."""
+    import numpy as np
+
+    cells_sorted = sorted(cents)
+    if nprobe > len(cells_sorted):
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the {len(cells_sorted)} trained "
+            "cells — probing every cell is a brute-force scan; pass "
+            f"nprobe <= {len(cells_sorted)}"
+        )
+    C = np.array([cents[c] for c in cells_sorted], dtype=np.int64)
+    cells_arr = np.array(cells_sorted, dtype=np.int64)
+    subdim = dim // m
+    books_np = _pq_books_np(books, m, k)
+    src = df.select(
+        F.col(id_col), quantize_vec(as_double_array(vec_col), quant).alias("xq")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            XQ = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            dots = XQ @ C.T  # exact: numpy integer matmul never rounds
+            order = np.argsort(-dots, axis=1, kind="stable")
+            pc = cells_arr[order[:, :nprobe]].astype("int32")
+            codes, _keys = _pq_encode_np(XQ, books_np, subdim)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    # explicit '<i8' — grouped_adc_topk decodes LE
+                    "xqb": [row.tobytes() for row in XQ.astype("<i8", copy=False)],
+                    "cell": pc[:, 0],
+                    "probe_cells": list(pc),
+                }
+            )
+
+    return src.mapInPandas(
+        fn,
+        f"{id_col} bigint, codes array<int>, xqb binary, cell int, "
+        "probe_cells array<int>",
+    )
+
+
 def pq_lut_table(
     df: DataFrame,
     books: dict[tuple[int, int], list[int]],

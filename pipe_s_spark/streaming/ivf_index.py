@@ -82,7 +82,27 @@ IVF_CELL_CAP = 1000
 #: in-task from the broadcast-sized codebook (grouped_adc_topk
 #: books=), so salt duplication costs 1/8th of what it did and the
 #: mode keeps its isolated-salting win inside the full session.
-IVF_TOPK_SALT = 4
+#:
+#: r12 A/B at the steady-state 10K-vector epoch (warm, 4 reps each):
+#: salt 1 = 2.1-3.6 s (one straggler group per cell), salt 2 = ~1.2 s,
+#: salt 4 = ~1.1 s, salt 8 = ~0.9-1.0 s (kernel-only). A salt-6 probe
+#: was A/B'd under the r12 concurrent-actions epoch and looked better
+#: isolated (3,847/5,406 v/s vs salt 8's 2,795/4,467) but LOST in both
+#: full stream_bench sessions (2,518/3,436 vs salt 8's 4,083/3,978 in
+#: the same leg position) — the isolated ordering effect was host
+#: noise, the in-session sessions are the protocol the bars are
+#: defined on, so 8 stays.
+IVF_TOPK_SALT = 8
+
+#: The ADC mode salts LESS: its kernel rebuilds each query row's m*k
+#: LUT from the codebook IN EVERY sub-block the row lands in, so LUT
+#: work scales linearly with the salt (r12: salt 8 sank ivfpq ingest
+#: 2,558 -> 1,355 v/s while the same salt LIFTED the vector mode).
+#: Under the concurrent-actions epoch (counts + index write overlap
+#: the probe kernel) 8 cells x salt 3 = 24 kernel tasks also leave
+#: cores for the overlapped jobs — measured 2,700-3,460 v/s vs
+#: 1,700-1,976 at salt 4 and 2,480-2,893 at salt 2 (two A/B orders).
+IVF_TOPK_SALT_ADC = 3
 
 
 def _has_batch_partitions(path: str) -> bool:
@@ -245,6 +265,12 @@ def _cells_path(index_path: str) -> str:
     return index_path.rstrip("/") + ".cells"
 
 
+#: wall-clock of the most recent epoch's phases (seconds) — telemetry
+#: for the fixed-cost work: counts = materialize + ledger, topk/index =
+#: each fenced write's own duration (they overlap), wall = whole epoch.
+LAST_EPOCH_PROFILE: dict = {}
+
+
 def apply_ivf_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -267,6 +293,10 @@ def apply_ivf_batch(
     identical content (exactly what a post-crash Structured Streaming
     replay does). See run_ivf_index_stream for the compressed
     (``pq_books``) mode."""
+    import time as _time
+
+    _prof: dict = {}
+    _t_epoch = _time.perf_counter()
     spark = batch_df.sparkSession
     cells_path = _cells_path(index_path)
     if pq_books is not None:
@@ -287,29 +317,32 @@ def apply_ivf_batch(
     # assignment + probe list in ONE Arrow kernel (exact int64 matmul,
     # bit-identical to the kmeans_probes_int expression path — see
     # kmeans_assign_probes_table): the interpreted HOF fold form
-    # measured ~1.2 s per 10K-vector epoch just to assign
-    assigned = S.kmeans_assign_probes_table(
-        batch_df, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-    )
+    # measured ~1.2 s per 10K-vector epoch just to assign.
+    # Compressed mode FUSES the PQ encode into the same pass
+    # (ivf_adc_prepare_table): the persisted member payload is the PQ
+    # code (the m-byte symbol), never the vector; xqb (packed 512-byte
+    # query) rides along ONLY as this epoch's probe payload — the ADC
+    # kernel rebuilds each query's LUT in-task from the broadcast-sized
+    # codebook, so the 4 KB LUT column never exists as a DataFrame
+    # column at all. The previously separate assign + encode passes
+    # shipped the raw vector through the worker boundary twice and
+    # quantized it twice — ~0.3 s of a 10K-vector epoch.
     if pq_books is not None:
-        # compressed mode: the persisted member payload is the PQ code
-        # (the m-byte symbol), never the vector; xqb (packed 512-byte
-        # query) rides along ONLY as this epoch's probe payload — the
-        # ADC kernel rebuilds each query's LUT in-task from the
-        # broadcast-sized codebook, so the 4 KB LUT column never
-        # exists as a DataFrame column at all — and is dropped before
-        # the write
-        assigned = S.pq_encode_table(
-            assigned,
+        assigned = S.ivf_adc_prepare_table(
+            batch_df,
+            centroids,
             pq_books,
+            nprobe=nprobe,
             m=pq_m,
             k=pq_k,
             dim=dim,
             id_col=id_col,
             vec_col=vec_col,
-            carry_cols={"cell": "int", "probe_cells": "array<int>"},
-            pack_xq=True,
-        ).drop("keys", "xq")
+        )
+    else:
+        assigned = S.kmeans_assign_probes_table(
+            batch_df, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
 
     # per-cell arrival rank: base = committed count of STRICTLY EARLIER
     # members (O(#cells) ledger rows — bounded metadata, never data),
@@ -367,17 +400,6 @@ def apply_ivf_batch(
         .persist()
     )
     try:
-        # ledger counts FIRST (r12): the cheapest action over `ranked`
-        # materializes the persisted batch for every consumer below,
-        # and its result both feeds the driver-side ledger write (~ms)
-        # and frees the two fenced table writes to run CONCURRENTLY at
-        # the end (they only read the now-materialized cache). Order
-        # within an epoch is replay-free: a crashed epoch re-runs whole
-        # and every write replaces its batch_id partition.
-        counts = (
-            ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        _write_counts_epoch(counts, batch_id, cells_path)
         # candidate corpus: searchable members of strictly-earlier
         # epochs plus this batch itself (a vector may match a
         # same-batch arrival — mirrors the dedup index's self-join leg)
@@ -427,7 +449,7 @@ def apply_ivf_batch(
         # Both modes salt now that the ADC probe payload is the packed
         # 512-byte xq instead of a 4 KB LUT (see IVF_TOPK_SALT note)
         if topk_salt is None:
-            topk_salt = IVF_TOPK_SALT
+            topk_salt = IVF_TOPK_SALT_ADC if pq_books is not None else IVF_TOPK_SALT
         salt_n = max(1, int(topk_salt))
         corpus = corpus.withColumn(
             "gc", F.col("cell") * salt_n + F.pmod(F.col(id_col), F.lit(salt_n))
@@ -497,16 +519,23 @@ def apply_ivf_batch(
                     "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
                 )
             )
-        # the two fenced writes run CONCURRENTLY (r12): the index write
-        # only scans the already-materialized cache (~0.3 s of pure
-        # job+commit fixed cost per epoch) and hides entirely under the
-        # probe-kernel job. InheritableThread, not bare Thread, so JVM
-        # local properties (job group/description — the job-count pin
-        # test counts by group) propagate to both submissions.
-        # Canonical column order on the index write: the ledger join
-        # moves its key to the front, so an epoch replayed against an
-        # existing ledger would otherwise write its partition with a
-        # different column order than it did the first time.
+        # the epoch's three remaining actions run CONCURRENTLY (r12):
+        # the top-k probe job is the long pole (~1.5 s at the 10K
+        # grain); the index write (~0.35 s of job+commit fixed cost)
+        # and the ledger counts aggregate (~0.5 s, which also pays
+        # `ranked`'s cache materialization) hide entirely under it.
+        # All three consume the SAME persisted `ranked` — Spark's
+        # block-level cache locking computes each partition once and
+        # blocks the other readers, so no work duplicates. Order
+        # within an epoch is replay-free: a crashed epoch re-runs
+        # whole and every write replaces its batch_id partition.
+        # InheritableThread, not bare Thread, so JVM local properties
+        # (job group/description — the job-count pin test counts by
+        # group) propagate to every submission. Canonical column order
+        # on the index write: the ledger join moves its key to the
+        # front, so an epoch replayed against an existing ledger would
+        # otherwise write its partition with a different column order
+        # than it did the first time.
         from pyspark import InheritableThread
 
         index_df = ranked.select(
@@ -515,14 +544,34 @@ def apply_ivf_batch(
         errs: list[BaseException] = []
 
         def _write(df: DataFrame, path: str) -> None:
+            _t = _time.perf_counter()
             try:
                 _overwrite_epoch(df, batch_id, path)
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 errs.append(e)
+            finally:
+                _prof["topk" if path == topk_path else "index"] = (
+                    _time.perf_counter() - _t
+                )
+
+        def _counts_and_ledger() -> None:
+            _t = _time.perf_counter()
+            try:
+                counts = (
+                    ranked.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                _write_counts_epoch(counts, batch_id, cells_path)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+            finally:
+                _prof["counts"] = _time.perf_counter() - _t
 
         threads = [
             InheritableThread(target=_write, args=(topk, topk_path)),
             InheritableThread(target=_write, args=(index_df, index_path)),
+            InheritableThread(target=_counts_and_ledger),
         ]
         for t in threads:
             t.start()
@@ -532,6 +581,9 @@ def apply_ivf_batch(
             raise errs[0]
     finally:
         ranked.unpersist()
+        _prof["wall"] = _time.perf_counter() - _t_epoch
+        LAST_EPOCH_PROFILE.clear()
+        LAST_EPOCH_PROFILE.update(_prof)
 
 
 def _write_counts_epoch(rows, batch_id: int, cells_path: str) -> None:

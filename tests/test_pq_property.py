@@ -256,3 +256,43 @@ def test_grouped_adc_in_kernel_lut_matches_shipped_lut(spark):
         ).collect()
     }
     assert in_kernel == shipped and len(shipped) > 0
+
+
+def test_fused_prepare_matches_two_pass(spark):
+    """ivf_adc_prepare_table (the streaming index's single-pass
+    assign + probe + encode kernel) must be BIT-IDENTICAL to the
+    two-pass composition it fuses — kmeans_assign_probes_table followed
+    by pq_encode_table(pack_xq=True) — on every column the index
+    consumes (codes, xqb, cell, probe_cells)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in row] for row in rng.uniform(-1, 1, size=(40, DIM))]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    books = S.pq_train_int(df, m=M, k=K, iters=2, dim=DIM, quant=QUANT)
+    cents = S.kmeans_train_int(df, n_cells=4, iters=2, dim=DIM, quant=QUANT)
+    nprobe = 2
+    two_pass = {
+        r["vec_id"]: (
+            list(r["codes"]), bytes(r["xqb"]), r["cell"], list(r["probe_cells"])
+        )
+        for r in S.pq_encode_table(
+            S.kmeans_assign_probes_table(
+                df, cents, nprobe=nprobe, quant=QUANT
+            ),
+            books, m=M, k=K, dim=DIM, quant=QUANT,
+            carry_cols={"cell": "int", "probe_cells": "array<int>"},
+            pack_xq=True,
+        ).collect()
+    }
+    fused = {
+        r["vec_id"]: (
+            list(r["codes"]), bytes(r["xqb"]), r["cell"], list(r["probe_cells"])
+        )
+        for r in S.ivf_adc_prepare_table(
+            df, cents, books, nprobe=nprobe, m=M, k=K, dim=DIM, quant=QUANT
+        ).collect()
+    }
+    assert fused == two_pass and len(fused) == 40
