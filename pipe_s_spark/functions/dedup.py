@@ -389,6 +389,17 @@ def simhash_bands(sig: DataFrame, id_col: str, bits: int = 64, bands: int = 4) -
 #: rather than an unconditional collect.
 CC_DRIVER_FOLD_MAX_EDGES = 200_000
 
+#: edge lists at or below this many rows skip the two-phase machinery
+#: entirely: ONE limit(N+1) job proves the bound and hands the driver
+#: the whole (bounded-metadata-sized) edge list, which one union-find
+#: resolves — the common case after banded candidate generation caps
+#: fan-out (sf0.1's ensemble graph is ~800 edges; three Spark jobs of
+#: pure fixed cost resolved it before this path). Above the bound the
+#: two-phase local-fold/contract path runs unchanged — this is the
+#: same guarded bounded-driver-state pattern as the contracted fold,
+#: one level earlier.
+CC_EDGE_FOLD_MAX_EDGES = 200_000
+
 #: local_fold emits its (vertex, root) table in slices of this many
 #: rows so a skewed partition never materializes as a single Arrow
 #: record batch proportional to partition size (Arrow/JVM batches cap
@@ -438,9 +449,16 @@ def connected_components(
     resolution step of near-dup dedup (candidate pairs -> groups, keep
     one doc per group).
 
-    TWO-PHASE (r10 brief: pure hop-by-hop label propagation pays
-    diameter x per-hop job overhead — ~0.4 s/hop of fixed cost on an
-    800-edge graph whose actual compute is microseconds):
+    THREE TIERS, each a guarded bounded-driver-state pattern:
+
+    0. EDGE fold (r12): if limit(N+1) proves the whole edge list is
+       under CC_EDGE_FOLD_MAX_EDGES, one driver union-find resolves it
+       — a single Spark job for the banded-candidate graphs real dedup
+       produces (caps bound pair fan-out long before 200K edges).
+
+    TWO-PHASE above that (r10 brief: pure hop-by-hop label propagation
+    pays diameter x per-hop job overhead — ~0.4 s/hop of fixed cost on
+    an 800-edge graph whose actual compute is microseconds):
 
     1. LOCAL fold: repartition the (bidirectional, distinct) edge list
        by source — co-locating every vertex's adjacency — and run one
@@ -478,6 +496,33 @@ def connected_components(
         raise ValueError(f"on_non_convergence must be 'raise' or 'warn', got {on_non_convergence!r}")
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    vt = e.schema["a"].dataType.simpleString()
+
+    # EDGE-LEVEL driver fold (r12): one limit(N+1) job both proves the
+    # edge list is bounded-metadata-sized AND delivers it — a graph
+    # under the bound resolves with a single Spark job + one driver
+    # union-find (the two-phase path cost three jobs of fixed overhead
+    # to resolve sf0.1's ~800-edge ensemble graph). Oversized graphs
+    # pay one cheap truncated probe and take the two-phase path.
+    probe0 = e.limit(CC_EDGE_FOLD_MAX_EDGES + 1).collect()
+    if len(probe0) <= CC_EDGE_FOLD_MAX_EDGES:
+        import pandas as pd
+
+        CC_TELEMETRY["contracted_edges"] = len(probe0)
+        CC_TELEMETRY["path"] = "edge_fold"
+        parent, find = _min_union_find((r["a"], r["b"]) for r in probe0)
+        verts = list(parent)
+        # pandas -> Arrow -> LocalRelation: a plain python-list
+        # createDataFrame becomes a parallelize-backed LogicalRDD whose
+        # FIRST scan costs ~1.7 s of python-task codepath warmup; the
+        # Arrow local relation scans in-process and lets downstream
+        # memo consumers skip checkpointing entirely (shared.materialized
+        # isLocal fast path)
+        return spark.createDataFrame(
+            pd.DataFrame({"v": verts, "component": [find(x) for x in verts]}),
+            f"v {vt}, component {vt}",
+        )
+
     # NO distinct, NO checkpoint here: the fast path reads the edge
     # list exactly once (inside the per_v job below), duplicate edges
     # are free no-ops to union-find, and each eliminated shuffle /
@@ -485,7 +530,6 @@ def connected_components(
     # rewrite exists to remove. The distributed fallback dedupes its
     # own (contracted) edge list.
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    vt = und.schema["a"].dataType.simpleString()
 
     def local_fold(batches):
         import pandas as pd
@@ -532,10 +576,14 @@ def connected_components(
         return per_v.select("v", F.col("r0").alias("component"))
 
     if len(probe) <= CC_DRIVER_FOLD_MAX_EDGES:
+        import pandas as pd
+
         CC_TELEMETRY["path"] = "driver_fold"
         parent, find = _min_union_find((r["ca"], r["cb"]) for r in probe)
+        roots = list(parent)
         labels_c = spark.createDataFrame(
-            [(x, find(x)) for x in list(parent)], f"r0 {vt}, component {vt}"
+            pd.DataFrame({"r0": roots, "component": [find(x) for x in roots]}),
+            f"r0 {vt}, component {vt}",
         )
         # labels_c is a driver-local relation of bounded size — Spark
         # broadcasts it; roots never tied keep themselves as label

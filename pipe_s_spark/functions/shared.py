@@ -76,7 +76,13 @@ def materialized(
     if df is not None:
         _memo.move_to_end(full_key)
         return df
-    df = builder().localCheckpoint(eager=True)
+    built = builder()
+    # a DRIVER-LOCAL relation (e.g. connected_components' bounded edge
+    # fold returns createDataFrame of the resolved labels) has no
+    # executor lineage to truncate and nothing to pin — checkpointing
+    # it only buys a ~1.7 s first-use codepath warmup (measured) and a
+    # pointless 32-task job; downstream consumers broadcast it anyway
+    df = built if built.isLocal() else built.localCheckpoint(eager=True)
     _build_log.append(full_key)
     _memo[full_key] = df
     while len(_memo) > MAX_ENTRIES:

@@ -63,7 +63,19 @@ def _random_graphs(seed: int, n_graphs: int = 24):
     return graphs
 
 
-def test_cc_matches_union_find_on_random_graphs(spark):
+import pytest
+
+
+@pytest.mark.parametrize("force_two_phase", [False, True])
+def test_cc_matches_union_find_on_random_graphs(spark, monkeypatch, force_two_phase):
+    """Both resolution tiers a bounded graph can take — the r12
+    edge-level driver fold (default at this scale) and the two-phase
+    local-fold/contract path (forced by zeroing the edge bound) — must
+    agree with the reference union-find."""
+    import pipe_s_spark.functions.dedup as D
+
+    if force_two_phase:
+        monkeypatch.setattr(D, "CC_EDGE_FOLD_MAX_EDGES", 0)
     base = 1_000_000  # namespace stride: graph g's vertex v -> g*base + v
     all_edges = []
     expected: dict[int, int] = {}
@@ -78,6 +90,8 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         for r in connected_components(df).collect()
     }
     assert got == expected
+    want_path = ("driver_fold", "local_only") if force_two_phase else ("edge_fold",)
+    assert D.CC_TELEMETRY["path"] in want_path
 
 
 def test_cc_distributed_fallback_matches_union_find(spark, monkeypatch):
@@ -87,6 +101,7 @@ def test_cc_distributed_fallback_matches_union_find(spark, monkeypatch):
     min-vertex-id labeling."""
     import pipe_s_spark.functions.dedup as D
 
+    monkeypatch.setattr(D, "CC_EDGE_FOLD_MAX_EDGES", 0)
     monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
     # without this, AQE folds the tiny repartition shuffle into one
     # task and the local union-find resolves everything — the hop loop
@@ -118,6 +133,7 @@ def test_cc_string_vertices_distributed_fallback(spark, monkeypatch):
     multi-hop loop must actually iterate to get there)."""
     import pipe_s_spark.functions.dedup as D
 
+    monkeypatch.setattr(D, "CC_EDGE_FOLD_MAX_EDGES", 0)
     monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(60)]
@@ -130,11 +146,16 @@ def test_cc_string_vertices_distributed_fallback(spark, monkeypatch):
     assert D.CC_TELEMETRY["path"] == "distributed"
 
 
-def test_cc_string_vertices(spark):
-    """The two-phase implementation derives its kernel schema from the
-    edge dtype and unions by min via generic comparison — pin that a
-    STRING vertex graph (e.g. URL or content-hash dedup keys) resolves
-    with lexicographic-min labels on both resolution phases."""
+@pytest.mark.parametrize("force_two_phase", [False, True])
+def test_cc_string_vertices(spark, monkeypatch, force_two_phase):
+    """Every tier derives its schema from the edge dtype and unions by
+    min via generic comparison — pin that a STRING vertex graph (e.g.
+    URL or content-hash dedup keys) resolves with lexicographic-min
+    labels on the edge-fold tier AND the two-phase path."""
+    if force_two_phase:
+        import pipe_s_spark.functions.dedup as D
+
+        monkeypatch.setattr(D, "CC_EDGE_FOLD_MAX_EDGES", 0)
     edges = [
         ("b", "c"), ("c", "d"),          # chain -> component "b"
         ("x", "y"), ("y", "x"),          # both directions + cycle -> "x"
