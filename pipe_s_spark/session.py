@@ -39,6 +39,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Reduce-side parallelism for DATA-PROPORTIONAL batch jobs must
+        # scale with input, not sit at core count: the r12 compact-x10
+        # diagnosis measured per-row cost flat only at matched per-task
+        # state (2M rows/32 parts = 2.18 us/row vs 20M/256 = 2.21),
+        # while 20M rows over 32 fixed partitions ran 10x the per-task
+        # hash-agg state and 36-75% over linear (spill/GC). The knob is
+        # spark.sql.adaptive.coalescePartitions.initialPartitionNum
+        # (high initial + AQE coalesce-down) — deliberately NOT set
+        # here: micro-batch/streaming-index jobs are fixed-cost
+        # dominated and measured ~25% SLOWER with a 256-way initial
+        # split of their small per-epoch shuffles. Big-batch callers
+        # (tools/stream_bench.py's CDC legs; any production bulk CDC
+        # job) pass it via extra_conf, constant across scales.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -46,6 +46,17 @@ def main() -> None:
     target_rows = int(os.environ.get("SPARK_GRAFT_STREAMBENCH_ROWS", 2_000_000))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="stream_bench")
+    # data-proportional reducer sizing for the bulk CDC legs (see
+    # session.get_spark's initialPartitionNum note): constant across
+    # the x1/x10 amplifications so scaling alphas stay apples-to-apples
+    # — AQE coalesces the x1 shuffles back down, the x10 ones keep
+    # per-task hash-agg state at the measured-linear grain. Runtime
+    # conf, RESET before the index legs below: per-epoch index shuffles
+    # are fixed-cost dominated and measured ~25% slower under a 256-way
+    # initial split.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -132,6 +143,11 @@ def main() -> None:
         # than the identical work re-run moments later).
         log.unpersist()
         spark.catalog.clearCache()
+        # back to core-count initial partitions for the per-epoch index
+        # legs (fixed-cost dominated; see the CDC-leg note above)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32"
+        )
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
 
