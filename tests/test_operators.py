@@ -511,6 +511,7 @@ def test_connected_components_non_convergence_raises_or_warns(spark, monkeypatch
     # resolves the whole chain with no hops at all. Scattered over 32
     # tasks, the 60-edge chain's contracted diameter stays well above
     # a 2-hop budget (max_iter=1).
+    monkeypatch.setattr(D, "CC_EDGE_FOLD_MAX_EDGES", 0)  # past the r12 edge fold
     monkeypatch.setattr(D, "CC_DRIVER_FOLD_MAX_EDGES", 0)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     path_edges = spark.createDataFrame(
