@@ -456,3 +456,39 @@ def test_cc_contracted_graph_stays_far_under_driver_fold_bound(spark):
         f"sf0.1 ensemble dedup graph has {edges} edges at the fold probe — "
         f"creeping toward the {D.CC_EDGE_FOLD_MAX_EDGES}-edge driver-fold bound"
     )
+
+
+def test_cc_edge_fold_is_single_job(spark):
+    """The r12 edge-level fold exists to make bounded dedup graphs
+    resolve in the probe alone (the limit(N+1) that both proves
+    the bound and delivers the edges); the result is an Arrow
+    LocalRelation, so downstream consumption adds no extra job until
+    a distributed consumer actually needs it. CollectLimitExec runs
+    the probe as an ESCALATING partition scan (1 partition, then 4x
+    more, ... until the limit or the input is exhausted), so one
+    probe is 1-3 tiny jobs on a 32-partition input, never a shuffle
+    or an O(graph) recompute. Pin that via the public job-group API
+    so a regression that reintroduces a real per-call fixed job (an
+    extra distinct, a checkpoint, a parallelize-backed result scan —
+    the two-phase path's 3 full jobs) trips CI."""
+    from pipe_s_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)] + [(1000 + i, 1000) for i in range(50)],
+        "d1 long, d2 long",
+    ).localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_edge_fold_pin", "edge-fold job-count pin")
+    try:
+        out = connected_components(edges)
+        assert out.isLocal()  # Arrow LocalRelation, not a parallelize RDD
+        labels = {r["v"]: r["component"] for r in out.collect()}
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert labels[500] == 0 and labels[1000 + 49] == 1000
+    jobs = len(sc.statusTracker().getJobIdsForGroup("cc_edge_fold_pin"))
+    assert jobs <= 3, (
+        f"bounded-graph connected_components launched {jobs} Spark jobs "
+        "(pinned <= 3, the collect-limit escalation ceiling): the "
+        "edge-fold fast path gained a fixed per-call job"
+    )
