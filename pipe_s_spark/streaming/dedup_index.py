@@ -204,21 +204,44 @@ def apply_index_batch(
         pairs = pair_parts[0]
         for p in pair_parts[1:]:
             pairs = pairs.unionByName(p)
-        (
-            pairs.distinct()
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(pairs_path)
-        )
-        (
-            new_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(index_path)
-        )
+
+        # the two fenced writes run CONCURRENTLY (the ivf_index r12
+        # pattern): the bands write only scans the persisted batch and
+        # hides its job+commit fixed cost under the pair join; Spark's
+        # block-level cache locking materializes each persisted
+        # partition exactly once across the racing jobs, and replay is
+        # order-free (a crashed epoch re-runs whole and every write
+        # replaces its own batch_id partition). InheritableThread so
+        # job-group/description local properties propagate.
+        from pyspark import InheritableThread
+
+        def _fenced(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(path)
+            )
+
+        errs: list[BaseException] = []
+
+        def _write(df: DataFrame, path: str) -> None:
+            try:
+                _fenced(df, path)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [
+            InheritableThread(target=_write, args=(pairs.distinct(), pairs_path)),
+            InheritableThread(target=_write, args=(new_bands, index_path)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
     finally:
         new_bands.unpersist()
 
