@@ -15,18 +15,39 @@ console-progress noise — so progress bars are disabled and everything
 else stays on stderr.
 
 TRIAGE PROTOCOL (r11 verdict #1 — phantom regressions burnt two
-consecutive rounds of attribution): after the main per-query medians,
-any query >30% slower (and >0.15s absolute) than the last COMMITTED
-artifact (`git show HEAD:BENCH_LOCAL.json`) is RE-MEASURED in a fresh
-subprocess session (tools/bench_triage.py — own JVM, parent session
-stopped first, identical 1-warmup + median-of-3 protocol). A real
-regression (plan change, new shuffle) reproduces there; session-state
-noise (heap shape, GC pressure accumulated over a 215-query run —
-demonstrated to swing untouched queries up to 2x on this host) does
-not. The committed per-query value is the MIN of the two medians, and
-the artifact's "triage" block records both values, the prior, and
-whether the regression reproduced — so a reader never has to guess
-which kind of slow they are looking at. Disable with
+consecutive rounds of attribution; r12 verdict #1 — the first version
+of this protocol then false-flagged whole-host drift as reproduced
+regressions): after the main per-query medians, any query >30% slower
+(and >0.15s absolute) than the last COMMITTED artifact (`git show
+HEAD:BENCH_LOCAL.json`) — with the threshold PROBE-NORMALIZED, see
+below — is RE-MEASURED in a fresh subprocess session
+(tools/bench_triage.py — own JVM, parent session stopped first,
+identical 1-warmup + median-of-3 protocol). A real regression (plan
+change, new shuffle) reproduces there; session-state noise (heap
+shape, GC pressure accumulated over a 215-query run — demonstrated to
+swing untouched queries up to 2x on this host) does not.
+
+PROBE NORMALIZATION (r12 verdict #1): the machine-state probe (a fixed
+synthetic workload, measured by this run, by the triage subprocess,
+and recorded in every committed artifact) calibrates whole-host drift.
+BENCH_r12 demonstrated the failure mode this kills: a 35% slower host
+(probe 0.146 -> 0.197) pushed 20 untouched queries over the raw 30%
+threshold and the fresh-session re-measure — equally slowed, compared
+against an unadjusted prior — marked every one `reproduced: true`.
+Now (a) the flag threshold scales by this run's probe / the committed
+artifact's probe, so "the whole machine is 35% slower" no longer flags
+anything by itself; (b) the `reproduced` verdict compares the ISOLATED
+median against the probe-scaled prior using the ISOLATED session's own
+probe; and (c) when the isolated probe itself moved >20% from the
+committed one, `reproduced` is null ("indeterminate: host drift") —
+the protocol refuses to issue an authoritative-looking flag from a
+machine in a different state. Every triage entry records all three
+probes so a reader can re-derive the verdict.
+
+The committed per-query value for a flagged query is the ISOLATED
+median (r12 advice: min(main, isolated) of two noisy draws sits below
+the true median and lets totals ratchet down from noise harvesting);
+both values stay in the "triage" block. Disable with
 SPARK_GRAFT_BENCH_TRIAGE=0 (e.g. for quick iteration runs).
 """
 
@@ -39,10 +60,11 @@ import sys
 import time
 
 
-def _prior_committed_timings() -> dict[str, float]:
-    """Per-query seconds from the last COMMITTED artifact (HEAD), the
-    reference the triage threshold compares against. Missing file /
-    no git / new query -> empty (triage silently skips)."""
+def _prior_committed_artifact() -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, probe_sec) from the last COMMITTED artifact
+    (HEAD) — the reference the triage threshold compares against.
+    Missing file / no git / new query -> empty (triage silently
+    skips)."""
     import subprocess
 
     try:
@@ -54,21 +76,68 @@ def _prior_committed_timings() -> dict[str, float]:
             timeout=30,
         )
         if res.returncode != 0:
-            return {}
+            return {}, None
         prior = json.loads(res.stdout)
         # only compare artifacts at the same scale
         here = float(re.search(r"sf([0-9.]+)", os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).group(1))
         if prior.get("sf") != here:
-            return {}
-        return dict(prior.get("queries", {}))
+            return {}, None
+        return dict(prior.get("queries", {})), prior.get("probe_sec")
     except Exception:  # noqa: BLE001 — triage is best-effort, never fatal
-        return {}
+        return {}, None
+
+
+def probe_ratio(now_probe: float | None, prior_probe: float | None) -> float:
+    """Whole-host speed ratio between two runs, from their machine
+    probes (>1 = host is slower now). 1.0 when either probe is missing
+    (old artifacts) — normalization degrades to the raw threshold."""
+    if not now_probe or not prior_probe:
+        return 1.0
+    return now_probe / prior_probe
+
+
+def is_regression(
+    sec: float, prior_sec: float, ratio: float, rel: float = 1.30, abso: float = 0.15
+) -> bool:
+    """Probe-normalized regression test: ``sec`` against the prior
+    scaled by the host-speed ratio. The raw form (ratio=1) flagged 20
+    untouched queries in BENCH_r12 purely because the host was 35%
+    slower."""
+    scaled = prior_sec * ratio
+    return sec > rel * scaled and sec - scaled > abso
+
+
+#: isolated-probe drift beyond which the triage refuses a verdict: a
+#: fresh session on a host whose probe moved this much from the
+#: committed artifact's is measuring a different machine state, and
+#: any reproduced/not-reproduced call from it would be noise with an
+#: authoritative flag attached (exactly BENCH_r12's failure).
+TRIAGE_PROBE_DRIFT_MAX = 0.20
+
+
+def triage_verdict(
+    prior_sec: float,
+    prior_probe: float | None,
+    iso_sec: float,
+    iso_probe: float | None,
+) -> tuple[bool | None, str]:
+    """(reproduced, reason) for one flagged query's isolated re-measure.
+    ``None`` = indeterminate: the isolated session's own probe drifted
+    >TRIAGE_PROBE_DRIFT_MAX from the committed artifact's, so the
+    comparison is host-state, not plan."""
+    r = probe_ratio(iso_probe, prior_probe)
+    if iso_probe and prior_probe and abs(r - 1.0) > TRIAGE_PROBE_DRIFT_MAX:
+        return None, f"indeterminate: isolated probe drifted {r:.2f}x vs committed"
+    rep = is_regression(iso_sec, prior_sec, r)
+    return rep, ("reproduced in fresh session" if rep else "not reproduced")
 
 
 def _run_triage(sf_dir: str, names: list[str]) -> dict[str, float]:
     """Fresh-subprocess re-measure (tools/bench_triage.py); returns
-    {name: isolated_median_sec}, empty on any failure."""
+    {name: isolated_median_sec} plus the isolated session's own
+    machine probe under the reserved key "_probe_sec"; empty on any
+    failure."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -196,36 +265,48 @@ def main() -> None:
     # --- the last committed artifact (see module docstring) ----------
     triage: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TRIAGE", "1") != "0":
-        prior = _prior_committed_timings()
+        prior, prior_probe = _prior_committed_artifact()
+        # probe-normalized flagging: a query is only suspect if it is
+        # >30% slower than the prior SCALED BY the whole-host speed
+        # ratio this run's probe measured (r12: raw thresholds flagged
+        # 20 untouched queries on a 35%-slower host)
+        main_ratio = probe_ratio(probe_sec, prior_probe)
         flagged = [
             n
             for n, sec in timings.items()
-            if n in prior
-            and sec > 1.30 * prior[n]
-            and sec - prior[n] > 0.15
+            if n in prior and is_regression(sec, prior[n], main_ratio)
         ]
         # bound the isolated session's size so a globally-slow host
         # (every query drifts >30%) can't multiply the run's wall
         # clock — triage the WORST absolute regressions first; the
         # machine probe already tells a reader "whole host slower"
         flagged = sorted(
-            flagged, key=lambda n: timings[n] - prior[n], reverse=True
+            flagged, key=lambda n: timings[n] - prior[n] * main_ratio, reverse=True
         )[: int(os.environ.get("SPARK_GRAFT_BENCH_TRIAGE_MAX", "20"))]
         if flagged:
             spark.stop()  # quiet host for the isolated session
             iso = _run_triage(sf_dir, sorted(flagged))
+            iso_probe = iso.pop("_probe_sec", None)
             for n in flagged:
                 if n not in iso:
                     continue
+                reproduced, reason = triage_verdict(
+                    prior[n], prior_probe, iso[n], iso_probe
+                )
                 triage[n] = {
                     "prior_sec": prior[n],
+                    "prior_probe_sec": prior_probe,
                     "main_sec": timings[n],
+                    "main_probe_sec": probe_sec,
                     "isolated_sec": iso[n],
-                    "reproduced": bool(
-                        iso[n] > 1.30 * prior[n] and iso[n] - prior[n] > 0.15
-                    ),
+                    "isolated_probe_sec": iso_probe,
+                    "reproduced": reproduced,
+                    "reason": reason,
                 }
-                timings[n] = min(timings[n], iso[n])
+                # commit the ISOLATED median (r12 advice: min of two
+                # noisy draws is biased low; the fresh session is the
+                # cleaner of the two measurements)
+                timings[n] = iso[n]
 
     total = round(sum(timings.values()), 4)
     full = {

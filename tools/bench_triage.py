@@ -12,7 +12,13 @@ in a fresh session; session-state noise does not.
 This script is run by bench.py in a SUBPROCESS (own JVM, quiet host:
 the parent session is stopped first) with the flagged query names, and
 re-times each with the identical per-query protocol (1 discarded warmup
-+ median of 3). Prints ONE JSON line {name: sec}.
++ median of 3). It also measures the SAME machine-state probe bench.py
+runs, so the caller can probe-normalize the isolated readings against
+the committed artifact's — and refuse a reproduced/not-reproduced
+verdict when this session's host state differs too much from the one
+the prior was measured on (r12 verdict #1: the un-normalized protocol
+marked 20 host-drift entries `reproduced: true`). Prints ONE JSON line
+{name: sec, ..., "_probe_sec": sec}.
 
 Usage: python tools/bench_triage.py <sf_dir> <name> [name ...]
 """
@@ -55,8 +61,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # identical machine-state probe to bench.py's (fixed synthetic
+    # workload, warm + min-of-3): the caller normalizes the isolated
+    # medians by it before calling anything "reproduced"
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) as s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _probe()  # warm
+    probe_sec = round(min(_probe() for _ in range(3)), 4)
+
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
-    out: dict[str, float] = {}
+    out: dict[str, float] = {"_probe_sec": probe_sec}
     for name in names:
         samples: list[float] = []
         for _ in range(runs):
