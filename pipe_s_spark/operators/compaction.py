@@ -26,7 +26,13 @@ keeps the operator total.
 Scale: one hash-shuffle on the key — exactly the partitioning a
 distributed upsert needs anyway, so the shuffle is reused by the sink.
 Partial aggregation (min_by/max_by) combines map-side, so skewed keys
-cost O(distinct keys) post-shuffle, not O(events).
+cost O(distinct keys) post-shuffle, not O(events). Reduce-side
+parallelism is DATA-PROPORTIONAL (pipe_s_spark.sizing): inputs whose
+estimated bytes exceed the session's shuffle-partition count x 64 MB
+embed a keyed repartition so the aggregate runs at ceil(bytes/64MB)
+reducers instead of the core-count ceiling — the r12 scaling harness
+measured the fixed ceiling 36-75% over linear at 10x data (per-task
+hash-agg spill), flat when per-task state was held constant.
 """
 
 from __future__ import annotations
@@ -36,6 +42,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipe_s_spark.sizing import bulk_partitions, session_shuffle_partitions
+
 
 def compact_changelog(
     df: DataFrame,
@@ -43,6 +51,7 @@ def compact_changelog(
     seq_col: str = "seq",
     op_col: str = "op",
     payload_cols: Sequence[str] | None = None,
+    auto_scale: bool = True,
 ) -> DataFrame:
     """Collapse a changelog to net effect per key.
 
@@ -50,10 +59,27 @@ def compact_changelog(
     insert|update|delete, the final payload columns, and ``last_seq``
     (the high-watermark offset for resumability). Annihilated keys
     (insert..delete within the window) are dropped.
+
+    ``auto_scale`` (default ON) sizes reduce parallelism from the
+    input's estimated bytes when that exceeds the session ceiling: a
+    ``repartition(n, keys)`` is embedded IN THE PLAN (no session-conf
+    mutation — safe under concurrent queries and lazy consumers), the
+    aggregation's required distribution is satisfied by it, so Spark
+    still plans exactly ONE exchange, now ``n``-wide. Small inputs
+    (micro-batches, oracle-scale queries) never trigger it. Tradeoff:
+    the embedded exchange moves raw rows where the default plan moves
+    map-side-combined rows — on a heavily-duplicated changelog window
+    that is more shuffle bytes, but bounded per-task reducer state is
+    what survives a 100x scale-up (spill grows superlinearly; shuffle
+    bytes grow linearly and never exceed the raw input).
     """
     keys = list(key_cols)
     if payload_cols is None:
         payload_cols = [c for c in df.columns if c not in keys and c not in (seq_col, op_col)]
+    if auto_scale:
+        n = bulk_partitions(df)
+        if n is not None and n > session_shuffle_partitions(df.sparkSession):
+            df = df.repartition(n, *[F.col(k) for k in keys])
 
     aggs = [
         F.min_by(F.col(op_col), F.col(seq_col)).alias("__first_op"),

@@ -1,0 +1,121 @@
+"""Data-proportional shuffle sizing for bulk batch operators.
+
+The problem (r12 VERDICT #3, diagnosed by the stream-scaling harness):
+reduce-side parallelism defaults to ``spark.sql.shuffle.partitions``
+(core count in this repo's sessions), which is a HARD CEILING on
+reducers no matter how large the input — a 20M-row changelog compact
+over 32 fixed reducers ran 10x the per-task hash-agg state of the 2M
+run and measured 36-75% over linear (spill/GC); at 100 TB that is the
+difference between a one-pass shuffle and a spill storm. The fix was
+proven as a bench-tool conf (``initialPartitionNum=256``, alpha 1.12
+-> 0.88) but lived outside the library, so a production caller of the
+bulk paths inherited core-count reducers unless they knew the knob.
+
+This module moves the sizing INTO the library: estimate the input's
+bytes from Catalyst plan statistics (free — no job) and derive the
+reducer count a bulk shuffle should start from; AQE coalesces down
+when the estimate overshoots. Two delivery mechanisms, used where each
+fits:
+
+- ``bulk_partitions(df)`` + plan-embedded ``repartition(n, keys)``
+  for LAZY operators (operators.compaction.compact_changelog): the
+  sizing travels inside the returned plan, needs no session-conf
+  mutation, and is therefore safe under concurrent queries. The keyed
+  repartition satisfies the aggregation's required distribution, so
+  Spark plans ONE exchange with the aggregate running at ``n``
+  partitions (verified: `Exchange hashpartitioning(..., n),
+  REPARTITION_BY_NUM` directly under the agg).
+- ``scoped_initial_partitions(spark, n)`` for ACTION sites
+  (streaming.merge_apply.MergeApplyTarget.apply_batch): sets
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` for
+  exactly the duration of the write and restores the prior value
+  (unset if none), so the remaining bulk shuffles (anti-join / LWW
+  window) scale too while small-epoch streams on the same session are
+  untouched the moment the scope exits.
+
+Small inputs are exempt by construction: sizing only engages when the
+derived count EXCEEDS the session's shuffle partitions, so streaming
+micro-batches and the oracle-scale queries keep their existing plans
+(and the per-epoch fixed-cost profile — index epochs measured ~25%
+slower under a blanket 256-way initial split, which is why this is
+per-operator, not in session.get_spark).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: bytes of (estimated, uncompressed) input per reduce task for bulk
+#: shuffles — the grain the r12 controlled experiment measured linear
+#: (per-row cost flat at 2.18-2.21 us/row when per-task state matched).
+BULK_TARGET_PARTITION_BYTES = int(
+    os.environ.get("PIPE_S_BULK_PARTITION_BYTES", 64 * 1024 * 1024)
+)
+
+#: runaway guard: plan-statistics products (joins) can overestimate by
+#: orders of magnitude; no bulk shuffle starts wider than this (AQE
+#: would coalesce, but the scheduler still pays per-partition cost).
+BULK_MAX_PARTITIONS = 4096
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes, or None when
+    unavailable/unknown. No job runs: leaf relations report file sizes
+    (x compression factor), localCheckpoint/cached relations report
+    materialized size, and operators propagate estimates."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        n = int(str(raw))
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        return None
+    # Catalyst signals "unknown" with defaultSizeInBytes (Long.Max) and
+    # join products can saturate; treat anything implausible as unknown
+    if n <= 0 or n >= (1 << 62):
+        return None
+    return n
+
+
+def bulk_partitions(df: DataFrame, target_bytes: int | None = None) -> int | None:
+    """Reduce-task count a bulk shuffle over ``df`` should start from
+    (ceil(bytes / target), capped), or None when the size estimate is
+    unavailable — callers fall back to session defaults."""
+    nbytes = plan_size_bytes(df)
+    if nbytes is None:
+        return None
+    t = target_bytes or BULK_TARGET_PARTITION_BYTES
+    return max(1, min(BULK_MAX_PARTITIONS, math.ceil(nbytes / t)))
+
+
+def session_shuffle_partitions(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        return 200  # Spark's own default
+
+
+@contextmanager
+def scoped_initial_partitions(spark: SparkSession, n: int):
+    """Raise AQE's initial shuffle-partition count to ``n`` for the
+    duration of the scope and RESTORE the prior value (unset when none
+    was set — r12 advice: a hardcoded reset leaks a conf that differs
+    from the session default on non-32-core hosts). Runtime conf is
+    session-global: keep the scope tight around one action; a query
+    planned concurrently on the same session would see ``n`` as its
+    initial count, which AQE coalesces back down for small shuffles."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset
+        prior = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

@@ -368,7 +368,26 @@ class MergeApplyTarget:
             import uuid
 
             stage = f"{self.path}.stage-{epoch_id}-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+            # data-proportional reduce parallelism for the merge's own
+            # shuffles (anti-join / LWW window): a bulk batch (backfill,
+            # initial load) must not run its merge over core-count
+            # reducers (r12 verdict #3 — the compact shuffle is already
+            # sized inside compact_changelog; this covers the join).
+            # Sized from THIS batch's estimated bytes, so streaming
+            # micro-batches never engage it and the conf is restored
+            # the moment the write returns.
+            from pipe_s_spark.sizing import (
+                bulk_partitions,
+                scoped_initial_partitions,
+                session_shuffle_partitions,
+            )
+
+            n_bulk = bulk_partitions(batch)
+            if n_bulk is not None and n_bulk > session_shuffle_partitions(spark):
+                with scoped_initial_partitions(spark, n_bulk):
+                    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+            else:
+                merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
             with self._lock():
                 if epoch_id <= self._read_fence():
                     # a newer incarnation advanced while we computed

@@ -492,3 +492,71 @@ def test_cc_edge_fold_is_single_job(spark):
         "(pinned <= 3, the collect-limit escalation ceiling): the "
         "edge-fold fast path gained a fixed per-call job"
     )
+
+
+def test_compact_reducers_scale_with_input(spark, monkeypatch, tmp_path):
+    """r12 verdict #2: the data-proportional reduce-parallelism fix
+    must live in the LIBRARY's bulk entry points, not in bench-tool
+    extra_conf — a production caller of compact_changelog gets
+    core-count reducers at 100 TB otherwise. Assert through the plain
+    library call (no conf, no extra args) that a 10x-bytes changelog
+    compacts over >=4x the reducers, by reading the EXECUTED
+    aggregation stage's task count via the public statusTracker API.
+    The target-bytes knob is shrunk so the guard runs at test scale;
+    the rule under test (ceil(bytes/target) keyed repartition when
+    above the session ceiling) is exactly the production one."""
+    from pipe_s_spark import sizing
+    from pipe_s_spark.operators.compaction import compact_changelog
+
+    monkeypatch.setattr(sizing, "BULK_TARGET_PARTITION_BYTES", 2 * 1024 * 1024)
+
+    def make_log(rows):
+        return (
+            spark.range(rows)
+            .select(
+                F.col("id").alias("seq"),
+                F.lit("t").alias("table_name"),
+                (F.col("id") % (rows // 2)).alias("pk"),
+                F.when(F.col("id") % 3 == 0, "insert")
+                .when(F.col("id") % 3 == 1, "update")
+                .otherwise("delete")
+                .alias("op"),
+                (F.col("id") * 7).alias("k"),
+                (F.col("id") * 0.5).alias("value"),
+            )
+            .repartition(4)
+            .localCheckpoint(eager=True)
+        )
+
+    def agg_tasks(log, label):
+        sc = spark.sparkContext
+        sc.setJobGroup(label, label)
+        try:
+            compact_changelog(
+                log, key_cols=("table_name", "pk"), payload_cols=["k", "value"]
+            ).write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        st = sc.statusTracker()
+        stages = set()
+        for jid in st.getJobIdsForGroup(label):
+            ji = st.getJobInfo(jid)
+            if ji:
+                stages.update(ji.stageIds)
+        # the aggregate runs in the widest post-exchange stage; the
+        # checkpoint scan is pinned at 4 tasks above, so max() is it
+        return max(
+            st.getStageInfo(s).numTasks for s in stages if st.getStageInfo(s)
+        )
+
+    small = agg_tasks(make_log(100_000), "compact_sizing_small")
+    big = agg_tasks(make_log(1_000_000), "compact_sizing_big")
+    shuffle_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert big > shuffle_default, (
+        f"20x-bytes compact ran its aggregate over {big} tasks — the "
+        f"session ceiling ({shuffle_default}) was not lifted by the library"
+    )
+    assert big >= 4 * small, (
+        f"reducers did not scale with input: {small} -> {big} "
+        "(data-proportional sizing regressed in compact_changelog)"
+    )

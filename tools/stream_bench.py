@@ -46,18 +46,28 @@ def main() -> None:
     target_rows = int(os.environ.get("SPARK_GRAFT_STREAMBENCH_ROWS", 2_000_000))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="stream_bench")
-    # data-proportional reducer sizing for the bulk CDC legs (see
-    # session.get_spark's initialPartitionNum note): constant across
-    # the x1/x10 amplifications so scaling alphas stay apples-to-apples
-    # — AQE coalesces the x1 shuffles back down, the x10 ones keep
-    # per-task hash-agg state at the measured-linear grain. Runtime
-    # conf, RESET before the index legs below: per-epoch index shuffles
-    # are fixed-cost dominated and measured ~25% slower under a 256-way
-    # initial split.
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256"
-    )
+    # Reducer sizing note (r12 verdict #3): the CDC legs used to pass
+    # initialPartitionNum=256 as a bench-tool conf; that knob now lives
+    # INSIDE the library (pipe_s_spark.sizing — compact_changelog
+    # embeds a keyed repartition, apply_batch scopes the AQE conf per
+    # action), so the bench runs the legs exactly as a production
+    # caller would, with no session mutation to reset afterwards.
     spark.sparkContext.setLogLevel("ERROR")
+
+    # machine-state probe (same fixed workload as bench.py): stream-leg
+    # readings have swung 208K-283K rows/s across rounds on identical
+    # code; recording the probe per session lets BASELINE.md's CDC
+    # table carry a host-state column so cross-round deltas can be
+    # read probe-normalized (r12 verdict #6).
+    def _probe() -> float:
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) as s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    _probe()  # warm
+    probe_sec = round(min(_probe() for _ in range(3)), 4)
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = events.count()
@@ -71,7 +81,19 @@ def main() -> None:
         .withColumn("pk", F.col("pk") + F.col("rep") * 1000)
         .drop("rep")
     )
-    log = log.localCheckpoint()  # materialize once; bench the operators, not the scan
+    # materialize once; bench the operators, not the scan — ACROSS
+    # data-proportional partitions. events.parquet is one scan split,
+    # so the amplified changelog otherwise checkpoints into a SINGLE
+    # partition and every leg starts with a one-task serial stage no
+    # real deployment has (a 4.7 GB changelog arrives as ~40-80 scan
+    # splits, never one): the r12 committed compact figure (379K
+    # rows/s) was dominated by exactly that artifact. Sizing comes
+    # from the library's own estimate (same rule at x1 and x10, so
+    # scaling alphas compare the operator, not the harness).
+    from pipe_s_spark.sizing import bulk_partitions
+
+    n_parts = bulk_partitions(log) or int(spark.sparkContext.defaultParallelism)
+    log = log.repartition(n_parts).localCheckpoint()
     n_rows = log.count()
 
     # byte volume of the resolved JSON envelopes (the MB/s denominator)
@@ -83,7 +105,13 @@ def main() -> None:
     )
     total_mb = n_rows * avg_bytes / 1e6
 
-    out: dict = {"rows": n_rows, "approx_mb": round(total_mb, 1), "legs": {}}
+    out: dict = {
+        "rows": n_rows,
+        "approx_mb": round(total_mb, 1),
+        "probe_sec": probe_sec,
+        "input_partitions": n_parts,
+        "legs": {},
+    }
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         t0 = time.time()
@@ -143,11 +171,6 @@ def main() -> None:
         # than the identical work re-run moments later).
         log.unpersist()
         spark.catalog.clearCache()
-        # back to core-count initial partitions for the per-epoch index
-        # legs (fixed-cost dominated; see the CDC-leg note above)
-        spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32"
-        )
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
 
