@@ -412,6 +412,15 @@ CC_LOCAL_FOLD_CHUNK_ROWS = 1_000_000
 #: CC_DRIVER_FOLD_MAX_EDGES; tests/test_scale_guards.py pins that the
 #: sf0.1 corpus does, so drift toward the bound is visible before the
 #: fallback ever fires in production.
+#:
+#: SINGLE-THREADED test/bench telemetry, not an API: a mutable module
+#: global written by every connected_components call, so concurrent
+#: callers (e.g. threaded epoch patterns) interleave writes — read it
+#: only in sequential harnesses (r12 advice). Note also the bound
+#: probe's cost contract: graphs OVER the edge-fold bound pay one
+#: extra bounded probe (limit(N+1) -> up to ~200K edge rows to the
+#: driver) before taking the two-phase path — a fixed, capped cost by
+#: construction, never O(graph).
 CC_TELEMETRY: dict = {"contracted_edges": None, "path": None}
 
 

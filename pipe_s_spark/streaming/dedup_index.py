@@ -144,6 +144,17 @@ def run_dedup_index_stream(
     return q
 
 
+#: wall-clock of the most recent epoch's phases (seconds) — parity
+#: with streaming.ivf_index.LAST_EPOCH_PROFILE (r12 verdict #7): the
+#: next fixed-cost attack on this sink should be measured, not
+#: guessed. pairs/index = each fenced write's own duration (they
+#: overlap; pairs also pays the band build + join through the shared
+#: persisted batch), wall = whole epoch. Single-threaded test/bench
+#: telemetry — concurrent apply_index_batch callers would interleave
+#: writes to it, like CC_TELEMETRY.
+LAST_EPOCH_PROFILE: dict = {}
+
+
 def apply_index_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -161,6 +172,10 @@ def apply_index_batch(
     with the same (batch, batch_id) rewrites the same partitions to
     identical content (exactly what a post-crash Structured Streaming
     replay does)."""
+    import time as _time
+
+    _prof: dict = {}
+    _t_epoch = _time.perf_counter()
     spark = batch_df.sparkSession
     sh = shingles(batch_df.select(id_col, text_col), id_col, text_col, k=k)
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
@@ -227,10 +242,15 @@ def apply_index_batch(
         errs: list[BaseException] = []
 
         def _write(df: DataFrame, path: str) -> None:
+            _t = _time.perf_counter()
             try:
                 _fenced(df, path)
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 errs.append(e)
+            finally:
+                _prof["pairs" if path == pairs_path else "index"] = (
+                    _time.perf_counter() - _t
+                )
 
         threads = [
             InheritableThread(target=_write, args=(pairs.distinct(), pairs_path)),
@@ -241,9 +261,25 @@ def apply_index_batch(
         for t in threads:
             t.join()
         if errs:
-            raise errs[0]
+            _raise_all(errs)
     finally:
         new_bands.unpersist()
+        _prof["wall"] = _time.perf_counter() - _t_epoch
+        LAST_EPOCH_PROFILE.clear()
+        LAST_EPOCH_PROFILE.update(_prof)
+
+
+def _raise_all(errs: list[BaseException]) -> None:
+    """Re-raise concurrent epoch-action failures without dropping any
+    (r12 advice: raising errs[0] alone silently discarded the other
+    thread's exception, complicating partially-failed-epoch diagnosis).
+    One failure re-raises as itself; several raise an ExceptionGroup
+    carrying every traceback."""
+    if len(errs) == 1:
+        raise errs[0]
+    raise BaseExceptionGroup(
+        f"{len(errs)} concurrent epoch actions failed", errs
+    )
 
 
 def _list_batch_ids(path: str) -> list[int]:

@@ -578,7 +578,9 @@ def apply_ivf_batch(
         for t in threads:
             t.join()
         if errs:
-            raise errs[0]
+            from pipe_s_spark.streaming.dedup_index import _raise_all
+
+            _raise_all(errs)
     finally:
         ranked.unpersist()
         _prof["wall"] = _time.perf_counter() - _t_epoch

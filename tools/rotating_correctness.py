@@ -89,8 +89,13 @@ def rotating_sample(names, round_no: int, size: int) -> list[str]:
 
 
 def update_ledger(sampled, round_no: int, source: str) -> None:
-    """Record first-sample rounds for this draw (idempotent: existing
-    earlier entries win)."""
+    """Record first-sample rounds for this draw. Existing entries are
+    NEVER rewritten — not even by a replay claiming an earlier round
+    (r12 advice: lowering an entry's first-sampled round retroactively
+    changes covered_before() for intermediate rounds and breaks
+    replayability of their committed samples). The ledger is an
+    append-only history: first writer wins, replays of old rounds
+    insert only names the ledger has never seen."""
     try:
         with open(LEDGER) as f:
             ledger = json.load(f)
@@ -98,7 +103,7 @@ def update_ledger(sampled, round_no: int, source: str) -> None:
         ledger = {"_meta": {}, "first_sampled": {}}
     fs = ledger["first_sampled"]
     for name in sampled:
-        if name not in fs or fs[name]["round"] > round_no:
+        if name not in fs:
             fs[name] = {"round": round_no, "source": source}
     ledger["first_sampled"] = dict(sorted(fs.items()))
     with open(LEDGER, "w") as f:
