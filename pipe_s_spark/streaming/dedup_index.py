@@ -184,7 +184,14 @@ def apply_index_batch(
         from pipe_s_spark.functions.dedup import cap_group_size
 
         new_bands = cap_group_size(new_bands, ["band_id", "band_sig"], band_cap)
-    new_bands = new_bands.persist()
+    # eager local checkpoint, not persist(): the two concurrent fenced
+    # writes below otherwise race block-level cache locks while
+    # materializing the bands AND re-plan the full shingle->minhash->
+    # band lineage per job; a truncated LogicalRDD plan measured
+    # ~10-15% whole-epoch on the IVF index's identical pattern (see
+    # streaming.ivf_index apply_ivf_batch r13 note). Blocks are freed
+    # explicitly in the finally (_free_local_checkpoint).
+    new_bands = new_bands.localCheckpoint(eager=True)
     try:
         if _has_batch_partitions(index_path):
             # STRICTLY EARLIER epochs only: batch ids are monotone, so
@@ -263,10 +270,26 @@ def apply_index_batch(
         if errs:
             _raise_all(errs)
     finally:
-        new_bands.unpersist()
+        _free_local_checkpoint(new_bands)
         _prof["wall"] = _time.perf_counter() - _t_epoch
         LAST_EPOCH_PROFILE.clear()
         LAST_EPOCH_PROFILE.update(_prof)
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a local checkpoint's storage blocks NOW instead of at
+    the next driver GC. ``Dataset.unpersist`` only uncaches
+    cache-manager entries, and a local checkpoint's blocks ARE its
+    data (truncated lineage) — left to the ContextCleaner, a
+    long-running stream would carry a few epochs of dead batches in
+    the block manager between GC cycles. Best-effort by design: on
+    any reflection mismatch the cleaner still reclaims the blocks
+    once the DataFrame is garbage-collected."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — GC/ContextCleaner fallback
+        pass
 
 
 def _raise_all(errs: list[BaseException]) -> None:

@@ -56,7 +56,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pipe_s_spark.functions import similarity as S
-from pipe_s_spark.streaming.dedup_index import DEFAULT_COMPACT_EVERY
+from pipe_s_spark.streaming.dedup_index import (
+    DEFAULT_COMPACT_EVERY,
+    _free_local_checkpoint,
+)
 
 #: default per-cell searchable-membership bound — the same constant the
 #: batch ANN queries cap buckets with (queries_llm_shared.SIM_BUCKET_CAP).
@@ -265,6 +268,35 @@ def _cells_path(index_path: str) -> str:
     return index_path.rstrip("/") + ".cells"
 
 
+def _merge_local_topk(local: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Global per-query top-k from the kernel's per-sub-block lists —
+    as a HASH AGGREGATE (collect per query, array_sort, slice) instead
+    of the previous row_number sort-window. Identical output: the sort
+    key is the struct (-score, neighbor_id), the same total order the
+    window used (double negation is exact, including -0.0 vs 0.0 —
+    Double.compare puts -cos of 0.0 before -cos of -0.0 exactly as
+    desc(cos) orders 0.0 before -0.0; int64 scores cannot overflow the
+    negation: they are sums of m ~2^40-bounded LUT entries). The agg
+    combines map-side and avoids the window's whole-partition sort of
+    every candidate row — at 10^10 vectors the shuffle carries the
+    same rows either way, but the reducer state is k entries per
+    query, never a sort buffer."""
+    tk = F.struct(
+        (-F.col(score_col)).alias("_n"), F.col("neighbor_id").alias("_id")
+    )
+    agg = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(tk)), 1, k).alias("_tk")
+    )
+    return agg.select(
+        "query_id", F.posexplode("_tk").alias("_rk0", "_t")
+    ).select(
+        "query_id",
+        F.col("_t._id").alias("neighbor_id"),
+        (-F.col("_t._n")).alias(score_col),
+        (F.col("_rk0") + 1).cast("int").alias("rk"),
+    )
+
+
 #: wall-clock of the most recent epoch's phases (seconds) — telemetry
 #: for the fixed-cost work: counts = materialize + ledger, topk/index =
 #: each fenced write's own duration (they overlap), wall = whole epoch.
@@ -327,6 +359,18 @@ def apply_ivf_batch(
     # column at all. The previously separate assign + encode passes
     # shipped the raw vector through the worker boundary twice and
     # quantized it twice — ~0.3 s of a 10K-vector epoch.
+    # right-size the assign kernel's Arrow batching: a micro-batch
+    # arriving in many near-empty source partitions (a 10K-vector
+    # epoch filtered from a 32-partition stream = ~300 rows/task)
+    # pays per-task python-worker + Arrow round-trip overhead ~30x
+    # the matmul it runs. coalesce (narrow — no shuffle, a no-op when
+    # the batch already has fewer partitions) to ~4 MB/task from the
+    # plan-statistics estimate; big batches keep their parallelism.
+    from pipe_s_spark.sizing import bulk_partitions
+
+    n_assign = bulk_partitions(batch_df, target_bytes=4 * 1024 * 1024)
+    if n_assign is not None:
+        batch_df = batch_df.coalesce(n_assign)
     if pq_books is not None:
         assigned = S.ivf_adc_prepare_table(
             batch_df,
@@ -356,8 +400,27 @@ def apply_ivf_batch(
     # a driver-local DataFrame (still no parquet-scan job) — a literal
     # map with 10^5 entries would bloat the plan tree instead.
     base_map = _read_base_counts(cells_path, batch_id)
+    # materialize `ranked` across min(#cells, session shuffle
+    # partitions) partitions instead of the session default: the rank
+    # window clusters by cell, so with 8 trained cells at most 8 of 32
+    # default partitions are non-empty — yet every downstream consumer
+    # of the persisted batch (top-k corpus+query cache scans, index
+    # write, counts aggregate) would launch a task per EMPTY partition
+    # too, ~50 no-op tasks of pure scheduling per epoch at the 10K
+    # grain. The explicit keyed repartition is the exchange the window
+    # needs anyway (required distribution satisfied — no extra
+    # shuffle), just at the layout's natural width.
+    n_rank_parts = max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            len(centroids),
+        ),
+    )
     w = Window.partitionBy("cell").orderBy(id_col)
-    ranked = assigned.withColumn("batch_rank", F.row_number().over(w))
+    ranked = assigned.repartition(n_rank_parts, "cell").withColumn(
+        "batch_rank", F.row_number().over(w)
+    )
     if not base_map:
         ranked = ranked.withColumn("cell_rank", F.col("batch_rank").cast("long"))
     elif len(base_map) <= 4096:
@@ -394,11 +457,27 @@ def apply_ivf_batch(
     searchable = (
         F.col("cell_rank") <= F.lit(cell_cap) if cell_cap is not None else F.lit(True)
     )
+    # EAGER LOCAL CHECKPOINT, not persist() (r13): the epoch's three
+    # concurrent consumers used to race block-level cache locks while
+    # materializing a lazily-persisted `ranked`, and each re-planned
+    # the full assign+window lineage per job. Materializing ONCE up
+    # front and handing consumers a truncated LogicalRDD plan measured
+    # ~10-15% whole-epoch (interleaved A/B: 4.6-5.2K v/s vs 4.3-4.5K
+    # baseline; an eager persist()+count() variant recovered none of
+    # it, so the win is the lineage truncation, not the eagerness).
+    # Replay-unaffected: this changes WHERE the batch materializes,
+    # not what any write contains. Cleanup: Dataset.unpersist does not
+    # free local-checkpoint blocks (they live outside the cache
+    # manager), so _free_local_checkpoint reaches the LogicalRDD's
+    # storage directly, with GC/ContextCleaner as the documented
+    # fallback.
+    _t_mat = _time.perf_counter()
     ranked = (
         ranked.withColumn("searchable", searchable)
         .drop("batch_rank")
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    _prof["mat"] = _time.perf_counter() - _t_mat
     try:
         # candidate corpus: searchable members of strictly-earlier
         # epochs plus this batch itself (a vector may match a
@@ -484,14 +563,7 @@ def apply_ivf_batch(
                 queries, corpus, "gc", lut_col="xqb", id_col=id_col, m=pq_m,
                 k_codes=pq_k, k=k, books=pq_books, dim=dim,
             )
-            wq = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
-            topk = (
-                local.withColumn("rk", F.row_number().over(wq))
-                .filter(F.col("rk") <= k)
-                .select(
-                    "query_id", "neighbor_id", "adc_dot", F.col("rk").cast("int").alias("rk")
-                )
-            )
+            topk = _merge_local_topk(local, "adc_dot", k)
         else:
             queries = _salted_queries(
                 ranked.select(
@@ -511,14 +583,7 @@ def apply_ivf_batch(
             local = S.grouped_topk_exact(
                 queries, corpus, "gc", id_col=id_col, vec_col=vec_col, k=k
             )
-            wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-            topk = (
-                local.withColumn("rk", F.row_number().over(wq))
-                .filter(F.col("rk") <= k)
-                .select(
-                    "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk")
-                )
-            )
+            topk = _merge_local_topk(local, "cos_sim", k)
         # the epoch's three remaining actions run CONCURRENTLY (r12):
         # the top-k probe job is the long pole (~1.5 s at the 10K
         # grain); the index write (~0.35 s of job+commit fixed cost)
@@ -582,7 +647,7 @@ def apply_ivf_batch(
 
             _raise_all(errs)
     finally:
-        ranked.unpersist()
+        _free_local_checkpoint(ranked)
         _prof["wall"] = _time.perf_counter() - _t_epoch
         LAST_EPOCH_PROFILE.clear()
         LAST_EPOCH_PROFILE.update(_prof)
