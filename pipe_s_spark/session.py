@@ -49,9 +49,12 @@ def get_spark(
         # (high initial + AQE coalesce-down) — deliberately NOT set
         # here: micro-batch/streaming-index jobs are fixed-cost
         # dominated and measured ~25% SLOWER with a 256-way initial
-        # split of their small per-epoch shuffles. Big-batch callers
-        # (tools/stream_bench.py's CDC legs; any production bulk CDC
-        # job) pass it via extra_conf, constant across scales.
+        # split of their small per-epoch shuffles. The bulk entry
+        # points size themselves instead (r13, pipe_s_spark.sizing):
+        # compact_changelog embeds a keyed repartition from the
+        # input's byte estimate, and MergeApplyTarget.apply_batch
+        # scopes this conf around its merge write — no caller conf
+        # needed.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -560,3 +560,64 @@ def test_compact_reducers_scale_with_input(spark, monkeypatch, tmp_path):
         f"reducers did not scale with input: {small} -> {big} "
         "(data-proportional sizing regressed in compact_changelog)"
     )
+
+
+def test_merge_apply_bulk_conf_scope_restores(spark, monkeypatch, tmp_path):
+    """apply_batch raises AQE's initialPartitionNum only for the
+    duration of a BULK batch's stage write and must restore the prior
+    state exactly (r12 advice: the old bench-tool reset hardcoded 32,
+    leaking a conf that differs from the session default on other
+    hosts). Unset before -> unset after; set before -> same value
+    after; and a small streaming-grade batch never sets it at all."""
+    from pipe_s_spark import sizing
+    from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+    def conf_state():
+        try:
+            return spark.conf.get(key)
+        except Exception:  # noqa: BLE001
+            return None
+
+    def make_log(rows):
+        return spark.range(rows).select(
+            F.col("id").alias("seq"),
+            F.lit("t").alias("table_name"),
+            F.col("id").alias("pk"),
+            F.lit("insert").alias("op"),
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+
+    # force the bulk path at test scale
+    monkeypatch.setattr(sizing, "BULK_TARGET_PARTITION_BYTES", 64 * 1024)
+
+    assert conf_state() is None
+    tgt = MergeApplyTarget(str(tmp_path / "t1"))
+    assert tgt.apply_batch(make_log(50_000), epoch_id=1)
+    assert conf_state() is None, "bulk scope leaked an unset conf"
+
+    spark.conf.set(key, "17")
+    try:
+        tgt2 = MergeApplyTarget(str(tmp_path / "t2"))
+        assert tgt2.apply_batch(make_log(50_000), epoch_id=1)
+        assert conf_state() == "17", "bulk scope clobbered a preset conf"
+    finally:
+        spark.conf.unset(key)
+
+    # small batch: sizing stays out entirely (no flicker a concurrent
+    # query could observe) — bulk_partitions at the REAL target is
+    # under the session ceiling for a 100-row batch
+    monkeypatch.setattr(sizing, "BULK_TARGET_PARTITION_BYTES", 64 * 1024 * 1024)
+    seen = []
+    orig = sizing.scoped_initial_partitions
+
+    def spy(s, n):
+        seen.append(n)
+        return orig(s, n)
+
+    monkeypatch.setattr(sizing, "scoped_initial_partitions", spy)
+    tgt3 = MergeApplyTarget(str(tmp_path / "t3"))
+    assert tgt3.apply_batch(make_log(100), epoch_id=1)
+    assert not seen, f"streaming-grade batch engaged bulk sizing: {seen}"

@@ -294,12 +294,20 @@ def main() -> None:
             "> Controlled experiment: per-row cost is FLAT at matched",
             "> per-task state (2M rows / 32 parts = 2.18 us/row vs 20M /",
             "> 256 = 2.21), while 20M over 32 fixed partitions ran 36-75%",
-            "> over linear. Fix: the bulk CDC legs set",
-            "> spark.sql.adaptive.coalescePartitions.initialPartitionNum=256",
-            "> (constant across BOTH amplifications — AQE coalesces the x1",
-            "> shuffles back down, so alphas stay apples-to-apples; the",
-            "> per-epoch streaming-index jobs deliberately keep core-count",
-            "> initial partitions, see session.get_spark).",
+            "> over linear. Fix (r12: a bench-tool conf; r13: moved INTO",
+            "> the library — pipe_s_spark.sizing): compact_changelog sizes",
+            "> its reduce parallelism from the input's Catalyst byte",
+            "> estimate (keyed repartition embedded in the plan) and",
+            "> apply_batch scopes AQE's initialPartitionNum around its",
+            "> merge write, so these legs now run the PLAIN library calls",
+            "> with no session conf — the same rule at both amplifications",
+            "> keeps alphas apples-to-apples, and per-epoch streaming-index",
+            "> jobs (below their size threshold) keep core-count initial",
+            "> partitions. The legs also materialize the synthetic",
+            "> changelog across data-proportional partitions (r13): the",
+            "> events-derived checkpoint used to land in ONE partition, so",
+            "> earlier absolute rows/s figures carried a single-task",
+            "> serial stage no real scan would have.",
             "",
         ]
         if ss.get("index_legs"):
