@@ -63,12 +63,19 @@ BULK_MAX_PARTITIONS = 4096
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate in bytes, or None when
+    """Catalyst's ANALYZED-plan size estimate in bytes, or None when
     unavailable/unknown. No job runs: leaf relations report file sizes
     (x compression factor), localCheckpoint/cached relations report
-    materialized size, and operators propagate estimates."""
+    materialized size, and operators propagate estimates. The analyzed
+    plan, NOT optimizedPlan(): asking for the optimized plan runs the
+    whole optimizer eagerly at DataFrame-construction time (~350 ms on
+    a fresh cdc-changelog plan — the r13 bench triage caught exactly
+    that as a reproduced regression on every compact-calling query),
+    while analyzed().stats() is ~1 ms and returns the same
+    size-in-bytes-only estimate when CBO is off (pre-pruning, so it
+    can only overshoot — more initial reducers, which AQE coalesces)."""
     try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        raw = df._jdf.queryExecution().analyzed().stats().sizeInBytes()
         n = int(str(raw))
     except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
         return None
