@@ -205,8 +205,27 @@ def main() -> None:
         ).mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # second, SHUFFLE-flavored probe (r13): the compute probe is pure
+    # JVM arithmetic and missed host bursts that hit shuffle/Arrow-
+    # heavy queries 2-3x while it moved <5% (three spurious
+    # `reproduced` flags, disproved by A-B-A). A fixed groupBy over a
+    # synthetic key exercises exchange write/read + hash agg; recorded
+    # in the artifact so the NEXT round's triage can normalize against
+    # whichever probe co-moves with the flagged query's shape (priors
+    # need one round of history before verdict logic can use it).
+    def _probe_shuffle() -> float:
+        t0 = time.perf_counter()
+        spark.range(8_000_000).selectExpr(
+            "id % 1000000 as k", "id as v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     _probe()  # warm
     probe_sec = round(min(_probe() for _ in range(3)), 4)
+    _probe_shuffle()  # warm
+    probe_shuffle_sec = round(min(_probe_shuffle() for _ in range(3)), 4)
 
     # MEDIAN of post-warmup repeats per query (r7 verdict: min-of-3
     # totals still swung ±20% run-to-run, leaving real <1.4x
@@ -287,6 +306,7 @@ def main() -> None:
             spark.stop()  # quiet host for the isolated session
             iso = _run_triage(sf_dir, sorted(flagged))
             iso_probe = iso.pop("_probe_sec", None)
+            iso_probe_shuffle = iso.pop("_probe_shuffle_sec", None)
             for n in flagged:
                 if n not in iso:
                     continue
@@ -298,8 +318,10 @@ def main() -> None:
                     "prior_probe_sec": prior_probe,
                     "main_sec": timings[n],
                     "main_probe_sec": probe_sec,
+                    "main_probe_shuffle_sec": probe_shuffle_sec,
                     "isolated_sec": iso[n],
                     "isolated_probe_sec": iso_probe,
+                    "isolated_probe_shuffle_sec": iso_probe_shuffle,
                     "reproduced": reproduced,
                     "reason": reason,
                 }
@@ -315,6 +337,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "probe_sec": probe_sec,
+        "probe_shuffle_sec": probe_shuffle_sec,
         "cache_builds": cache_attr,
         "triage": triage,
         "sf": sf,

@@ -74,8 +74,27 @@ def main() -> None:
     _probe()  # warm
     probe_sec = round(min(_probe() for _ in range(3)), 4)
 
+    # shuffle-flavored probe, identical to bench.py's (r13 — see the
+    # note there): recorded so a future verdict pass can normalize
+    # shuffle-heavy queries against the probe that actually co-moves
+    # with them
+    def _probe_shuffle() -> float:
+        t0 = time.perf_counter()
+        spark.range(8_000_000).selectExpr(
+            "id % 1000000 as k", "id as v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    _probe_shuffle()  # warm
+    probe_shuffle_sec = round(min(_probe_shuffle() for _ in range(3)), 4)
+
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
-    out: dict[str, float] = {"_probe_sec": probe_sec}
+    out: dict[str, float] = {
+        "_probe_sec": probe_sec,
+        "_probe_shuffle_sec": probe_shuffle_sec,
+    }
     for name in names:
         samples: list[float] = []
         for _ in range(runs):

@@ -69,6 +69,21 @@ def main() -> None:
     _probe()  # warm
     probe_sec = round(min(_probe() for _ in range(3)), 4)
 
+    # shuffle-flavored probe (r13, same workload as bench.py's): the
+    # CDC legs are exchange-bound, so this is the probe expected to
+    # co-move with them across host states
+    def _probe_shuffle() -> float:
+        t0 = time.time()
+        spark.range(8_000_000).selectExpr(
+            "id % 1000000 as k", "id as v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    _probe_shuffle()  # warm
+    probe_shuffle_sec = round(min(_probe_shuffle() for _ in range(3)), 4)
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = events.count()
     amplify = max(1, target_rows // n_events)
@@ -109,6 +124,7 @@ def main() -> None:
         "rows": n_rows,
         "approx_mb": round(total_mb, 1),
         "probe_sec": probe_sec,
+        "probe_shuffle_sec": probe_shuffle_sec,
         "input_partitions": n_parts,
         "legs": {},
     }
