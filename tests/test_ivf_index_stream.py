@@ -269,3 +269,59 @@ def test_runner_bootstrap_then_stream(spark, tmp_path, cents):
         for r in spark.read.parquet(tk).filter(F.col("batch_id") == 1).collect()
     }
     assert got_tk == want_tk and len(want_tk) > 0
+
+
+def test_merge_local_topk_equals_window_merge(spark):
+    """The r13 epoch replaced the global per-query row_number
+    sort-window with a hash-aggregate merge (_merge_local_topk).
+    Property-pin the equivalence directly on adversarial data — score
+    ties (the kernel emits 1e-6-rounded cosines, so ties are routine),
+    signed zeros (negation must preserve the desc-score order), fewer
+    than k candidates, and int64 scores (the ADC path) — so a future
+    edit to either form trips here, not in a bench."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pipe_s_spark.streaming.ivf_index import _merge_local_topk
+
+    rnd = random.Random(7)
+    rows = []
+    for q in range(60):
+        n = rnd.randrange(1, 12)
+        for _ in range(n):
+            score = rnd.choice([0.0, -0.0, 0.5, 0.5, 0.25, 1.0, -0.125])
+            rows.append((q, rnd.randrange(1000), float(score)))
+    local = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cos_sim double"
+    )
+    k = 5
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    win = (
+        local.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+    agg = _merge_local_topk(local, "cos_sim", k)
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+
+    # int64 scores (ADC mode) incl. negatives and ties
+    rows_i = [
+        (q, nid, s)
+        for q in range(40)
+        for nid, s in [(rnd.randrange(100), rnd.choice([-(2**40), 0, 7, 7, 2**41]))
+                       for _ in range(rnd.randrange(1, 9))]
+    ]
+    local_i = spark.createDataFrame(
+        rows_i, "query_id long, neighbor_id long, adc_dot long"
+    )
+    wq_i = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    win_i = (
+        local_i.withColumn("rk", F.row_number().over(wq_i))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", F.col("rk").cast("int").alias("rk"))
+    )
+    agg_i = _merge_local_topk(local_i, "adc_dot", k)
+    assert sorted(map(tuple, win_i.collect())) == sorted(map(tuple, agg_i.collect()))
+    assert dict(agg_i.dtypes)["adc_dot"] == "bigint"

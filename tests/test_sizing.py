@@ -1,0 +1,92 @@
+"""Unit tests for pipe_s_spark.sizing — the data-proportional bulk
+shuffle sizing introduced in r13 (VERDICT r12 #3). The integration
+guards live in test_scale_guards (compact reducer scaling, apply_batch
+conf-scope restore); these pin the helper semantics themselves."""
+
+from __future__ import annotations
+
+import math
+
+from pipe_s_spark import sizing
+
+
+def test_plan_size_bytes_on_real_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    n = sizing.plan_size_bytes(df)
+    # uncompressed estimate of a ~60K-row lineitem: positive, sane
+    assert n is not None and 10_000 < n < 10**11
+
+
+def test_plan_size_bytes_unknown_is_none():
+    # the None path needs a plan whose stats saturate Catalyst's
+    # "unknown" sentinel — emulate the py4j surface directly:
+    # anything >= 2^62 is treated as unknown
+    class FakeStats:
+        def sizeInBytes(self):
+            return 1 << 62
+
+    class FakePlan:
+        def stats(self):
+            return FakeStats()
+
+    class FakeQE:
+        def analyzed(self):
+            return FakePlan()
+
+    class FakeJdf:
+        def queryExecution(self):
+            return FakeQE()
+
+    class FakeDF:
+        _jdf = FakeJdf()
+
+    assert sizing.plan_size_bytes(FakeDF()) is None
+
+
+def test_bulk_partitions_rule(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    nbytes = sizing.plan_size_bytes(df)
+    want = max(
+        1,
+        min(
+            sizing.BULK_MAX_PARTITIONS,
+            math.ceil(nbytes / sizing.BULK_TARGET_PARTITION_BYTES),
+        ),
+    )
+    assert sizing.bulk_partitions(df) == want
+    # explicit target overrides the module default
+    assert sizing.bulk_partitions(df, target_bytes=nbytes) == 1
+    # cap holds
+    assert sizing.bulk_partitions(df, target_bytes=1) == sizing.BULK_MAX_PARTITIONS
+
+
+def test_scoped_initial_partitions_nested_restore(spark):
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+    def state():
+        try:
+            return spark.conf.get(key)
+        except Exception:  # noqa: BLE001
+            return None
+
+    assert state() is None
+    with sizing.scoped_initial_partitions(spark, 64):
+        assert state() == "64"
+        with sizing.scoped_initial_partitions(spark, 128):
+            assert state() == "128"
+        assert state() == "64"
+    assert state() is None
+
+
+def test_scoped_initial_partitions_restores_on_error(spark):
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        with sizing.scoped_initial_partitions(spark, 64):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    try:
+        val = spark.conf.get(key)
+    except Exception:  # noqa: BLE001
+        val = None
+    assert val is None
