@@ -169,6 +169,50 @@ class MergeApplyTarget:
     def _bucket_dir(self, k: int) -> str:
         return os.path.join(self.path, f"bucket={k}")
 
+    def _layout_path(self) -> str:
+        return os.path.join(self.path, "._layout")
+
+    def _check_layout_locked(self) -> None:
+        """Enforce the target's immutable layout contract (caller holds
+        the lock). Bucket routing is ``pmod(hash(key_cols), num_buckets)``
+        — if a later incarnation opens the same directory with a
+        different bucket count, key order, or LWW mode, every merge
+        reads the WRONG subset of buckets: a key that hashed to bucket
+        3 under N=16 lands in bucket 7 under N=32 while its old row
+        survives untouched in 3 — silent duplicates, the exact failure
+        class the epoch fence exists to kill. The first writer records
+        the layout in ``._layout`` (dot-prefixed: invisible to Spark's
+        partition discovery, like the fence); every later open
+        verifies it and refuses a mismatch loudly. Pre-r13 targets
+        without the file adopt the opening instance's layout (the
+        status quo behavior, now recorded going forward)."""
+        import json as _json
+
+        meta = {
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "lww": self.lww,
+        }
+        p = self._layout_path()
+        try:
+            with open(p) as f:
+                disk = _json.load(f)
+        except FileNotFoundError:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(meta, f)
+            os.rename(tmp, p)
+            return
+        if disk != meta:
+            raise ValueError(
+                f"merge target {self.path} was created with layout {disk}; "
+                f"this instance was configured with {meta}. Bucket routing "
+                "is derived from (key_cols, num_buckets) and stored rows "
+                "from lww — changing any of them on an existing target "
+                "silently duplicates or hides rows. Open the target with "
+                "its original layout, or write to a new path."
+            )
+
     def _fence_path(self) -> str:
         return os.path.join(self.path, "._last_epoch")
 
@@ -239,6 +283,7 @@ class MergeApplyTarget:
         from pyspark.sql import functions as F
 
         with self._lock():
+            self._check_layout_locked()
             self._recover_locked()
         cols = self.key_cols + self.payload_cols
         if self.lww and internal:
@@ -312,6 +357,8 @@ class MergeApplyTarget:
         # when the fence skipped/aborted it — batch callers (runner
         # 'merge' output) surface the skip to the user instead of
         # silently no-opping on re-run with fresh input.
+        with self._lock():
+            self._check_layout_locked()
         if epoch_id <= self._read_fence():
             _trace(self.path, f"epoch={epoch_id} SKIP fence={self._read_fence()}")
             return False

@@ -1216,3 +1216,41 @@ def test_merge_target_composite_custom_key(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="nope"):
         fresh.read_current(spark)
+
+
+def test_merge_target_layout_is_immutable(spark, tmp_path):
+    """Bucket routing is pmod(hash(key_cols), num_buckets): reopening a
+    target with a different bucket count / key order / LWW mode reads
+    the wrong bucket subset and silently duplicates rows. The r13
+    layout file makes the first writer's choice binding — a mismatched
+    reopen must refuse loudly, matched reopens and pre-existing
+    targets keep working."""
+    import pytest
+
+    from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+    log = spark.createDataFrame(
+        [(i, "t", i, "insert", i, float(i)) for i in range(50)],
+        "seq long, table_name string, pk long, op string, k int, value double",
+    )
+    path = str(tmp_path / "tgt")
+    t1 = MergeApplyTarget(path, num_buckets=16)
+    assert t1.apply_batch(log, epoch_id=1)
+
+    # matched reopen: fine (fresh instance, same layout)
+    t2 = MergeApplyTarget(path, num_buckets=16)
+    assert t2.read_current(spark).count() == 50
+
+    # mismatched bucket count: refused before any write
+    with pytest.raises(ValueError, match="layout"):
+        MergeApplyTarget(path, num_buckets=32).apply_batch(log, epoch_id=2)
+    # mismatched key order: refused (hash(key_cols) is order-sensitive)
+    with pytest.raises(ValueError, match="layout"):
+        MergeApplyTarget(path, key_cols=("pk", "table_name")).read_current(spark)
+    # mismatched lww mode: refused (stored-row shape differs)
+    with pytest.raises(ValueError, match="layout"):
+        MergeApplyTarget(path, lww=True).apply_batch(log, epoch_id=2)
+
+    # the refusals wrote nothing and the good instance still works
+    assert t2.read_current(spark).count() == 50
+    assert t2.apply_batch(log.withColumn("seq", log.seq + 100), epoch_id=2)
