@@ -176,6 +176,13 @@ def apply_index_batch(
 
     _prof: dict = {}
     _t_epoch = _time.perf_counter()
+    # band_sig compatibility contract: k/num_hashes/bands determine
+    # whether two epochs' band rows are comparable at all; band_cap is
+    # deliberately OUTSIDE the contract (it bounds which rows enter,
+    # not what a row means — retunable between restarts)
+    check_index_contract(
+        index_path, {"kind": "minhash_lsh", "k": k, "num_hashes": num_hashes, "bands": bands}
+    )
     spark = batch_df.sparkSession
     sh = shingles(batch_df.select(id_col, text_col), id_col, text_col, k=k)
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
@@ -274,6 +281,41 @@ def apply_index_batch(
         _prof["wall"] = _time.perf_counter() - _t_epoch
         LAST_EPOCH_PROFILE.clear()
         LAST_EPOCH_PROFILE.update(_prof)
+
+
+def check_index_contract(path: str, meta: dict) -> None:
+    """Enforce an index directory's immutable compatibility contract.
+    The strictly-earlier join only means anything if every epoch wrote
+    rows under the SAME family parameters — a stream restarted with
+    different MinHash banding (or an IVF index reopened with different
+    centroids) joins incompatible signatures and silently emits wrong
+    pairs, the same corruption class the merge target's ._layout file
+    guards. First writer records ``meta`` in ``<path>/._contract``
+    (dot-prefixed: invisible to partition discovery), atomically;
+    every later open verifies and refuses a mismatch loudly.
+    Pre-existing indexes without the file adopt the opening caller's
+    parameters, recorded going forward."""
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    p = os.path.join(path, "._contract")
+    try:
+        with open(p) as f:
+            disk = _json.load(f)
+    except FileNotFoundError:
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.rename(tmp, p)
+        return
+    if disk != meta:
+        raise ValueError(
+            f"index at {path} was built under contract {disk}; this caller "
+            f"supplied {meta}. Epochs written under different parameters "
+            "join incompatible signatures/cells and silently corrupt "
+            "results — reopen with the original parameters or build a "
+            "new index path."
+        )
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

@@ -59,7 +59,22 @@ from pipe_s_spark.functions import similarity as S
 from pipe_s_spark.streaming.dedup_index import (
     DEFAULT_COMPACT_EVERY,
     _free_local_checkpoint,
+    check_index_contract,
 )
+
+
+def _fingerprint(mapping: dict) -> str:
+    """Deterministic sha256 of a {key: int-list} training artifact
+    (centroid matrix, PQ codebook) — key-order-independent, exact on
+    the int64 values, so a retrained-but-identical artifact still
+    matches and any real drift does not."""
+    import hashlib
+    import json as _json
+
+    blob = _json.dumps(
+        sorted((str(k), list(v)) for k, v in mapping.items())
+    ).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
 
 #: default per-cell searchable-membership bound — the same constant the
 #: batch ANN queries cap buckets with (queries_llm_shared.SIM_BUCKET_CAP).
@@ -329,6 +344,26 @@ def apply_ivf_batch(
 
     _prof: dict = {}
     _t_epoch = _time.perf_counter()
+    # index compatibility contract (see dedup_index.check_index_contract):
+    # the strictly-earlier probe joins cells across epochs, so the
+    # centroid matrix (cell numbering AND geometry), the searchable
+    # cap, and — in compressed mode — the PQ codebook must be
+    # byte-identical across every epoch of an index's life. A stream
+    # restarted with retrained centroids would probe yesterday's cell
+    # 3 as today's cell 3 and silently return wrong neighbors.
+    # Fingerprints, not full payloads: the codebook is ~16 KB and the
+    # contract file should stay a metadata read. nprobe is a
+    # query-time choice (affects that epoch's probe breadth only) and
+    # stays retunable.
+    check_index_contract(
+        index_path,
+        {
+            "kind": "ivf_adc" if pq_books is not None else "ivf",
+            "centroids_sha": _fingerprint(centroids),
+            "cell_cap": cell_cap,
+            "books_sha": _fingerprint(pq_books) if pq_books is not None else None,
+        },
+    )
     spark = batch_df.sparkSession
     cells_path = _cells_path(index_path)
     if pq_books is not None:

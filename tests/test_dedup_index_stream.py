@@ -457,3 +457,47 @@ def test_epoch_profile_telemetry_populated(spark, tmp_path):
     assert all(v > 0 for v in prof.values())
     # the phases overlap, so each is bounded by the epoch wall
     assert prof["pairs"] <= prof["wall"] and prof["index"] <= prof["wall"]
+
+
+def test_index_contract_refuses_incompatible_reopen(spark, tmp_path):
+    """r13: the strictly-earlier join is only meaningful if every
+    epoch wrote under the same family parameters. A restart with
+    different banding (or, for the IVF index, retrained centroids /
+    codebooks) must refuse loudly instead of silently joining
+    incompatible signatures; retunable knobs (band_cap, nprobe) stay
+    outside the contract."""
+    import pytest
+
+    from pipe_s_spark.functions.similarity import kmeans_train_int, pq_train_int
+    from pipe_s_spark.streaming.dedup_index import apply_index_batch
+    from pipe_s_spark.streaming.ivf_index import apply_ivf_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    ix, pr = str(tmp_path / "ix"), str(tmp_path / "pr")
+    apply_index_batch(docs, 0, ix, pr)
+    # same params: fine; different cap: fine (outside the contract)
+    apply_index_batch(docs, 1, ix, pr, band_cap=7)
+    # different banding: refused
+    with pytest.raises(ValueError, match="contract"):
+        apply_index_batch(docs, 2, ix, pr, num_hashes=32, bands=8)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(300).localCheckpoint()
+    cents = kmeans_train_int(emb, iters=1)
+    vix, vtk = str(tmp_path / "vix"), str(tmp_path / "vtk")
+    apply_ivf_batch(emb, 0, cents, vix, vtk)
+    # identical centroids re-derived: same fingerprint, accepted;
+    # nprobe is retunable
+    apply_ivf_batch(emb, 1, dict(cents), vix, vtk, nprobe=1)
+    # retrained (different) centroids: refused
+    cents2 = kmeans_train_int(emb, iters=2)
+    if cents2 != cents:
+        with pytest.raises(ValueError, match="contract"):
+            apply_ivf_batch(emb, 2, cents2, vix, vtk)
+    # switching an existing vector index to compressed mode: refused
+    books = pq_train_int(emb)
+    with pytest.raises(ValueError, match="contract"):
+        apply_ivf_batch(emb, 2, cents, vix, vtk, pq_books=books)
