@@ -368,6 +368,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries_full": "BENCH_LOCAL.json",
                 "probe_sec": probe_sec,
+                "probe_shuffle_sec": probe_shuffle_sec,
                 "sf": sf,
             },
             separators=(",", ":"),
