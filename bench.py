@@ -27,27 +27,38 @@ change, new shuffle) reproduces there; session-state noise (heap
 shape, GC pressure accumulated over a 215-query run — demonstrated to
 swing untouched queries up to 2x on this host) does not.
 
-PROBE NORMALIZATION (r12 verdict #1): the machine-state probe (a fixed
-synthetic workload, measured by this run, by the triage subprocess,
-and recorded in every committed artifact) calibrates whole-host drift.
-BENCH_r12 demonstrated the failure mode this kills: a 35% slower host
-(probe 0.146 -> 0.197) pushed 20 untouched queries over the raw 30%
-threshold and the fresh-session re-measure — equally slowed, compared
-against an unadjusted prior — marked every one `reproduced: true`.
-Now (a) the flag threshold scales by this run's probe / the committed
-artifact's probe, so "the whole machine is 35% slower" no longer flags
-anything by itself; (b) the `reproduced` verdict compares the ISOLATED
-median against the probe-scaled prior using the ISOLATED session's own
-probe; and (c) when the isolated probe itself moved >20% from the
-committed one, `reproduced` is null ("indeterminate: host drift") —
-the protocol refuses to issue an authoritative-looking flag from a
-machine in a different state. Every triage entry records all three
-probes so a reader can re-derive the verdict.
+PROBE NORMALIZATION (r12 verdict #1, extended r14 per r13 verdict #2):
+TWO machine-state probes (a pure-JVM compute workload and a
+shuffle-flavored one — fixed synthetic workloads, measured by this
+run, by the triage subprocess, and recorded in every committed
+artifact) calibrate whole-host drift. BENCH_r12 demonstrated the
+compute-side failure mode: a 35% slower host (probe 0.146 -> 0.197)
+pushed 20 untouched queries over the raw 30% threshold and the
+fresh-session re-measure — equally slowed, compared against an
+unadjusted prior — marked every one `reproduced: true`. BENCH_r13's
+driver capture then demonstrated the shuffle-side blind spot: six
+`reproduced: true` flags from an isolated session whose COMPUTE probe
+matched the committed artifact within 2% while its SHUFFLE probe was
+2.4x it — exchange-bound queries co-move with the shuffle path, and
+an A-B-A re-measure disproved every flag. Now (a) the flag threshold
+scales by the MAX of (this run's / committed artifact's) compute and
+shuffle probe ratios, so neither flavor of whole-host slowdown flags
+anything by itself; (b) the `reproduced` verdict compares the
+ISOLATED median against the probe-scaled prior using the ISOLATED
+session's own probes; and (c) when EITHER isolated probe moved >20%
+from the committed one, `reproduced` is null ("indeterminate: host
+drift") — the protocol refuses to issue an authoritative-looking flag
+from a machine in a different state. Every triage entry records all
+six probes so a reader can re-derive the verdict.
 
 The committed per-query value for a flagged query is the ISOLATED
-median (r12 advice: min(main, isolated) of two noisy draws sits below
-the true median and lets totals ratchet down from noise harvesting);
-both values stay in the "triage" block. Disable with
+median ONLY when `reproduced` is True (r13 verdict #1: committing the
+isolated median on an indeterminate verdict wrote a phantom 5.50s
+cdc_compact — measured on a host the protocol itself had just declared
+drifted — over a 1.22s main-session reading). On indeterminate or
+not-reproduced verdicts the MAIN-session value stands: it is the one
+measured under the probes the artifact's top level records. Both
+values always stay in the "triage" block. Disable with
 SPARK_GRAFT_BENCH_TRIAGE=0 (e.g. for quick iteration runs).
 """
 
@@ -60,11 +71,11 @@ import sys
 import time
 
 
-def _prior_committed_artifact() -> tuple[dict[str, float], float | None]:
-    """(per-query seconds, probe_sec) from the last COMMITTED artifact
-    (HEAD) — the reference the triage threshold compares against.
-    Missing file / no git / new query -> empty (triage silently
-    skips)."""
+def _prior_committed_artifact() -> tuple[dict[str, float], float | None, float | None]:
+    """(per-query seconds, probe_sec, probe_shuffle_sec) from the last
+    COMMITTED artifact (HEAD) — the reference the triage threshold
+    compares against. Missing file / no git / new query -> empty
+    (triage silently skips)."""
     import subprocess
 
     try:
@@ -76,16 +87,20 @@ def _prior_committed_artifact() -> tuple[dict[str, float], float | None]:
             timeout=30,
         )
         if res.returncode != 0:
-            return {}, None
+            return {}, None, None
         prior = json.loads(res.stdout)
         # only compare artifacts at the same scale
         here = float(re.search(r"sf([0-9.]+)", os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).group(1))
         if prior.get("sf") != here:
-            return {}, None
-        return dict(prior.get("queries", {})), prior.get("probe_sec")
+            return {}, None, None
+        return (
+            dict(prior.get("queries", {})),
+            prior.get("probe_sec"),
+            prior.get("probe_shuffle_sec"),
+        )
     except Exception:  # noqa: BLE001 — triage is best-effort, never fatal
-        return {}, None
+        return {}, None, None
 
 
 def probe_ratio(now_probe: float | None, prior_probe: float | None) -> float:
@@ -121,16 +136,46 @@ def triage_verdict(
     prior_probe: float | None,
     iso_sec: float,
     iso_probe: float | None,
+    prior_probe_shuffle: float | None = None,
+    iso_probe_shuffle: float | None = None,
 ) -> tuple[bool | None, str]:
     """(reproduced, reason) for one flagged query's isolated re-measure.
-    ``None`` = indeterminate: the isolated session's own probe drifted
-    >TRIAGE_PROBE_DRIFT_MAX from the committed artifact's, so the
-    comparison is host-state, not plan."""
-    r = probe_ratio(iso_probe, prior_probe)
-    if iso_probe and prior_probe and abs(r - 1.0) > TRIAGE_PROBE_DRIFT_MAX:
-        return None, f"indeterminate: isolated probe drifted {r:.2f}x vs committed"
-    rep = is_regression(iso_sec, prior_sec, r)
+    ``None`` = indeterminate: EITHER of the isolated session's probes
+    (pure-JVM compute, shuffle) drifted >TRIAGE_PROBE_DRIFT_MAX from
+    the committed artifact's, so the comparison is host-state, not
+    plan. The shuffle probe entered the gate in r14: BENCH_r13's
+    driver capture issued six `reproduced: true` from a session whose
+    compute probe matched the committed artifact within 2% while its
+    SHUFFLE probe was 2.4x it — exchange-bound queries track the
+    shuffle probe, not the compute one (BASELINE.md "known probe blind
+    spot"), and an A-B-A re-measure disproved every flag. Within the
+    accepted band the threshold scales by the max of the two ratios."""
+    r_c = probe_ratio(iso_probe, prior_probe)
+    if iso_probe and prior_probe and abs(r_c - 1.0) > TRIAGE_PROBE_DRIFT_MAX:
+        return None, f"indeterminate: isolated probe drifted {r_c:.2f}x vs committed"
+    r_s = probe_ratio(iso_probe_shuffle, prior_probe_shuffle)
+    if (
+        iso_probe_shuffle
+        and prior_probe_shuffle
+        and abs(r_s - 1.0) > TRIAGE_PROBE_DRIFT_MAX
+    ):
+        return None, (
+            f"indeterminate: isolated shuffle probe drifted {r_s:.2f}x vs committed"
+        )
+    rep = is_regression(iso_sec, prior_sec, max(r_c, r_s))
     return rep, ("reproduced in fresh session" if rep else "not reproduced")
+
+
+def committed_timing(main_sec: float, iso_sec: float, reproduced: bool | None) -> float:
+    """Which of the two measurements the artifact commits for a triaged
+    query: the ISOLATED median only on an affirmative `reproduced`
+    verdict; otherwise the MAIN-session value — the one measured under
+    the host state the artifact's top-level probes record (r13 verdict
+    #1: committing the isolated median on an indeterminate verdict put
+    a phantom 5.50s cdc_compact, from a session whose shuffle probe was
+    3.2x the main run's, into the canonical artifact over a 1.22s
+    main-session reading)."""
+    return iso_sec if reproduced is True else main_sec
 
 
 def _run_triage(sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -284,12 +329,17 @@ def main() -> None:
     # --- the last committed artifact (see module docstring) ----------
     triage: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TRIAGE", "1") != "0":
-        prior, prior_probe = _prior_committed_artifact()
+        prior, prior_probe, prior_probe_shuffle = _prior_committed_artifact()
         # probe-normalized flagging: a query is only suspect if it is
         # >30% slower than the prior SCALED BY the whole-host speed
-        # ratio this run's probe measured (r12: raw thresholds flagged
-        # 20 untouched queries on a 35%-slower host)
-        main_ratio = probe_ratio(probe_sec, prior_probe)
+        # ratio this run's probes measured (r12: raw thresholds flagged
+        # 20 untouched queries on a 35%-slower host; r13: a matched
+        # compute probe hid a 2.4x-slower shuffle path, so the flag
+        # ratio is the max of the compute and shuffle probe ratios)
+        main_ratio = max(
+            probe_ratio(probe_sec, prior_probe),
+            probe_ratio(probe_shuffle_sec, prior_probe_shuffle),
+        )
         flagged = [
             n
             for n, sec in timings.items()
@@ -311,11 +361,17 @@ def main() -> None:
                 if n not in iso:
                     continue
                 reproduced, reason = triage_verdict(
-                    prior[n], prior_probe, iso[n], iso_probe
+                    prior[n],
+                    prior_probe,
+                    iso[n],
+                    iso_probe,
+                    prior_probe_shuffle,
+                    iso_probe_shuffle,
                 )
                 triage[n] = {
                     "prior_sec": prior[n],
                     "prior_probe_sec": prior_probe,
+                    "prior_probe_shuffle_sec": prior_probe_shuffle,
                     "main_sec": timings[n],
                     "main_probe_sec": probe_sec,
                     "main_probe_shuffle_sec": probe_shuffle_sec,
@@ -325,10 +381,21 @@ def main() -> None:
                     "reproduced": reproduced,
                     "reason": reason,
                 }
-                # commit the ISOLATED median (r12 advice: min of two
-                # noisy draws is biased low; the fresh session is the
-                # cleaner of the two measurements)
-                timings[n] = iso[n]
+                # commit the ISOLATED median ONLY on `reproduced is
+                # True` (r13 verdict #1). The r13 artifact demonstrated
+                # the alternative: an isolated session whose shuffle
+                # probe was 3.2x the main run's committed cdc_compact
+                # at 5.50s (main session: 1.22s) — +2.07s of fiction
+                # across 9 indeterminate entries. The artifact's
+                # top-level probes describe the MAIN session, so that
+                # value is the only one self-consistent with the
+                # recorded host state; on indeterminate AND
+                # not-reproduced verdicts it stays, and the isolated
+                # number remains in the triage block as evidence. (A
+                # not-reproduced main value is noisy-HIGH — the
+                # conservative direction; it re-flags next round if
+                # the noise was real.)
+                timings[n] = committed_timing(timings[n], iso[n], reproduced)
 
     total = round(sum(timings.values()), 4)
     full = {

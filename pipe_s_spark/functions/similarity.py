@@ -404,7 +404,15 @@ def threshold_pairs_blocked(
         ids = pdf[id_col].to_numpy()
         blks = pdf["blk"].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # zero-norm guard (here and in every cosine kernel below): a
+        # zero vector normalizes to the zero vector, so its cos_sim is
+        # 0.0 against everything — NEVER NaN. NaN scores order
+        # differently between desc(score) windows (NaN first) and
+        # ascending struct(-score) aggregates (NaN last), so they
+        # would silently change top-k membership depending on the
+        # merge strategy (r13 advice on _merge_local_topk).
+        _n = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(_n == 0.0, 1.0, _n)
         outs = []
         chunk = 2048  # bounds the sims matrix at chunk x group_rows
         for lo in range(0, len(ids), chunk):
@@ -522,7 +530,8 @@ def grouped_pairs_exact(
             m = np.frombuffer(b"".join(pdf[vec_col]), dtype="<f8").reshape(len(pdf), -1)
         else:
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
+        _n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(_n == 0.0, 1.0, _n)  # zero vec -> cos 0, not NaN
 
     empty = pd.DataFrame(columns=["id1", "id2", group_col, "cos_sim"])
 
@@ -619,7 +628,8 @@ def grouped_knn_candidates(
             m = np.frombuffer(b"".join(pdf[vec_col]), dtype="<f8").reshape(len(pdf), -1)
         else:
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
+        _n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(_n == 0.0, 1.0, _n)  # zero vec -> cos 0, not NaN
 
     def knn_in_coarse(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -698,8 +708,10 @@ def grouped_topk_exact(
         m_ids = mm["_id"].to_numpy()[morder]
         qn = np.stack(qm["_vec"].to_numpy()).astype("float64")
         mn = np.stack(mm["_vec"].to_numpy()).astype("float64")[morder]
-        qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
-        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        _nq = np.linalg.norm(qn, axis=1, keepdims=True)
+        qn = qn / np.where(_nq == 0.0, 1.0, _nq)  # zero vec -> cos 0, not NaN
+        _nm = np.linalg.norm(mn, axis=1, keepdims=True)
+        mn = mn / np.where(_nm == 0.0, 1.0, _nm)
         outs = []
         chunk = 1024  # bounds the sims matrix at chunk x group members
         kk = min(k, len(m_ids))
@@ -948,7 +960,8 @@ def knn_graph_blocked(
         ids = pdf[id_col].to_numpy()
         blks = pdf["blk"].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        _n = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(_n == 0.0, 1.0, _n)  # zero vec -> cos 0, not NaN
         outs = []
         chunk = 2048
         for lo in range(0, len(ids), chunk):
@@ -1029,12 +1042,14 @@ def cosine_batch_kernel(
 
     qids = query_matrix[id_col].to_numpy()
     qm = np.stack(query_matrix[vec_col].to_numpy())
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    _nq = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(_nq == 0.0, 1.0, _nq)  # zero vec -> cos 0, not NaN
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cm = np.stack(pdf[vec_col].to_numpy())
-            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            _nc = np.linalg.norm(cm, axis=1, keepdims=True)
+            cn = cm / np.where(_nc == 0.0, 1.0, _nc)  # zero vec -> cos 0
             sims = cn @ qn.T  # corpus x queries
             for qi, qid in enumerate(qids):
                 order = sims[:, qi].argsort()[::-1][: k + 1]

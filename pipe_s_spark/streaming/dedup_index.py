@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -299,15 +300,38 @@ def check_index_contract(path: str, meta: dict) -> None:
 
     os.makedirs(path, exist_ok=True)
     p = os.path.join(path, "._contract")
-    try:
-        with open(p) as f:
-            disk = _json.load(f)
-    except FileNotFoundError:
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(meta, f)
-        os.rename(tmp, p)
-        return
+
+    def _read() -> dict | None:
+        try:
+            with open(p) as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return None
+
+    disk = _read()
+    if disk is None:
+        # first-writer path: serialize concurrent first-openers under
+        # an flock (r13 advice: the fixed tmp name with no lock let two
+        # first-openers interleave writes to the same tmp and rename a
+        # torn/foreign contract into place — unlike the merge target's
+        # layout check, which already runs under its swap lock). The
+        # tmp name is unique per writer, and the contract is re-read
+        # under the lock so a lost race verifies rather than assumes.
+        import fcntl
+        import uuid
+
+        with open(os.path.join(path, "._contract.lock"), "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                disk = _read()
+                if disk is None:
+                    tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+                    with open(tmp, "w") as f:
+                        _json.dump(meta, f)
+                    os.rename(tmp, p)
+                    disk = meta
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     if disk != meta:
         raise ValueError(
             f"index at {path} was built under contract {disk}; this caller "
@@ -339,12 +363,29 @@ def _raise_all(errs: list[BaseException]) -> None:
     (r12 advice: raising errs[0] alone silently discarded the other
     thread's exception, complicating partially-failed-epoch diagnosis).
     One failure re-raises as itself; several raise an ExceptionGroup
-    carrying every traceback."""
+    carrying every traceback. On Python 3.10 (supported floor:
+    pyproject requires-python >=3.10) the BaseExceptionGroup builtin
+    does not exist, so the first failure is raised with the others'
+    full tracebacks attached as ``__notes__`` — degraded formatting,
+    but no exception is silently dropped (r13 advice: the bare builtin
+    reference raised NameError on 3.10, masking the real failures)."""
     if len(errs) == 1:
         raise errs[0]
-    raise BaseExceptionGroup(
-        f"{len(errs)} concurrent epoch actions failed", errs
-    )
+    if sys.version_info >= (3, 11):
+        raise BaseExceptionGroup(
+            f"{len(errs)} concurrent epoch actions failed", errs
+        )
+    import traceback
+
+    first = errs[0]
+    first.__notes__ = getattr(first, "__notes__", []) + [
+        f"+{len(errs) - 1} other concurrent epoch failure(s):\n"
+        + "\n".join(
+            "".join(traceback.format_exception(type(e), e, e.__traceback__))
+            for e in errs[1:]
+        )
+    ]
+    raise first
 
 
 def _list_batch_ids(path: str) -> list[int]:

@@ -291,7 +291,12 @@ def _merge_local_topk(local: DataFrame, score_col: str, k: int) -> DataFrame:
     window used (double negation is exact, including -0.0 vs 0.0 —
     Double.compare puts -cos of 0.0 before -cos of -0.0 exactly as
     desc(cos) orders 0.0 before -0.0; int64 scores cannot overflow the
-    negation: they are sums of m ~2^40-bounded LUT entries). The agg
+    negation: they are sums of m ~2^40-bounded LUT entries). NaN
+    scores WOULD order differently (desc(score) ranks NaN first, the
+    ascending struct(-score) ranks it last) — but no kernel can emit
+    one: every cosine kernel guards zero-norm vectors (normalized to
+    the zero vector, cos 0.0 — r13 advice), and the ADC path is int64.
+    The agg
     combines map-side and avoids the window's whole-partition sort of
     every candidate row — at 10^10 vectors the shuffle carries the
     same rows either way, but the reducer state is k entries per

@@ -520,3 +520,38 @@ def test_grouped_knn_candidates_match_all_pairs_flow(spark):
         .collect()
     }
     assert fast == slow and fast
+
+
+def test_zero_norm_vectors_never_emit_nan(spark):
+    """r13 advice: an all-zero embedding divided by its norm produced
+    NaN cos_sim, and NaN ranks differently between the desc-score
+    window (first) and the struct(-score) hash-agg (last) — top-k
+    membership silently depended on the merge strategy. The kernels
+    now normalize a zero vector to the zero vector (cos 0.0 against
+    everything); pin that on grouped_topk_exact with zero vectors on
+    BOTH sides: every emitted score is finite, zero-vector pairs score
+    exactly 0.0, and the real neighbor still outranks the zero one."""
+    import math
+
+    qs = spark.createDataFrame(
+        [(100, 0, [0.0, 0.0, 0.0]), (101, 0, [1.0, 0.0, 0.0])],
+        "query_id long, g int, q_emb array<double>",
+    )
+    ms = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0, 0.0]),
+            (2, 0, [1.0, 0.0, 0.0]),
+            (3, 0, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, g int, embedding array<double>",
+    )
+    rows = S.grouped_topk_exact(qs, ms, "g", k=3).collect()
+    assert rows, "kernel emitted nothing"
+    assert all(math.isfinite(r["cos_sim"]) for r in rows), rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+    # zero-vector query: all zeros, never NaN
+    assert set(by_q[100].values()) == {0.0}
+    # real query: unit-x member wins at 1.0; zero-vector member scores 0.0
+    assert by_q[101][2] == 1.0 and by_q[101][1] == 0.0

@@ -20,7 +20,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import is_regression, probe_ratio, triage_verdict
+from bench import committed_timing, is_regression, probe_ratio, triage_verdict
 
 #: (name, prior_sec, main_sec, isolated_sec) from the r12 driver run's
 #: committed triage block (git show 9970f58:BENCH_LOCAL.json) — every
@@ -69,6 +69,122 @@ def test_verdict_on_stable_host_still_catches_real_regressions():
     assert rep is True and "reproduced" in reason
     rep, _ = triage_verdict(1.0, 0.15, 1.05, 0.155)  # recovered in isolation
     assert rep is False
+
+
+#: the r13 committed artifact's cdc_compact triage entry, verbatim
+#: (git show 3e83914:BENCH_LOCAL.json) — the verdict was correctly
+#: indeterminate (isolated compute probe drifted 1.26x), but the OLD
+#: commit rule still wrote the 5.4964s isolated median, measured on a
+#: host whose shuffle probe was 3.2x the main session's, into the
+#: canonical artifact over the 1.2227s main-session value (r13 verdict
+#: "What's wrong" #1: +2.07s of fiction across 9 such entries).
+R13_CDC_COMPACT = {
+    "prior_sec": 0.8308,
+    "prior_probe_sec": 0.191,
+    "prior_probe_shuffle_sec": None,  # pre-shuffle-probe artifact
+    "main_sec": 1.2227,
+    "iso_sec": 5.4964,
+    "iso_probe_sec": 0.2596,
+    "iso_probe_shuffle_sec": 3.3696,
+}
+
+
+def test_r13_cdc_compact_replay_commits_the_main_session_value():
+    """r13 verdict #1's done-criterion: replaying the exact r13
+    cdc_compact numbers, the verdict is indeterminate (isolated probe
+    1.36x the prior's) and the COMMITTED value is the main session's
+    1.2227s — the phantom 5.50s isolated median stays in the triage
+    block only."""
+    e = R13_CDC_COMPACT
+    reproduced, reason = triage_verdict(
+        e["prior_sec"],
+        e["prior_probe_sec"],
+        e["iso_sec"],
+        e["iso_probe_sec"],
+        e["prior_probe_shuffle_sec"],
+        e["iso_probe_shuffle_sec"],
+    )
+    assert reproduced is None and "indeterminate" in reason
+    assert committed_timing(e["main_sec"], e["iso_sec"], reproduced) == e["main_sec"]
+
+
+def test_committed_timing_policy():
+    """Isolated median committed ONLY on reproduced is True; main kept
+    on both False (recovered in isolation — main is noisy-high, the
+    conservative direction) and None (host drifted — isolated was
+    measured on a different machine state)."""
+    assert committed_timing(1.22, 5.50, True) == 5.50
+    assert committed_timing(1.22, 5.50, False) == 1.22
+    assert committed_timing(1.22, 5.50, None) == 1.22
+    assert committed_timing(1.22, 0.60, None) == 1.22  # fiction cuts both ways
+
+
+#: the r13 DRIVER capture's triage block, verbatim (git show
+#: ec6a757:BENCH_LOCAL.json): six `reproduced: true` flags issued from
+#: an isolated session whose COMPUTE probe matched the committed
+#: artifact within 2% (0.2097 vs 0.2061) while its SHUFFLE probe was
+#: 2.4x it (2.5204 vs 1.0469). BASELINE.md's r13 "known probe blind
+#: spot" note records the A-B-A re-measure disproving the flags —
+#: HEAD measured FASTER than the pre-change commit once the shuffle
+#: burst passed. (name, prior_sec, isolated_sec) rows.
+R13_SHUFFLE_PRIOR_PROBE = 0.2061
+R13_SHUFFLE_PRIOR_SHUFFLE = 1.0469
+R13_SHUFFLE_ISO_PROBE = 0.2097
+R13_SHUFFLE_ISO_SHUFFLE = 2.5204
+R13_SHUFFLE_ROWS = [
+    ("q5_local_supplier", 0.7818, 2.7626),
+    ("customer_pareto", 0.875, 3.1287),
+    ("time_autocorr", 0.3508, 0.531),
+    ("q7_nation_volume", 0.8161, 1.524),
+    ("dedup_keep_best", 0.3248, 0.651),
+    ("window_first_last", 0.4947, 0.6588),
+]
+
+
+def test_r13_shuffle_drift_replay_refuses_every_verdict():
+    """r13 verdict #2's done-criterion: the r13 driver-capture
+    scenario — would-be `reproduced: true` flags from a session whose
+    shuffle probe drifted 2.4x at a matched compute probe — must now
+    yield None ("indeterminate: ... shuffle probe ...") for every
+    row."""
+    for name, prior, iso in R13_SHUFFLE_ROWS:
+        # the old (compute-only) gate would have affirmed these
+        old, _ = triage_verdict(
+            prior, R13_SHUFFLE_PRIOR_PROBE, iso, R13_SHUFFLE_ISO_PROBE
+        )
+        assert old is not None, name
+        reproduced, reason = triage_verdict(
+            prior,
+            R13_SHUFFLE_PRIOR_PROBE,
+            iso,
+            R13_SHUFFLE_ISO_PROBE,
+            R13_SHUFFLE_PRIOR_SHUFFLE,
+            R13_SHUFFLE_ISO_SHUFFLE,
+        )
+        assert reproduced is None, (name, reproduced, reason)
+        assert "shuffle probe" in reason, (name, reason)
+        # and the commit rule keeps the main-session value
+        assert committed_timing(prior, iso, reproduced) == prior
+
+
+def test_threshold_scales_by_max_of_both_ratios():
+    """Within the accepted drift band, a query tracking the WORSE of
+    the two host dimensions (e.g. shuffle 1.18x at compute 1.02x) is
+    not called reproduced; a real 2x-over-scaled-prior still is."""
+    rep, _ = triage_verdict(1.0, 0.20, 1.18 * 1.25, 0.204, 1.00, 1.18)
+    assert rep is False  # 1.25x over the shuffle-scaled prior < 1.30 bar
+    rep, _ = triage_verdict(1.0, 0.20, 2.36, 0.204, 1.00, 1.18)
+    assert rep is True  # 2x over the shuffle-scaled prior
+
+
+def test_missing_shuffle_probes_degrade_to_compute_gate():
+    """Artifacts predating the shuffle probe (prior_probe_shuffle is
+    None) must not suppress verdicts — the gate degrades to the
+    compute probe alone, the r13 behavior."""
+    rep, _ = triage_verdict(1.0, 0.15, 2.5, 0.155, None, 2.5204)
+    assert rep is True
+    rep, _ = triage_verdict(1.0, 0.15, 2.5, 0.155, 1.0469, None)
+    assert rep is True
 
 
 def test_missing_probes_degrade_to_raw_threshold():

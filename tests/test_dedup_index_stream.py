@@ -501,3 +501,98 @@ def test_index_contract_refuses_incompatible_reopen(spark, tmp_path):
     books = pq_train_int(emb)
     with pytest.raises(ValueError, match="contract"):
         apply_ivf_batch(emb, 2, cents, vix, vtk, pq_books=books)
+
+
+def test_cross_mode_contract_refusal_names_both_kinds(tmp_path):
+    """r13 verdict #7: opening an ``ivf`` index path in ``ivf_adc``
+    mode (and vice versa) is a *mode* confusion, not a parameter
+    drift — the refusal must say so legibly by naming BOTH kinds in
+    the message, so an operator reading a 3am stacktrace sees
+    "ivf_adc vs ivf" and not just two hash blobs."""
+    import pytest
+
+    from pipe_s_spark.streaming.dedup_index import check_index_contract
+
+    p = str(tmp_path / "vix")
+    check_index_contract(p, {"kind": "ivf", "centroids_sha": "aaa"})
+    with pytest.raises(ValueError) as ei:
+        check_index_contract(p, {"kind": "ivf_adc", "centroids_sha": "aaa"})
+    assert "ivf_adc" in str(ei.value) and "'ivf'" in str(ei.value)
+
+    # and the reverse direction: an ivf_adc index opened as plain ivf
+    p2 = str(tmp_path / "vix2")
+    check_index_contract(p2, {"kind": "ivf_adc", "books_sha": "bbb"})
+    with pytest.raises(ValueError) as ei2:
+        check_index_contract(p2, {"kind": "ivf"})
+    assert "ivf_adc" in str(ei2.value) and "'ivf'" in str(ei2.value)
+
+
+def test_pre_contract_index_adopts_and_records(spark, tmp_path):
+    """Pre-r13 adoption path: an index directory that predates the
+    contract file (epochs on disk, no ``._contract``) adopts the next
+    opener's parameters and RECORDS them — so the grandfathered index
+    keeps working, and the very next incompatible open is refused."""
+    import json
+    import os
+
+    import pytest
+
+    from pipe_s_spark.streaming.dedup_index import apply_index_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    ix, pr = str(tmp_path / "ix"), str(tmp_path / "pr")
+    apply_index_batch(docs, 0, ix, pr)
+    # simulate a pre-r13 index: epochs present, contract absent
+    os.remove(os.path.join(ix, "._contract"))
+    apply_index_batch(docs, 1, ix, pr)  # adopts + records
+    with open(os.path.join(ix, "._contract")) as f:
+        disk = json.load(f)
+    assert disk["kind"] == "minhash_lsh" and disk["bands"] > 0
+    with pytest.raises(ValueError, match="contract"):
+        apply_index_batch(docs, 2, ix, pr, num_hashes=32, bands=8)
+
+
+def test_contract_first_writer_race_is_atomic(tmp_path):
+    """r13 advice: the first-writer path used a FIXED tmp name with no
+    lock — two concurrent first-openers could interleave writes and
+    rename a torn/foreign contract into place. Now each writer uses a
+    unique tmp under an flock and re-reads after the race: N
+    concurrent openers with the same meta all succeed and exactly one
+    valid contract lands; a concurrent opener with DIFFERENT meta
+    either wins the race cleanly or is refused — never a torn file."""
+    import json
+    import os
+    import threading
+
+    from pipe_s_spark.streaming.dedup_index import check_index_contract
+
+    p = str(tmp_path / "ix")
+    meta = {"kind": "minhash_lsh", "k": 5, "num_hashes": 64, "bands": 16}
+    other = {"kind": "minhash_lsh", "k": 5, "num_hashes": 32, "bands": 8}
+    errs: list[BaseException] = []
+    barrier = threading.Barrier(9)
+
+    def opener(m):
+        barrier.wait()
+        try:
+            check_index_contract(p, m)
+        except BaseException as e:  # noqa: BLE001 — collected for assertion
+            errs.append(e)
+
+    ts = [threading.Thread(target=opener, args=(meta,)) for _ in range(8)]
+    ts.append(threading.Thread(target=opener, args=(other,)))
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    with open(os.path.join(p, "._contract")) as f:
+        disk = json.load(f)  # parses — never torn
+    assert disk in (meta, other)
+    # every error is the loud mismatch, and the loser meta's openers
+    # are exactly the ones that got it (8 or 1 depending on who won)
+    assert all(isinstance(e, ValueError) and "contract" in str(e) for e in errs)
+    assert len(errs) == (1 if disk == meta else 8)
+    # no stray tmp files left behind
+    assert not [f for f in os.listdir(p) if f.endswith(".tmp")]
