@@ -456,8 +456,37 @@ class MergeApplyTarget:
             _t_write = _time.perf_counter()
             n_bulk = bulk_partitions(batch)
             if n_bulk is not None and n_bulk > session_shuffle_partitions(spark):
+                # bulk staged write: align tasks with output partitions
+                # BEFORE the dynamic-partition writer. Without this,
+                # every write task holds rows of up to num_buckets
+                # partition values and the writer opens num_buckets
+                # parquet writers per task (n x num_buckets small
+                # files, column buffers for each open writer, a local
+                # sort per task) — an interleaved x10 A/B measured the
+                # direct form 8-16s vs 2-3.2s salted, 2274 vs 130
+                # files (r13 verdict #4: this term, not the merge
+                # compute, was the write phase's growth). The salt is
+                # xxhash64-based so it is independent of the
+                # murmur3-derived bucket (hash(keys) % s would be a
+                # function of hash(keys) % N whenever s divides N —
+                # collapsing the fan-out to one task per bucket).
+                from pyspark.sql import functions as F
+
+                s = max(1, n_bulk // self.num_buckets)
+                staged_df = (
+                    merged.withColumn(
+                        "__salt",
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(s)
+                        ),
+                    )
+                    .repartition(n_bulk, F.col("bucket"), F.col("__salt"))
+                    .drop("__salt")
+                )
                 with scoped_initial_partitions(spark, n_bulk):
-                    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+                    staged_df.write.mode("overwrite").partitionBy("bucket").parquet(
+                        stage
+                    )
             else:
                 merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
             _prof["write"] = _time.perf_counter() - _t_write
@@ -665,6 +694,20 @@ def rebucket_target(
             )
             n_bulk = bulk_partitions(df)
             if n_bulk is not None and n_bulk > session_shuffle_partitions(spark):
+                # task/partition alignment before the dynamic-partition
+                # writer, same rationale as apply_batch's bulk write
+                s = max(1, n_bulk // int(new_num_buckets))
+                df = (
+                    df.withColumn(
+                        "__salt",
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in disk["key_cols"]]),
+                            F.lit(s),
+                        ),
+                    )
+                    .repartition(n_bulk, F.col("bucket"), F.col("__salt"))
+                    .drop("__salt")
+                )
                 with scoped_initial_partitions(spark, n_bulk):
                     df.write.mode("overwrite").partitionBy("bucket").parquet(stage)
             else:

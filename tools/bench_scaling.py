@@ -309,6 +309,25 @@ def main() -> None:
             "> earlier absolute rows/s figures carried a single-task",
             "> serial stage no real scan would have.",
             "",
+            "> **r14 merge diagnosis (closes the r13 worst-exponent flag):**",
+            "> r13 measured merge alpha 0.82 (x10 28.3s, 706K rows/s) — the",
+            "> worst CDC exponent. Per-phase attribution (apply_batch's",
+            "> LAST_APPLY_PROFILE telemetry + tools/merge_phase_profile.py's",
+            "> within-session decomposition, interleaved on one cached",
+            "> input): the merge COMPUTE (anti-join + union -> noop sink) is",
+            "> FLAT at ~0.6s at BOTH x1 and x10; plain-parquet encode ~0.9s",
+            "> at both; the growth lived entirely in the dynamic-partition",
+            "> staged write — every write task held rows of all num_buckets",
+            "> partition values, so the writer ran 16 concurrent parquet",
+            "> writers per task (16x open column buffers, a per-task sort,",
+            "> n_tasks x 16 small files: 2,274 files and 8-16s at x10).",
+            "> Fix: bulk staged writes now repartition by (bucket, salt)",
+            "> first — salt from xxhash64(keys) so it stays independent of",
+            "> the murmur3-derived bucket — aligning tasks with output",
+            "> partitions (one writer per task, 130 files). Interleaved",
+            "> x10 A/B: 8-16s -> 2.0-3.2s. Post-fix fresh-session study:",
+            "> merge alpha 0.47 (x10 13.9s, 1.43M rows/s), compact 0.40.",
+            "",
         ]
         if ss.get("index_legs"):
             lines += [

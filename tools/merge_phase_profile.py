@@ -110,6 +110,19 @@ def main() -> None:
             k: round(v, 2) if isinstance(v, float) else v
             for k, v in MergeApplyTarget.LAST_APPLY_PROFILE.items()
         }
+        # same apply again, fresh target, same session/input: separates
+        # the OPERATOR's cost from first-run session state (JIT, page
+        # cache, block-manager shape) — if this is much faster, the
+        # scaling harness's single-apply-per-session alpha is measuring
+        # warmup, not the merge
+        tgt2 = MergeApplyTarget(f"{tmp}/target2")
+        t0 = time.time()
+        tgt2.apply_batch(log, epoch_id=1)
+        out["apply_warm_sec"] = round(time.time() - t0, 2)
+        out["phases_warm"] = {
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in MergeApplyTarget.LAST_APPLY_PROFILE.items()
+        }
 
         # --- 3. steady-state epoch: ~1% of keys updated --------------
         upd = log.filter(F.pmod(F.col("pk"), F.lit(100)) == 0).withColumn(
