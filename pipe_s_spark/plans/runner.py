@@ -411,6 +411,41 @@ def _write_output(df: DataFrame, out: Mapping[str, Any]) -> DataFrame | None:
                 flush=True,
             )
         return None
+    if typ == "delta":
+        # LSM-shaped variant of 'merge' (streaming.delta_apply): the
+        # epoch's net effects APPEND as their own batch partition —
+        # O(batch) steady-state writes instead of touched-bucket
+        # rewrites — and reads resolve last-writer-wins. Optional
+        # 'foldInto' compacts all unfolded deltas into a bucketed
+        # merge target afterwards (one bulk apply, watermark advanced,
+        # folded partitions truncated).
+        from pipe_s_spark.streaming.delta_apply import DeltaAppendTarget
+        from pipe_s_spark.streaming.merge_apply import MergeApplyTarget
+
+        dt = DeltaAppendTarget(
+            cfg["path"],
+            key_cols=cfg.get("keyCols", ("table_name", "pk")),
+            payload_cols=cfg.get("payloadCols", ("k", "value")),
+        )
+        epoch = int(cfg.get("epochId", 1))
+        if not dt.apply_batch(df, epoch_id=epoch):
+            print(
+                f"[delta] epoch {epoch} at or below the fold watermark at "
+                f"{cfg['path']} — skipping (its effects live in the base). "
+                "Pass a higher 'epochId' to apply fresh input.",
+                flush=True,
+            )
+        fold = cfg.get("foldInto")
+        if fold:
+            base = MergeApplyTarget(
+                fold["path"],
+                key_cols=cfg.get("keyCols", ("table_name", "pk")),
+                payload_cols=cfg.get("payloadCols", ("k", "value")),
+                num_buckets=int(fold.get("numBuckets", 16)),
+                lww=fold.get("lww", False),
+            )
+            dt.fold_into(base, epoch_id=int(fold.get("epochId", epoch)))
+        return None
     if typ == "check":
         # parity: MysqlCheckOutput (checkoutput.go:293-445) — diff the
         # piped source against a parquet target by key; the report
@@ -570,6 +605,18 @@ def _write_stream_output(df: DataFrame, typ: str, cfg: Mapping[str, Any]) -> Non
             lww=cfg.get("lww", False),
         )
         writer = df.writeStream.foreachBatch(tgt.apply_batch)
+    elif typ == "delta":
+        # append-only epochs + LWW reads (streaming.delta_apply) — the
+        # steady-state-friendly sink; fold into a bucketed base offline
+        # or via a batch 'delta' spec with 'foldInto'
+        from pipe_s_spark.streaming.delta_apply import DeltaAppendTarget
+
+        dt = DeltaAppendTarget(
+            cfg["path"],
+            key_cols=cfg.get("keyCols", ("table_name", "pk")),
+            payload_cols=cfg.get("payloadCols", ("k", "value")),
+        )
+        writer = df.writeStream.foreachBatch(dt.apply_batch)
     elif typ == "dedup-index":
         # continuous MinHash-LSH index maintenance from a config:
         # the document stream keeps indexPath current and appends
@@ -675,9 +722,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             "outputs: return, parquet (zorderBy), jsonl, csv, orc, merge, "
-            "check, dedup-index (batch bootstrap), noop, console, debug, "
-            "fork; streaming: merge, dedup-index, parquet, console, noop, "
-            "fork"
+            "delta (foldInto), check, dedup-index (batch bootstrap), noop, "
+            "console, debug, fork; streaming: merge, delta, dedup-index, "
+            "parquet, console, noop, fork"
         )
         return 0
     if not args.configs:

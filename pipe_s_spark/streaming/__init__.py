@@ -1,3 +1,4 @@
+from pipe_s_spark.streaming.delta_apply import DeltaAppendTarget
 from pipe_s_spark.streaming.joins import (
     dedup_within_watermark,
     stream_stream_interval_join,
@@ -9,6 +10,7 @@ from pipe_s_spark.streaming.merge_apply import (
 )
 
 __all__ = [
+    "DeltaAppendTarget",
     "MergeApplyTarget",
     "dedup_within_watermark",
     "run_merge_apply_stream",
