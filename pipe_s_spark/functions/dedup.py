@@ -83,8 +83,15 @@ def shingles(
     id_type = df.schema[id_col].dataType.simpleString()
     # `n` (the doc's distinct-shingle count) rides along on every row:
     # it is free here and lets jaccard_pairs skip a whole sizes
-    # aggregation + two joins downstream
-    return df.select(id_col, text_col).mapInPandas(
+    # aggregation + two joins downstream.
+    # r15: fan_out before the kernel — on a low-parallelism scan
+    # (single-row-group file) the whole corpus was tokenized by ONE
+    # Python worker (profiled 1.3-1.7 s serial stages); the narrow
+    # (id, text) exchange spreads the kernel across cores and is a
+    # no-op at cluster scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
+    return fan_out(df.select(id_col, text_col), by=[id_col]).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, shingle string, n long"
     )
 

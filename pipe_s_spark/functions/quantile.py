@@ -92,8 +92,24 @@ def dquantiles(
 
     # The distinct-value relation — the ONLY large shuffle in the
     # whole computation (one row per distinct (keys, value); map-side
-    # combine collapses duplicates before the wire).
-    vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
+    # combine collapses duplicates before the wire). r15: fan_out
+    # keyed on the grouping columns — on a low-parallelism scan
+    # (single-row-group file) the explicit hash exchange both moves
+    # the expensive distinct-count hash aggregate OFF the one scan
+    # task and IS the distribution the groupBy needs (one exchange,
+    # 32-way aggregate; measured 0.65 s -> 0.44 s on the sf0.1
+    # lineitem distinct relation); at cluster scale it is a no-op by
+    # construction (see sizing.fan_out). bounds/bt deliberately stay
+    # as pipelined partial aggregates of the raw scan: they collapse
+    # map-side to a handful of rows, so rescanning is far cheaper
+    # than re-running the wide distinct aggregate per consumer.
+    from pipe_s_spark.sizing import fan_out
+
+    vc = (
+        fan_out(src, by=[*keys, "_bkt", value_col])
+        .groupBy(*keys, "_bkt", value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
 
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
     # _base = ranks preceding the bucket, _n = group total. Derived

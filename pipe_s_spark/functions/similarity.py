@@ -54,6 +54,13 @@ def cosine_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({prod} / ({na} * {nb}))"
 
 
+#: Hard cap on the query-side rows :func:`brute_force_topk` will pull
+#: to the driver — same bounded-metadata-collect policy as the IVF
+#: centroid literals and the bloom bit array. An exact baseline over
+#: more queries than this is an all-pairs job that should not exist.
+MAX_BRUTE_QUERIES = 1024
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,26 +68,78 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector (broadcast cross
-    product + per-query rank window). Rounded cosine + id tie-break
-    keeps ordering deterministic."""
+    """Exact top-k neighbors for each query vector. Rounded cosine +
+    id tie-break keeps ordering deterministic.
+
+    r15: the broadcast-cross-product + HOF-cosine + global-rank-window
+    form spent ~0.6 s interpreting zip_with/aggregate lambdas per
+    invocation (HOFs do not enter whole-stage codegen) and shuffled
+    every scored pair into the window. Now the query matrix (bounded:
+    <= MAX_BRUTE_QUERIES rows, enforced with a limit-proof collect —
+    the same metadata-scale-collect policy as the IVF centroid
+    literals) rides into a mapInPandas kernel that scores each corpus
+    batch with one numpy matmul and emits only its LOCAL top-k per
+    query; the global rank window then merges <= partitions x nq x k
+    rows instead of nq x corpus. Scores are rounded to 6 BEFORE
+    ranking, exactly as before — the established rounding absorbs
+    matmul-vs-sequential summation ulps (same contract as
+    grouped_topk_exact, oracle-verified)."""
+    import numpy as np
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    from pipe_s_spark.sizing import fan_out
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+        .limit(MAX_BRUTE_QUERIES + 1)
+        .collect()
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    if len(q_rows) > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds {MAX_BRUTE_QUERIES} rows; "
+            "use a blocked/ANN path (grouped_topk_exact, ivf_topk) instead"
         )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype="int64")
+    qm = np.array([r["qv"] for r in q_rows], dtype="float64")
+    _nq = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(_nq == 0.0, 1.0, _nq)
+    kk = int(k)
+
+    def local_topk(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            m = np.stack(b["_v"].to_numpy()).astype("float64")
+            _nm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(_nm == 0.0, 1.0, _nm)
+            # sims: nq x batch, rounded BEFORE ranking (parity with the
+            # old F.round(cosine(...), 6) -> window order)
+            sims = (qm @ m.T).round(6)
+            sims[ids[None, :] == q_ids[:, None]] = -2.0  # self-match: never a neighbor
+            take = min(kk, sims.shape[1])
+            # stable argsort on (-sims) after a stable id sort == the
+            # (-cos_sim, neighbor_id) total order of the rank window
+            order = np.argsort(ids, kind="stable")
+            sims = sims[:, order]
+            bids = ids[order]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            vals = np.take_along_axis(sims, top, axis=1)
+            keep = (vals > -1.5).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take)[keep],
+                    "neighbor_id": bids[top].ravel()[keep],
+                    "cos_sim": vals.ravel()[keep],
+                }
+            )
+
+    c = fan_out(
+        corpus.select(id_col, as_double_array(vec_col).alias("_v")), by=[id_col]
+    )
+    local = c.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return local.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 #: Number of hyperplanes for the LSH bucket signature. 8 planes = 256
@@ -315,6 +374,8 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     n_cells: int = IVF_CELLS,
+    assign: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus rows to their nearest
     centroid cell (narrow expression — at 100 TB this is a pure map over
@@ -322,15 +383,38 @@ def ivf_topk(
     on cell id, exact-rank candidates per query. The corpus is shuffled
     once by cell (or not at all if the table is already written
     partitioned by cell — the intended layout at scale); the cross
-    product never materializes, and recall is tunable via nprobe."""
+    product never materializes, and recall is tunable via nprobe.
+
+    ``assign``: optional pre-built (id_col, cell) corpus assignment —
+    the persisted inverted-file layout (r15: the inline assignment
+    expression is a literal-centroid tree whose per-invocation Catalyst
+    analysis dominates small corpora; a session/table-backed assignment
+    is also the production shape). ``probes``: optional pre-ranked
+    (query_id, rank0, cell) probe table; rows with rank0 < ``nprobe``
+    are used — the ranked prefix is identical to probing at ``nprobe``
+    directly."""
     from pyspark.sql.window import Window
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    ).withColumn("cell", ivf_assign(F.col("cv"), n_cells))
+    )
+    if assign is None:
+        c = c.withColumn("cell", ivf_assign(F.col("cv"), n_cells))
+    else:
+        c = c.join(
+            F.broadcast(assign.select(F.col(id_col).alias("neighbor_id"), "cell")),
+            "neighbor_id",
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(ivf_probes(F.col("qv"), nprobe, n_cells)))
+    )
+    if probes is None:
+        q = q.withColumn("cell", F.explode(ivf_probes(F.col("qv"), nprobe, n_cells)))
+    else:
+        q = q.join(
+            F.broadcast(probes.filter(F.col("rank0") < nprobe).select("query_id", "cell")),
+            "query_id",
+        )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

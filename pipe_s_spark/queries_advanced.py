@@ -353,8 +353,19 @@ def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only data-sized shuffle, which is inherent to exactness —
     the sketched alternative is sketch_hll_distinct/sketch_kmv."""
     from pipe_s_spark.functions.exact import davg
+    from pipe_s_spark.sizing import fan_out
 
     li = load_table(spark, sf_dir, "lineitem")
+    # r15: the 4x unpivot expansion + count_distinct partial aggregate
+    # ran inside the one scan task of the single-row-group input
+    # (profiled: a 22 s 3-task stage on a cold heap); fan_out spreads
+    # the expansion and the distinct hash-aggregate across cores via a
+    # narrow keyed exchange of the 4 profiled columns — no-op at
+    # cluster scale (sizing.fan_out).
+    li = fan_out(
+        li.select("l_orderkey", "l_linenumber", *_PROFILE_COLS),
+        by=["l_orderkey", "l_linenumber"],
+    )
     unp = li.unpivot(
         [],
         [F.col(c).cast("double").alias(c) for c in _PROFILE_COLS],

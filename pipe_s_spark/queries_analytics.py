@@ -36,12 +36,29 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan-heavy group-agg; partial agg + 6-group shuffle."""
+    """TPC-H Q1: scan-heavy group-agg; partial agg + 6-group shuffle.
+
+    r15: the 8 exact-decimal aggregates were pipelined into the scan
+    task (single-row-group input -> 1-task stage, profiled 0.96 s of
+    serial decimal math); fan_out spreads them over the cores via a
+    narrow keyed exchange — a no-op at cluster scale (sizing.fan_out),
+    where the scan itself provides the parallelism."""
+    from pipe_s_spark.sizing import fan_out
+
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        fan_out(li, by=["l_orderkey"])
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -850,9 +867,20 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical under any partitioning (the builtin regr_* aggregate
     accumulates doubles and is partition-order sensitive). One
     map-side-combinable aggregation; the closed-form scalar arithmetic
-    afterward is deterministic IEEE."""
-    li = load_table(spark, sf_dir, "lineitem")
-    m = li.groupBy("l_returnflag").agg(
+    afterward is deterministic IEEE.
+
+    r15: the decimal casts/multiplies are ~20x a long sum per row and
+    were pipelined into the scan (one task on a single-row-group file
+    — profiled 1.9 s with 31 cores idle); fan_out moves them onto a
+    keyed exchange of the 3 narrow columns (no-op at cluster scale,
+    see sizing.fan_out). Keyed by l_orderkey, not the 3-value group
+    key: decimal sums are order-independent, so placement is free."""
+    from pipe_s_spark.sizing import fan_out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    m = fan_out(li, by=["l_orderkey"]).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sx"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),

@@ -135,10 +135,10 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells / PQ codes), quantifying what ~26x compression costs in
     ranking fidelity. The exact side is the same allowlisted broadcast
     brute-force baseline every recall eval here pins."""
+    from pipe_s_spark.queries_llm_shared import _exact_topk5_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _exact_topk5_cached(spark, sf_dir)
     adc = q_sim_pq_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -313,10 +313,10 @@ def q_sim_ivfpq_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     kidx = _kmeans_index_cached(spark, sf_dir)
     pidx = _pq_index_cached(spark, sf_dir)
     books = _pq_books_cached(spark, sf_dir)
+    from pipe_s_spark.queries_llm_shared import _exact_topk5_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _exact_topk5_cached(spark, sf_dir)
     corpus = kidx.select("vec_id", "cell").join(pidx.select("vec_id", "codes"), "vec_id")
     luts = S.pq_lut_table(pidx.filter(F.col("vec_id") < 10), books)
     queries = (

@@ -135,10 +135,17 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank. The scale path where even LSH bucket joins are too wide:
     the corpus is partitioned by cell once and probes touch nprobe/IVF
     of the data."""
+    from pipe_s_spark.queries_llm_shared import _ivf_assign_cached, _ivf_probes_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2).select(
-        "query_id", "neighbor_id", "cos_sim", "rk"
-    )
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+        assign=_ivf_assign_cached(spark, sf_dir),
+        probes=_ivf_probes_cached(spark, sf_dir),
+    ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
 SQL_SIM_IVF = f"""
@@ -539,9 +546,10 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter setting. Exact side = broadcast brute force over 10
     probes (the allowlisted baseline pattern); candidate side = the
     capped bucket equi-join; recall is an integer micro-ratio."""
+    from pipe_s_spark.queries_llm_shared import _exact_topk5_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    exact = _exact_topk5_cached(spark, sf_dir)
     e = emb.select(
         "vec_id", S.as_double_array("embedding").alias("v")
     ).withColumn("bucket", S.lsh_bucket(F.col("v")))
@@ -637,14 +645,17 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — together the two queries make the standard ANN
     index-tuning report (bucketed LSH vs partitioned IVF) an
     oracle-checked artifact."""
+    from pipe_s_spark.queries_llm_shared import (
+        _exact_topk5_cached,
+        _ivf_assign_cached,
+        _ivf_probes_cached,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
-    v = S.as_double_array("embedding")
-    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
-    pr = probes.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(S.ivf_probes(v, nprobe=2)).alias("cell"),
+    exact = _exact_topk5_cached(spark, sf_dir)
+    corpus = _ivf_assign_cached(spark, sf_dir)
+    pr = _ivf_probes_cached(spark, sf_dir).filter(F.col("rank0") < 2).select(
+        "query_id", "cell"
     )
     cand = (
         F.broadcast(pr)
@@ -738,15 +749,15 @@ def q_sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates every nprobe setting from the same single
     candidate-generation pass — the index is probed once, not once
     per arm."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
-    v = S.as_double_array("embedding")
-    corpus = emb.select("vec_id", S.ivf_assign(v).alias("cell"))
-    pr = probes.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(S.ivf_probes(v, nprobe=3)).alias("rank0", "cell"),
+    from pipe_s_spark.queries_llm_shared import (
+        _exact_topk5_cached,
+        _ivf_assign_cached,
+        _ivf_probes_cached,
     )
+
+    exact = _exact_topk5_cached(spark, sf_dir)
+    corpus = _ivf_assign_cached(spark, sf_dir)
+    pr = _ivf_probes_cached(spark, sf_dir, nprobe_max=3)
     cand = (
         F.broadcast(pr)
         .join(corpus, "cell")
@@ -857,9 +868,10 @@ def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a spilled index. The quantized ranking is PURE int64 dot
     products: no float comparisons anywhere in the candidate order, so
     the top-5 is deterministic by construction."""
+    from pipe_s_spark.queries_llm_shared import _exact_topk5_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    exact = _exact_topk5_cached(spark, sf_dir)
     lo, hi = S.sq8_bounds(emb)
     e = emb.select("vec_id", S.sq8_quantize(S.as_double_array("embedding"), lo, hi).alias("qv"))
     p = e.filter(F.col("vec_id") < 10).select(

@@ -541,13 +541,21 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novelty scoring for data curation: per document, the fraction of
     its distinct 3-gram shingles that occur in NO other document
     (corpus df = 1) — high-novelty docs are up-weighted, boilerplate
-    down-weighted. One groupBy(shingle) for df + one groupBy(doc);
-    integer micro-units, no floats."""
+    down-weighted. Integer micro-units, no floats.
+
+    r15: corpus df via a count window over the shingle partition, not
+    groupBy(shingle) + self-join — the join form ran the shingle
+    kernel TWICE (once per consumer; two serial Python stages
+    profiled at 1.3 s + 0.6 s) and shuffled the shingle relation
+    twice. The window partitions by the same key the groupBy used, so
+    this is one kernel pass and one exchange; df == COUNT(*) over the
+    partition is row-for-row what the join delivered (same shape as
+    text_dup_ngrams)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=3)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     return (
-        sh.join(dfc, "shingle")
+        sh.withColumn("df", dfc)
         .groupBy("doc_id")
         .agg(
             F.max("n").alias("n_total"),

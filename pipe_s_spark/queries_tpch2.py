@@ -229,8 +229,15 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING + IN subquery — orders whose total quantity
     exceeds a threshold, with customer context."""
     customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    # r15: keyed fan_out — the exchange it adds on a low-parallelism
+    # scan is exactly the distribution the groupBy needs (one exchange,
+    # decimal partial agg off the single scan task); no-op at cluster
+    # scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
     big = (
-        li.groupBy("l_orderkey")
+        fan_out(li.select("l_orderkey", "l_quantity"), by=["l_orderkey"])
+        .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )

@@ -48,6 +48,7 @@ import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: bytes of (estimated, uncompressed) input per reduce task for bulk
 #: shuffles — the grain the r12 controlled experiment measured linear
@@ -95,6 +96,68 @@ def bulk_partitions(df: DataFrame, target_bytes: int | None = None) -> int | Non
         return None
     t = target_bytes or BULK_TARGET_PARTITION_BYTES
     return max(1, min(BULK_MAX_PARTITIONS, math.ceil(nbytes / t)))
+
+
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Spark byte-size conf as int bytes ('134217728', '128m', '1g',
+    '128MB' all accepted); ``default`` on anything unparsable."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower().removesuffix("b")
+        if raw and raw[-1] in _BYTE_SUFFIX:
+            return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:  # noqa: BLE001
+        return default
+
+
+def fan_out(df: DataFrame, *, by: list[str] | None = None) -> DataFrame:
+    """Scale-adaptive MAP-side parallelism for compute-heavy narrow
+    stages over low-parallelism scans (r15; guide §2.5's "one huge
+    unsplittable file -> repartition immediately after the read").
+
+    The problem is the mirror image of ``bulk_partitions``: scan
+    parallelism is bounded by the input's split count, and a parquet
+    file is splittable only at ROW-GROUP granularity — a table written
+    as one file with one row group (exactly the bench testdata layout)
+    is decoded, and everything Spark pipelines into the scan stage
+    (projection math, decimal casts, partial aggregation, Arrow
+    kernels) is executed, by ONE task regardless of cores. Profiled at
+    sf0.1: the stats/quantile family's heavy partial aggregates and
+    the text family's shingle kernels all ran as 1-3-task stages with
+    31 cores idle.
+
+    Fix per the guide: repartition right after the read, but ONLY when
+    the input is provably too small for the scan itself to reach
+    ``defaultParallelism`` splits — estimated plan bytes below
+    parallelism x ``spark.sql.files.maxPartitionBytes``. At cluster
+    scale any real table clears that bar and this is a NO-OP by
+    construction (no exchange is added to a 100 TB plan: its scan
+    already out-parallelizes the session), so the helper cannot pay a
+    data-sized shuffle where the scan is wide.
+
+    ``by``: hash-partition on these columns instead of round-robin.
+    Preferred when a downstream groupBy/window uses the same leading
+    keys — the exchange then SATISFIES that operator's required
+    distribution and replaces, not precedes, the aggregation shuffle —
+    and it avoids round-robin's sort-before-repartition pass. Callers
+    must not depend on intra-partition order; every consumer here is
+    order-independent (exact-decimal / integer aggregation, per-row
+    kernels).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    nbytes = plan_size_bytes(df)
+    if nbytes is None:
+        return df
+    mpb = _parse_bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    if nbytes >= par * mpb:
+        return df
+    if by:
+        return df.repartition(par, *[F.col(c) for c in by])
+    return df.repartition(par)
 
 
 def session_shuffle_partitions(spark: SparkSession) -> int:

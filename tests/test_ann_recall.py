@@ -555,3 +555,16 @@ def test_zero_norm_vectors_never_emit_nan(spark):
     assert set(by_q[100].values()) == {0.0}
     # real query: unit-x member wins at 1.0; zero-vector member scores 0.0
     assert by_q[101][2] == 1.0 and by_q[101][1] == 0.0
+
+
+def test_brute_force_topk_query_cap(spark):
+    """The r15 kernel form collects the query side to the driver; the
+    collect is bounded by MAX_BRUTE_QUERIES with a limit-proof."""
+    import pytest
+    from pipe_s_spark.functions import similarity as S
+
+    emb = spark.range(S.MAX_BRUTE_QUERIES + 5).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding"
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        S.brute_force_topk(emb, emb, k=3)

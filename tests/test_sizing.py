@@ -90,3 +90,61 @@ def test_scoped_initial_partitions_restores_on_error(spark):
     except Exception:  # noqa: BLE001
         val = None
     assert val is None
+
+
+# --- fan_out (r15) --------------------------------------------------------
+
+
+def test_fan_out_small_input_repartitions(spark):
+    """A small scan (estimated bytes << parallelism x maxPartitionBytes)
+    gains an explicit repartition to defaultParallelism."""
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    out = sizing.fan_out(df, by=["id"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan
+    # row content unchanged
+    assert out.count() == 1000
+
+
+def test_fan_out_round_robin_without_keys(spark):
+    df = spark.range(1000)
+    out = sizing.fan_out(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan
+
+
+def test_fan_out_large_estimate_is_noop(spark, monkeypatch):
+    """When the plan-size estimate says the scan already out-parallelizes
+    the session, fan_out must add NOTHING (the cluster-scale path)."""
+    df = spark.range(1000)
+    monkeypatch.setattr(sizing, "plan_size_bytes", lambda _df: 1 << 50)
+    out = sizing.fan_out(df, by=["id"])
+    assert out is df
+
+
+def test_fan_out_unknown_size_is_noop(spark, monkeypatch):
+    monkeypatch.setattr(sizing, "plan_size_bytes", lambda _df: None)
+    df = spark.range(10)
+    assert sizing.fan_out(df) is df
+
+
+def test_fan_out_results_identical(spark):
+    """fan_out only moves rows: an order-insensitive aggregate over the
+    fanned-out relation matches the plain one exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS x")
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("x").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    fanned = {
+        r["k"]: (r["n"], r["s"])
+        for r in sizing.fan_out(df, by=["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("x").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    assert plain == fanned
