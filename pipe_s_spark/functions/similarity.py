@@ -1317,8 +1317,14 @@ def multi_table_signatures(
             yield pd.concat(frames)
 
     vtype = "binary" if packed else "array<double>"
-    return corpus.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    # r15: fan_out before the kernel — on a low-parallelism scan the
+    # whole signature pass ran in ONE Python worker (profiled 0.76 s
+    # serial); no-op at cluster scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
+    return fan_out(
+        corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")),
+        by=["id"],
     ).mapInPandas(sig_kernel, schema=f"gk long, id long, v {vtype}")
 
 
@@ -1568,7 +1574,11 @@ def kmeans_assign_probes_table(
                 }
             )
 
-    return src.mapInPandas(
+    # r15: fan_out — kernel parallelism on low-parallelism scans; no-op
+    # at cluster scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
+    return fan_out(src, by=[id_col]).mapInPandas(
         fn,
         f"{id_col} bigint, {vec_col} {vec_t}, cell int, probe_cells array<int>",
     )
@@ -1972,7 +1982,9 @@ def pq_encode_table(
 
     carry_ddl = "".join(f", {c} {t}" for c, t in carry.items())
     xqb_ddl = ", xqb binary" if pack_xq else ""
-    return src.mapInPandas(
+    from pipe_s_spark.sizing import fan_out  # r15: kernel parallelism; no-op at scale
+
+    return fan_out(src, by=[id_col]).mapInPandas(
         fn,
         f"{id_col} bigint, xq array<bigint>, codes array<int>, keys array<bigint>"
         + xqb_ddl
@@ -2041,7 +2053,9 @@ def ivf_adc_prepare_table(
                 }
             )
 
-    return src.mapInPandas(
+    from pipe_s_spark.sizing import fan_out  # r15: kernel parallelism; no-op at scale
+
+    return fan_out(src, by=[id_col]).mapInPandas(
         fn,
         f"{id_col} bigint, codes array<int>, xqb binary, cell int, "
         "probe_cells array<int>",

@@ -41,9 +41,34 @@ def pagerank_int(
     iters: int = 5,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns (v, rank) with rank
-    a BIGINT in units of 1e-12. Fixed ``iters`` power iterations."""
+    a BIGINT in units of 1e-12. Fixed ``iters`` power iterations.
+
+    Lineage policy (r15): ``nodes`` and ``shares`` stay eagerly
+    checkpointed — each is consumed by EVERY iteration, so without a
+    cut each iteration would rescan+redistinct the edge list. The rank
+    table is checkpointed only every ``checkpoint_every`` iterations:
+    each intermediate rank relation has exactly ONE consumer (the next
+    iteration), so an eager per-iteration checkpoint materialized |V|
+    rows iters times and ran iters extra jobs for nothing (profiled at
+    sf0.1: 38 jobs, 2.1 s wall, ~0.5 s of task time) — the un-cut
+    chain executes the same joins ONCE inside the final action. The
+    periodic cut keeps plan depth (and recovery cost at cluster scale)
+    bounded for large ``iters``, the same policy as
+    functions.dedup.connected_components."""
+    # r15: cut the edge lineage FIRST — ``edges`` is consumed 4-5x
+    # below (both union arms of nodes, the weight aggregate, the share
+    # join), and when the edge list is itself a derived relation (the
+    # bench's event-transition graph: scan + lag window + groupBy)
+    # every consumer re-ran that whole pipeline (profiled: ~2 s of the
+    # query's wall was edge re-derivation). One materialization, four
+    # cheap reads; at cluster scale a pagerank input is persisted
+    # before iterating for exactly this reason.
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst), F.col(weight).alias(weight)
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("v")))
@@ -63,24 +88,22 @@ def pagerank_int(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("v", F.lit(SCALE // n).cast("long").alias("r"))
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contrib = (
             shares.join(ranks, shares.e_src == ranks.v)
             .select("e_dst", F.expr(f"(r * share) DIV {SHARE_SCALE}").alias("c"))
             .groupBy("e_dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.v == contrib.e_dst, "left")
-            .select(
-                "v",
-                F.expr(
-                    f"CAST({base} + ({damping_num} * COALESCE(contrib, 0))"
-                    f" DIV {damping_den} AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, nodes.v == contrib.e_dst, "left").select(
+            "v",
+            F.expr(
+                f"CAST({base} + ({damping_num} * COALESCE(contrib, 0))"
+                f" DIV {damping_den} AS BIGINT)"
+            ).alias("r"),
         )
+        if it < iters and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", F.col("r").alias("rank"))
 
 

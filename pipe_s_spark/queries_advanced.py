@@ -739,7 +739,16 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     count() job. Pairs generate NARROWLY from the (capped) array (no
     self-join of lineitem); the basket total rides along as a
     broadcast single-row aggregate instead of a driver literal."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r15: fan_out keyed on the basket key — the exchange is exactly
+    # the groupBy's required distribution, so the collect_set aggregate
+    # (the heavy stage) runs at session parallelism off the single scan
+    # task; no-op at cluster scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        by=["l_orderkey"],
+    )
     baskets_all = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
@@ -818,8 +827,16 @@ def q_supplier_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation dimension broadcast — the supplier-scorecard query. One
     fact-fact equi-join on the order key, then a supplier-keyed
     aggregate."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")
+    from pipe_s_spark.sizing import fan_out
+
+    # r15: fan_out keyed on the aggregate key — the percentile()
+    # partial (per-supplier value buffers) leaves the single scan task
+    # and the exchange is reused by groupBy(l_suppkey). No-op at scale.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")
+        ),
+        by=["l_suppkey"],
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("order_d")

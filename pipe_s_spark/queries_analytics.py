@@ -1489,8 +1489,15 @@ def q_part_markup_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually lands by brand. Fact-dim broadcast join; numerator and
     denominator are exact integer cents, so the markup needs no float
     at all."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
+    from pipe_s_spark.sizing import fan_out
+
+    # r15: fan_out — the exact-integer-cent decimal sums ran pipelined
+    # into the single scan task; no-op at cluster scale (sizing.fan_out).
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        ),
+        by=["l_partkey"],
     )
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"

@@ -182,9 +182,15 @@ FROM changelog
 
 def q_cdc_marshal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JsonMarshaller + DBChangeUnmarshaller parity: to_json -> from_json
-    roundtrip must be the identity on the payload."""
+    roundtrip must be the identity on the payload.
+
+    r15: fan_out — the to_json/from_json codec pair ran pipelined into
+    the single scan task (profiled 0.62 s serial); the narrow exchange
+    spreads it across cores, no-op at cluster scale (sizing.fan_out)."""
+    from pipe_s_spark.sizing import fan_out
+
     return (
-        changelog(spark, sf_dir)
+        fan_out(changelog(spark, sf_dir), by=["seq"])
         .transform(marshal_json(["seq", "op", "pk", "k", "value"], "wire"))
         .select("wire")
         .transform(unmarshal_json("seq BIGINT, op STRING, pk BIGINT, k INT, value DOUBLE", "wire"))

@@ -91,6 +91,14 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: conditional-sum ratio (market share of NATION_3
     suppliers) per order year."""
     nation, supplier, orders, li = _t(spark, sf_dir, "nation", "supplier", "orders", "lineitem")
+    # r15: fan_out — the decimal volume sums ran pipelined into the
+    # single scan task; no-op at cluster scale (sizing.fan_out).
+    from pipe_s_spark.sizing import fan_out
+
+    li = fan_out(
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        by=["l_orderkey"],
+    )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))

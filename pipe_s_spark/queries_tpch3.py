@@ -45,8 +45,19 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # r15: fan_out keyed on l_partkey — one exchange satisfies BOTH the
+    # (l_partkey, l_suppkey) groupBy (superset clustering) and the
+    # min_cost window's partitionBy(l_partkey); the ~500k-group partial
+    # aggregate leaves the single scan task. No-op at cluster scale.
+    from pipe_s_spark.sizing import fan_out
+
     offers = (
-        li.filter(F.col("l_quantity") > 0)
+        fan_out(
+            li.filter(F.col("l_quantity") > 0).select(
+                "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+            ),
+            by=["l_partkey"],
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost"))
     )
