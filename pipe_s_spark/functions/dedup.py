@@ -89,9 +89,13 @@ def shingles(
     # Python worker (profiled 1.3-1.7 s serial stages); the narrow
     # (id, text) exchange spreads the kernel across cores and is a
     # no-op at cluster scale (sizing.fan_out).
-    from pipe_s_spark.sizing import fan_out
+    from pipe_s_spark.sizing import fan_out, kernel_parts
 
-    return fan_out(df.select(id_col, text_col), by=[id_col]).mapInPandas(
+    return fan_out(
+        df.select(id_col, text_col),
+        by=[id_col],
+        max_parts=kernel_parts(df.sparkSession),
+    ).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, shingle string, n long"
     )
 

@@ -99,23 +99,31 @@ def dquantiles(
     # task and IS the distribution the groupBy needs (one exchange,
     # 32-way aggregate; measured 0.65 s -> 0.44 s on the sf0.1
     # lineitem distinct relation); at cluster scale it is a no-op by
-    # construction (see sizing.fan_out). bounds/bt deliberately stay
-    # as pipelined partial aggregates of the raw scan: they collapse
-    # map-side to a handful of rows, so rescanning is far cheaper
-    # than re-running the wide distinct aggregate per consumer.
+    # construction (see sizing.fan_out). r15 rev 2: the fan_out key is
+    # the strict SUBSET (keys, _bkt) of the grouping columns, so ONE
+    # explicit exchange satisfies the clustering required by the
+    # distinct aggregate AND the within-bucket window AND the
+    # per-bucket totals (three operators, one exchange) and — unlike
+    # the full-grouping-key form, which Catalyst collapses into an
+    # AQE-coalescible ENSURE_REQUIREMENTS exchange — survives as a
+    # REPARTITION_BY_NUM shuffle that keeps the CPU-dense downstream
+    # stages at session parallelism (profiled: AQE's byte-based
+    # coalescing squeezed the 4 s-CPU window stage onto 6 tasks).
     from pipe_s_spark.sizing import fan_out
 
-    vc = (
-        fan_out(src, by=[*keys, "_bkt", value_col])
-        .groupBy(*keys, "_bkt", value_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    src = fan_out(src, by=[*keys, "_bkt"])
+    vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
 
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
-    # _base = ranks preceding the bucket, _n = group total. Derived
-    # from bucketed RAW rows (map-side combine to <= B rows per key
-    # per task), not from vc — so no second distinct-value shuffle.
-    bt = src.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    # _base = ranks preceding the bucket, _n = group total. r15 rev 2:
+    # derived from vc (sum of per-value counts — exact integers,
+    # identical by construction) instead of a THIRD pass over the raw
+    # rows: the raw form re-derived the whole src subtree (scan +
+    # bounds aggregate + broadcast join) per consumer, doubling both
+    # the physical plan Catalyst must optimize (~1.5 s of driver time
+    # per call profiled at sf0.1) and the scan work; vc's exchange is
+    # runtime-reused across its two consumers.
+    bt = vc.groupBy(*keys, "_bkt").agg(F.sum("_c").alias("_bc"))
     w_bkt = Window.partitionBy(*keys).orderBy("_bkt")
     w_key = Window.partitionBy(*keys)
     bt = bt.withColumn("_base", F.sum("_bc").over(w_bkt) - F.col("_bc")).withColumn(

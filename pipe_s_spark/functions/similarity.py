@@ -87,7 +87,7 @@ def brute_force_topk(
     import numpy as np
     from pyspark.sql.window import Window
 
-    from pipe_s_spark.sizing import fan_out
+    from pipe_s_spark.sizing import fan_out, kernel_parts
 
     q_rows = (
         queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
@@ -133,7 +133,9 @@ def brute_force_topk(
             )
 
     c = fan_out(
-        corpus.select(id_col, as_double_array(vec_col).alias("_v")), by=[id_col]
+        corpus.select(id_col, as_double_array(vec_col).alias("_v")),
+        by=[id_col],
+        max_parts=kernel_parts(corpus.sparkSession),
     )
     local = c.mapInPandas(
         local_topk, schema="query_id long, neighbor_id long, cos_sim double"
@@ -1320,11 +1322,12 @@ def multi_table_signatures(
     # r15: fan_out before the kernel — on a low-parallelism scan the
     # whole signature pass ran in ONE Python worker (profiled 0.76 s
     # serial); no-op at cluster scale (sizing.fan_out).
-    from pipe_s_spark.sizing import fan_out
+    from pipe_s_spark.sizing import fan_out, kernel_parts
 
     return fan_out(
         corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")),
         by=["id"],
+        max_parts=kernel_parts(corpus.sparkSession),
     ).mapInPandas(sig_kernel, schema=f"gk long, id long, v {vtype}")
 
 
@@ -1576,9 +1579,9 @@ def kmeans_assign_probes_table(
 
     # r15: fan_out — kernel parallelism on low-parallelism scans; no-op
     # at cluster scale (sizing.fan_out).
-    from pipe_s_spark.sizing import fan_out
+    from pipe_s_spark.sizing import fan_out, kernel_parts
 
-    return fan_out(src, by=[id_col]).mapInPandas(
+    return fan_out(src, by=[id_col], max_parts=kernel_parts(src.sparkSession)).mapInPandas(
         fn,
         f"{id_col} bigint, {vec_col} {vec_t}, cell int, probe_cells array<int>",
     )
@@ -1982,9 +1985,9 @@ def pq_encode_table(
 
     carry_ddl = "".join(f", {c} {t}" for c, t in carry.items())
     xqb_ddl = ", xqb binary" if pack_xq else ""
-    from pipe_s_spark.sizing import fan_out  # r15: kernel parallelism; no-op at scale
+    from pipe_s_spark.sizing import fan_out, kernel_parts  # r15: kernel parallelism; no-op at scale
 
-    return fan_out(src, by=[id_col]).mapInPandas(
+    return fan_out(src, by=[id_col], max_parts=kernel_parts(src.sparkSession)).mapInPandas(
         fn,
         f"{id_col} bigint, xq array<bigint>, codes array<int>, keys array<bigint>"
         + xqb_ddl
@@ -2053,9 +2056,9 @@ def ivf_adc_prepare_table(
                 }
             )
 
-    from pipe_s_spark.sizing import fan_out  # r15: kernel parallelism; no-op at scale
+    from pipe_s_spark.sizing import fan_out, kernel_parts  # r15: kernel parallelism; no-op at scale
 
-    return fan_out(src, by=[id_col]).mapInPandas(
+    return fan_out(src, by=[id_col], max_parts=kernel_parts(src.sparkSession)).mapInPandas(
         fn,
         f"{id_col} bigint, codes array<int>, xqb binary, cell int, "
         "probe_cells array<int>",

@@ -749,8 +749,17 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
         by=["l_orderkey"],
     )
-    baskets_all = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    # r15: baskets_all feeds THREE branches (supports, basket count,
+    # pair generation); exchange reuse dedups the shuffle but each
+    # consumer re-ran the reduce-side collect_set aggregate — profiled
+    # 36 s of task runtime (14 s CPU, the rest set-building GC churn)
+    # on the first of three copies. One materialization (bounded by
+    # |orders| — the basket table is the artifact this query is about),
+    # three cheap reads.
+    baskets_all = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
     )
     supports = (
         baskets_all.select(F.explode("items").alias("l_partkey"))

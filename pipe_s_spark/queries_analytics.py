@@ -542,7 +542,16 @@ def q_unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, amount) rows — the inverse of pivot, a narrow map-side
     expansion (no shuffle until the downstream agg)."""
     li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select("l_orderkey", "l_linenumber", "l_discount", "l_tax").unpivot(
+    # r15: fan_out — the 2x unpivot expansion and the exact-decimal
+    # partial sums ran pipelined into the single scan task (profiled
+    # as one 1.0 s single-task job); no-op at cluster scale.
+    from pipe_s_spark.sizing import fan_out
+
+    li = fan_out(
+        li.select("l_orderkey", "l_linenumber", "l_discount", "l_tax"),
+        by=["l_orderkey", "l_linenumber"],
+    )
+    melted = li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_discount", "l_tax"],
         "metric",
@@ -1048,10 +1057,19 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier filter is a narrow expression; no global ordered window, no
     ntile, and revenue never leaves integer cents."""
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long")
-        .alias("rev_c")
+    # r15: one pass — per_cust is consumed twice (threshold collect +
+    # tier aggregate) and each consumer re-ran the scan + groupBy
+    # shuffle; localCheckpoint materializes the per-customer rollup
+    # once (bounded by |customers|, the same cut policy as pagerank's
+    # edge relation) and both consumers read it back.
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+        .localCheckpoint(eager=True)
     )
     th = per_cust.agg(
         *[
@@ -1333,6 +1351,11 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_c"),
     ).withColumn("monetary", F.col("monetary_c").cast("double") / 100.0)
+    # r15: per_cust is consumed twice (threshold collect + scoring
+    # pass) and each consumer re-ran the scan + groupBy shuffle;
+    # materialize the per-customer rollup once (bounded by
+    # |customers| — same policy as customer_pareto).
+    per_cust = per_cust.localCheckpoint(eager=True)
     th = per_cust.agg(
         *[
             F.round(F.expr(f"percentile({c}, {q})"), 4).alias(f"{c}_{int(q * 100)}")

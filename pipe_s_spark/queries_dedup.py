@@ -878,7 +878,15 @@ def q_dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent)."""
     est = _minhash_pairs_cached(spark, sf_dir)
     true_j = D.jaccard_from_counts(_posting_counts_cached(spark, sf_dir), threshold=0.0)
-    joined = est.join(true_j, ["d1", "d2"], "left").select(
+    # r15: shuffle-hash, not broadcast — both pair tables are ~100 MB
+    # at sf0.1 (millions of candidate pairs, growing with the corpus),
+    # and the session's 64 MB auto-broadcast threshold let the planner
+    # collect+build the whole true-jaccard side ON THE DRIVER (~1.7 s
+    # profiled as a dead inter-job gap; guide §3.1: broadcasting a
+    # fact-sized side costs driver memory and build time). Equi-join
+    # of two same-sized pair tables is the canonical shuffled-hash
+    # shape at any scale.
+    joined = est.join(true_j.hint("shuffle_hash"), ["d1", "d2"], "left").select(
         "d1",
         "d2",
         "est_jaccard",

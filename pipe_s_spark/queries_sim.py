@@ -499,7 +499,19 @@ def q_sim_lsh_buckets_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id",
         S.as_double_array("embedding").alias("v"),
-    ).withColumn("bucket", S.lsh_bucket(F.col("v"), planes=planes))
+    )
+    if planes == S.LSH_PLANES:
+        # r15: count-derived geometry == the default geometry at this
+        # corpus size, so the bucket column IS the session-materialized
+        # default-plane bucket table (same expression, same rows) —
+        # consume it instead of re-analyzing the planes x dim literal
+        # tree on BOTH sides of the self-join (~1.2 s of driver time
+        # profiled per invocation).
+        from pipe_s_spark.queries_llm_shared import _lsh_bucket_cached
+
+        e = e.join(F.broadcast(_lsh_bucket_cached(spark, sf_dir)), "vec_id")
+    else:
+        e = e.withColumn("bucket", S.lsh_bucket(F.col("v"), planes=planes))
     e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
     a = e.alias("a")
     b = e.alias("b")

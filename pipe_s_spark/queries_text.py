@@ -491,27 +491,30 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     many of its distinct 5-gram shingles also appear in the held-out
     eval set (docs with doc_id % 10 == 7 stand in for a benchmark).
 
-    Scale shape: the eval set is tiny by definition, so its distinct
-    shingles BROADCAST and the training corpus never shuffles — one
-    broadcast semi-join + one groupBy(doc). The score is integer
-    micro-units (exact.davg_int policy: no floats to hash)."""
+    Scale shape (r15, one kernel pass): the shingle relation was
+    consumed THREE times (eval distinct, shared join, sizes), and each
+    consumer re-ran the whole tokenizer kernel — profiled as three
+    32-task Python stages (~35 s of task runtime at sf0.1). Same
+    count-window form as text_dup_ngrams: one kernel pass, annotate
+    every shingle row with "any eval doc has this shingle" via a
+    window over the shingle partition, then ONE per-doc aggregate
+    computes both the size and the shared count (row-identical: the
+    window indicator is exactly membership in the old eval distinct
+    set). The score is integer micro-units (exact.davg_int policy: no
+    floats to hash)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, "doc_id", "text", k=5)
     is_eval = F.col("doc_id") % 10 == 7
-    eval_sh = sh.filter(is_eval).select("shingle").distinct()
-    train = sh.filter(~is_eval)
-    shared = (
-        train.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    annotated = sh.withColumn(
+        "_eval_any",
+        F.max(is_eval.cast("int")).over(Window.partitionBy("shingle")),
     )
-    sizes = train.groupBy("doc_id").agg(F.max("n").alias("n_shingles"))
     return (
-        sizes.join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+        annotated.filter(~is_eval)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_shingles"),
+            F.count(F.when(F.col("_eval_any") == 1, 1)).alias("n_shared"),
         )
         .withColumn(
             "contamination_x1m",
