@@ -348,9 +348,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
             yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} {id_type}, simhash bigint"
-    )
+    # r15: fan_out before the kernel — per-token md5 + bit votes is the
+    # heaviest per-row Python kernel in the dedup family and ran in ONE
+    # worker off the single-row-group scan; no-op at cluster scale.
+    from pipe_s_spark.sizing import fan_out, kernel_parts
+
+    return fan_out(
+        df.select(id_col, text_col),
+        by=[id_col],
+        max_parts=kernel_parts(df.sparkSession),
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, simhash bigint")
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

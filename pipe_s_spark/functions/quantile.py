@@ -80,6 +80,7 @@ def dquantiles(
     # to partition the sort — results cannot depend on it because it
     # is monotone in the value.
     v = F.col(value_col).cast("double")
+    raw_src = src  # pre-join relation: gates the fan_out (see sizing.fan_out size_of)
     bounds = src.groupBy(*keys).agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
     src = src.join(F.broadcast(bounds), keys)
     span = F.col("_vmax") - F.col("_vmin")
@@ -111,7 +112,7 @@ def dquantiles(
     # coalescing squeezed the 4 s-CPU window stage onto 6 tasks).
     from pipe_s_spark.sizing import fan_out
 
-    src = fan_out(src, by=[*keys, "_bkt"])
+    src = fan_out(src, by=[*keys, "_bkt"], size_of=raw_src)
     vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
 
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:

@@ -534,8 +534,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — then verify true Hamming distance <= SIMHASH_HAM_MAX via
     bit_count(xor). The banded-LSH plan shape (Charikar'02 signatures,
     MMDS ch.3 banding) that survives 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = D.simhash16(docs, "doc_id", "text")
+    # r15: consume the session-materialized signature table — the
+    # self-join's two subtree copies each re-ran the per-token md5
+    # voting kernel (profiled 0.70 s + 0.36 s serial Python stages).
+    from pipe_s_spark.queries_llm_shared import _simhash16_cached
+
+    sig = _simhash16_cached(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -82,6 +82,22 @@ def _posting_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.materialized(spark, ("posting_counts", sf_dir, 3, JACCARD_DF_CAP), build)
 
 
+def _simhash16_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized 16-bit SimHash signatures (doc_id,
+    simhash) — the fingerprint table a near-dup job persists once
+    (Manku et al. store exactly this) and every banding/verification
+    pass reads. dedup_simhash itself deliberately keeps computing the
+    kernel end-to-end (it IS this artifact — same policy as
+    sim_cosine_topk vs the cached ground truth); the pair query
+    consumed the kernel TWICE through its self-join."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return D.simhash16(docs, "doc_id", "text")
+
+    return SH.materialized(spark, ("simhash16", sf_dir), build)
+
+
 #: df cap / rounded-cosine threshold for the TF-IDF sparse-vector pairs.
 TFIDF_DF_CAP = 100
 TFIDF_COS_MIN = 0.3

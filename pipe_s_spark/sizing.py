@@ -114,7 +114,11 @@ def _parse_bytes_conf(spark: SparkSession, key: str, default: int) -> int:
 
 
 def fan_out(
-    df: DataFrame, *, by: list[str] | None = None, max_parts: int | None = None
+    df: DataFrame,
+    *,
+    by: list[str] | None = None,
+    max_parts: int | None = None,
+    size_of: DataFrame | None = None,
 ) -> DataFrame:
     """Scale-adaptive MAP-side parallelism for compute-heavy narrow
     stages over low-parallelism scans (r15; guide §2.5's "one huge
@@ -156,12 +160,21 @@ def fan_out(
     signature kernel at sf0.1: widths 4-16 equivalent, width 32 ~25%
     slower); kernel call sites pass ``kernel_parts()``. Irrelevant at
     cluster scale, where the gate makes this function a no-op.
+
+    ``size_of``: the relation whose plan statistics gate the fan-out,
+    when ``df`` itself carries an inflated estimate. Catalyst join
+    estimates MULTIPLY child sizes, so a small table that has passed
+    through a broadcast join (dquantiles' bounds attach) reports
+    gigabytes and silently disabled the fan-out (found by plan
+    inspection: the quantile-family plans carried no REPARTITION
+    node); gate on the raw pre-join input instead — the join cannot
+    grow a broadcast-attached row count.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if max_parts is not None:
         par = max(1, min(par, max_parts))
-    nbytes = plan_size_bytes(df)
+    nbytes = plan_size_bytes(size_of if size_of is not None else df)
     if nbytes is None:
         return df
     mpb = _parse_bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
