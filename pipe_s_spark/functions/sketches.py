@@ -567,7 +567,9 @@ def heavy_hitters(
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for v in pdf[value_col]:
                 if v in counters:
                     counters[v] += 1
@@ -579,20 +581,53 @@ def heavy_hitters(
                         del counters[key]
                     for key in counters:
                         counters[key] -= 1
+        # sentinel row (NULL value) carries this task's input row count:
+        # the n/k threshold then derives from the SAME kernel pass
+        # instead of a separate count() action re-scanning the input
+        # (r15 — the operator cost 3 passes over src; now 2, and the
+        # whole report is ONE action)
         yield pd.DataFrame(
-            {value_col: list(counters.keys()), "mg": list(counters.values())}
+            {
+                value_col: list(counters.keys()) + [None],
+                "mg": list(counters.values()) + [n_rows],
+            }
         )
 
+    from pipe_s_spark.sizing import fan_out, kernel_parts
+
     field = df.schema[value_col].dataType.simpleString()
-    src = df.select(value_col).filter(F.col(value_col).isNotNull())
+    # keyed fan_out: parallelizes the per-task summaries off a
+    # low-parallelism scan AND clusters equal values into one task's
+    # counter set (a superset-tightening, correctness-neutral: every
+    # true heavy hitter survives MG merge under ANY partitioning, and
+    # the exact-count phase fixes false positives). No-op at cluster
+    # scale (sizing.fan_out); the exchange is shared with the exact
+    # phase via ReuseExchange since both phases live in one action.
+    src = fan_out(
+        df.select(value_col).filter(F.col(value_col).isNotNull()),
+        by=[value_col],
+        max_parts=kernel_parts(df.sparkSession),
+    )
     summaries = src.mapInPandas(mg_kernel, schema=f"{value_col} {field}, mg long")
     # merged MG summary: counter sums; every item with global count
-    # > n/k survives with a positive merged counter
-    candidates = summaries.groupBy(value_col).agg(F.sum("mg").alias("mg"))
+    # > n/k survives with a positive merged counter. Materialized once
+    # (bounded: <= tasks x k rows) so the candidate filter and the
+    # total read ONE kernel pass — without the cut, the two consumers
+    # would each re-run the whole MG kernel subtree.
+    merged = (
+        summaries.groupBy(value_col).agg(F.sum("mg").alias("mg")).localCheckpoint()
+    )
+    candidates = merged.filter(F.col(value_col).isNotNull())
+    totals = merged.filter(F.col(value_col).isNull()).agg(
+        F.sum("mg").alias("__n_total")
+    )
     exact = (
         src.join(F.broadcast(candidates.select(value_col)), value_col, "left_semi")
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias(out_count))
     )
-    n_total = src.count()
-    return exact.filter(F.col(out_count) * k > F.lit(n_total))
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.col(out_count) * k > F.col("__n_total"))
+        .drop("__n_total")
+    )

@@ -16,14 +16,22 @@ def q_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     click at-or-before it."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
-        "event_id", "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )
-    purchases = base.join(
-        ev.filter(F.col("event_type") == "purchase").select("event_id"), "event_id"
+    # r15: direct filters — the former event_id self-joins (base ⋈
+    # filtered ids, twice) re-scanned events three times and paid two
+    # broadcast hash joins to express what a predicate on the same row
+    # already says; event_id is the events PK, so inner-join-on-id ==
+    # filter, row for row.
+    purchases = base.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .drop("event_type")
+        .withColumnRenamed("event_id", "click_id")
     )
-    clicks = base.join(
-        ev.filter(F.col("event_type") == "click").select("event_id"), "event_id"
-    ).withColumnRenamed("event_id", "click_id")
     out = asof_join(
         purchases,
         clicks.select("user_id", F.col("ts_ms").alias("click_ts"), "click_id"),
@@ -455,6 +463,10 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a wall of greens."""
     from pipe_s_spark.operators.expectations import ExpectationSuite, run_suites
 
+    # r15: fan_out tried and REVERTED by interleaved A/B (1.747 vs
+    # 1.552 median): each suite's aggregate collapses to one row
+    # map-side (the count_distinct partial already shuffles only
+    # distinct keys), so fanning shuffled full-width rows for nothing.
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     documents = load_table(spark, sf_dir, "documents")
@@ -652,6 +664,11 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact sums make bit-checkable."""
     from pipe_s_spark.operators import salted_agg
 
+    # r15: fan_out tried and REVERTED by interleaved A/B (1.444 vs
+    # 1.187 median): phase 1's partial aggregate collapses the scan to
+    # <= 3 x 16 (key, salt) rows map-side, so the plain plan's shuffle
+    # is ~48 rows — fanning replaced it with a 600k-row raw exchange
+    # (guide §2: shuffle fewer bytes beats more parallelism here).
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
@@ -698,10 +715,19 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + aggregate: salting must be result-invisible. Revenue sums
     are decimal-exact so the check is bit-strict."""
     from pipe_s_spark.operators import salted_join
+    from pipe_s_spark.sizing import fan_out
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("p_partkey"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    # r15: the whole salted join + brand aggregate pipelined into the
+    # single-row-group lineitem scan (profiled: one 3-task stage, 729 ms
+    # serial CPU, zero shuffle — the replicated part side broadcasts, so
+    # nothing else forces parallelism). Keyed fan_out spreads the probe
+    # side; no-op at cluster scale (sizing.fan_out).
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        ),
+        by=["p_partkey"],
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(li, part, on=["p_partkey"], n_salts=16)

@@ -238,6 +238,8 @@ LIMIT 20
 
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over the region->nation hierarchy (customer counts)."""
+    # r15: fan_out tried and REVERTED by interleaved A/B (0.642 vs
+    # 0.541 median) — same map-side-combine argument as agg_cube.
     region, nation, customer = _t(spark, sf_dir, "region", "nation", "customer")
     joined = customer.join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
@@ -259,6 +261,11 @@ GROUP BY ROLLUP (r_name, n_name)
 
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over order status x priority."""
+    # r15: fan_out tried and REVERTED by interleaved A/B (0.703 vs
+    # 0.643 median): the cube's partial aggregate collapses 150k rows
+    # to <= 36 map-side, so the plain plan shuffles almost nothing —
+    # fanning traded that for a raw-row exchange (guide §2: shuffle
+    # fewer bytes beats more parallelism here).
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -280,6 +287,8 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT per priority alone, which is what distinguishes this from CUBE.
     Uses the DataFrame groupingSets API so the plan is a single Expand +
     one aggregation (one shuffle), not a union of three scans."""
+    # r15: fan_out tried and REVERTED — same map-side-combine argument
+    # as agg_cube (see there).
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
@@ -1056,6 +1065,9 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bounded metadata, the RFM pattern) inlined as literals, so the
     tier filter is a narrow expression; no global ordered window, no
     ntile, and revenue never leaves integer cents."""
+    # r15: fan_out tried and REVERTED by interleaved A/B (0.926 vs
+    # 0.797 median): the per-customer partial aggregate collapses 10x
+    # map-side, so the plain plan shuffles less than the fanned one.
     orders = load_table(spark, sf_dir, "orders")
     # r15: one pass — per_cust is consumed twice (threshold collect +
     # tier aggregate) and each consumer re-ran the scan + groupBy
@@ -1342,20 +1354,28 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket literals are bit-identical), collected driver-side and
     inlined (bounded metadata collect); bucketing is then a narrow
     expression and the rollup has at most 27 groups."""
+    # r15: fan_out tried and REVERTED by interleaved A/B (1.131 vs
+    # 0.882 median) — same map-side-combine argument as customer_pareto.
     orders = load_table(spark, sf_dir, "orders")
-    max_date = orders.agg(F.max(F.to_date("o_orderdate")).alias("m")).collect()[0]["m"]
     per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(F.lit(max_date), F.max(F.to_date("o_orderdate"))).cast("long").alias("recency_d"),
+        F.max(F.to_date("o_orderdate")).alias("__last_d"),
         F.count(F.lit(1)).alias("frequency"),
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("bigint")
         .alias("monetary_c"),
     ).withColumn("monetary", F.col("monetary_c").cast("double") / 100.0)
-    # r15: per_cust is consumed twice (threshold collect + scoring
-    # pass) and each consumer re-ran the scan + groupBy shuffle;
-    # materialize the per-customer rollup once (bounded by
-    # |customers| — same policy as customer_pareto).
+    # r15: per_cust is consumed THREE times (corpus max date, threshold
+    # collect, scoring pass); materialize the per-customer rollup once
+    # (bounded by |customers| — same policy as customer_pareto). The
+    # corpus max date — formerly its own full orders scan + collect —
+    # is now max() over the checkpointed rollup's per-customer last
+    # dates (identical value: max of per-group maxes), and recency
+    # derives from it as a narrow expression.
     per_cust = per_cust.localCheckpoint(eager=True)
+    max_date = per_cust.agg(F.max("__last_d").alias("m")).collect()[0]["m"]
+    per_cust = per_cust.withColumn(
+        "recency_d", F.datediff(F.lit(max_date), F.col("__last_d")).cast("long")
+    )
     th = per_cust.agg(
         *[
             F.round(F.expr(f"percentile({c}, {q})"), 4).alias(f"{c}_{int(q * 100)}")

@@ -36,6 +36,59 @@ def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_from_events(load_table(spark, sf_dir, "events"))
 
 
+def changelog_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with a (table_name, pk)-keyed scale-gated fan-out
+    (r15): the heavy CDC shapes (compaction groupBy, SCD2/validate
+    windows, merge anti-join) all cluster on (table_name, pk) or a
+    superset, so hash partitioning on this subset satisfies their
+    required distribution — the introduced exchange REPLACES the one
+    the aggregate/window would have planned, it does not precede it —
+    while moving the min_by/max_by/window work off the single-row-group
+    scan task (profiled 520-683 ms serial CPU per query). No-op at
+    cluster scale (sizing.fan_out); the narrow trivial CDC queries
+    (filter/map/convert) stay on the plain changelog, where adding any
+    exchange would only cost.
+
+    The fan-out keys (table_name, pk) are computed from user_id BEFORE
+    the exchange, but the expensive projection — the JSON payload parse
+    — happens AFTER it: projects don't push below an exchange, so only
+    raw columns cross the wire and the parse runs at session
+    parallelism instead of inside the 1-task scan (re-profiled: fanning
+    the finished changelog left 757 ms of serial map-side CPU, nearly
+    all JSON parse). Column values are byte-identical to
+    model.changelog_from_events."""
+    from pipe_s_spark.sizing import fan_out
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        "value",
+        "ts",
+        F.concat(
+            F.lit("sbtest"), ((F.col("user_id") % 4) + 1).cast("string")
+        ).alias("table_name"),
+        F.col("user_id").cast("long").alias("pk"),
+    )
+    ev = fan_out(ev, by=["table_name", "pk"])
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.lit("app").alias("db"),
+        "table_name",
+        op.alias("op"),
+        "pk",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        F.col("value").cast("double").alias("value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
 def _with_changelog(sql: str) -> str:
     return f"WITH changelog AS ({CHANGELOG_SQL})\n{sql}"
 
@@ -235,7 +288,7 @@ compacted AS (
 
 def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: changelog compaction to net effect per key (§2.7)."""
-    return compact_changelog(changelog(spark, sf_dir)).select(
+    return compact_changelog(changelog_fanned(spark, sf_dir)).select(
         "db", "table_name", "pk", "net_op", "last_seq", "k", "value", "ts_ms"
     )
 
@@ -249,7 +302,7 @@ SQL_CDC_COMPACT = (
 def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship step 2: apply the compacted changelog to a base snapshot
     (deterministically derived: every even pk pre-exists with zeros)."""
-    cl = changelog(spark, sf_dir)
+    cl = changelog_fanned(spark, sf_dir)
     base = (
         cl.filter(F.col("pk") % 2 == 0)
         .select("table_name", "pk")
@@ -286,6 +339,10 @@ SELECT table_name, pk, k, value FROM compacted WHERE net_op <> 'delete'
 def q_cdc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MysqlCheckOutput parity: diff a deterministically-corrupted copy
     of orders against the source (row_miss + row_diff)."""
+    # r15: fan_out tried and REVERTED by interleaved A/B (0.640 vs
+    # 0.523 median): the diff legs plan as broadcast joins that shuffle
+    # nothing, so the keyed exchanges (not reused — per-leg column
+    # pruning differs) were pure overhead.
     orders = load_table(spark, sf_dir, "orders")
     tgt = orders.filter(~(F.col("o_orderkey") % 97 == 0)).withColumn(
         "o_totalprice",
@@ -324,7 +381,7 @@ def q_cdc_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipe_s_spark.operators.compaction import validate_changelog
 
     return validate_changelog(
-        changelog(spark, sf_dir), key_cols=("table_name", "pk")
+        changelog_fanned(spark, sf_dir), key_cols=("table_name", "pk")
     ).select("table_name", "pk", "seq", "op", "violation")
 
 
@@ -352,7 +409,7 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     key version with [valid_from, valid_to) event-time bounds."""
     from pipe_s_spark.operators.history import scd2_history
 
-    return scd2_history(changelog(spark, sf_dir))
+    return scd2_history(changelog_fanned(spark, sf_dir))
 
 
 SQL_CDC_SCD2 = _with_changelog(
@@ -376,7 +433,7 @@ def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (cutoff = max(seq) div 2, computed in-plan and broadcast)."""
     from pipe_s_spark.operators.history import snapshot_asof
 
-    log = changelog(spark, sf_dir)
+    log = changelog_fanned(spark, sf_dir)
     cutoff = log.agg(F.expr("MAX(seq) DIV 2").alias("cutoff"))
     return snapshot_asof(log, cutoff)
 

@@ -1246,7 +1246,12 @@ def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid levels come from one posexplode + groupBy with
     DECIMAL-exact component sums, so every centroid is bit-stable
     under any partitioning; the final cosine is O(sources x dim)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from pipe_s_spark.sizing import fan_out
+
+    # r15: the join + posexplode + component aggregate pipelined into
+    # the single-row-group embeddings scan (profiled 485 ms serial on
+    # one task); keyed fan_out spreads it — no-op at cluster scale.
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), by=["vec_id"])
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ex = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
         "source", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
@@ -1261,27 +1266,35 @@ def q_sim_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.col("n")).alias("c"),
         "n",
     )
-    # global centroid: 64 rows — bounded metadata collect, inlined as a
-    # literal array so the per-source cosine is a sequential array fold
-    # (deterministic evaluation order; a groupBy SUM of doubles would
-    # be partition-order sensitive)
-    glob_rows = (
+    # global centroid: 64 rows, rolled into ONE array row inside the
+    # same plan (r15 — the former mid-build collect() re-derived the
+    # whole join+posexplode+groupBy subtree a second time for the
+    # returned plan: profiled 268 ms + 215 ms of duplicated task time
+    # plus ~0.5 s of extra jobs/driver gaps; now the per_src exchange
+    # is planned once and BOTH rollups read it). Component values are
+    # unchanged — decimal component sums, cast double, divide — and
+    # the array is array_sort'ed on distinct pos, so the cosine folds
+    # the components in exactly the order the literal form did.
+    glob_arr = (
         per_src.groupBy("pos")
         .agg((F.sum("s").cast("double") / F.sum("n")).alias("g"))
-        .collect()
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "g"))), lambda st: st["g"]
+            ).alias("gv")
+        )
     )
-    g_sorted = [r["g"] for r in sorted(glob_rows, key=lambda r: r["pos"])]
-    g_arr = F.array(*[F.lit(v) for v in g_sorted])
     src_arr = comp.groupBy("source").agg(
         F.max("n").alias("n_vecs"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda st: st["c"]
         ).alias("cv"),
     )
-    return src_arr.select(
+    return src_arr.crossJoin(F.broadcast(glob_arr)).select(
         "source",
         F.col("n_vecs").cast("bigint").alias("n_vecs"),
-        F.round(S.cosine(F.col("cv"), g_arr), 6).alias("cos_to_global"),
+        F.round(S.cosine(F.col("cv"), F.col("gv")), 6).alias("cos_to_global"),
     )
 
 

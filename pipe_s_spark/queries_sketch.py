@@ -51,8 +51,15 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays both sides cell-for-cell. All-integer output
     (exact.davg_int float policy)."""
     from pipe_s_spark.functions import sketches as K
+    from pipe_s_spark.sizing import fan_out
 
-    ev = load_table(spark, sf_dir, "events")
+    # r15: the md5 bucket hashing (4 probes/row) and the exact groupBy
+    # partials both pipelined into the 1-task events scan; one keyed
+    # fan-out serves both subtrees (identical exchange -> reused) and
+    # IS the exact groupBy's distribution. No-op at cluster scale.
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select("user_id"), by=["user_id"]
+    )
     sketch = K.cms_build(ev, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = K.cms_estimate(exact.select("user_id"), sketch, "user_id")
@@ -114,8 +121,17 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable distinct-count structure at 100 TB: shuffle payload per
     group is m=64 rows, never data-sized."""
     from pipe_s_spark.functions.sketches import hll_estimate
+    from pipe_s_spark.sizing import fan_out
 
-    ev = load_table(spark, sf_dir, "events")
+    # r15: md5 register derivation + both partial aggregates ran inside
+    # the 1-task events scan; the (event_type, user_id) fan-out is the
+    # exact count_distinct's first-phase distribution (partial dedup by
+    # (group, value)) and parallelizes the HLL register partials.
+    # No-op at cluster scale (sizing.fan_out).
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select("event_type", "user_id"),
+        by=["event_type", "user_id"],
+    )
     est = hll_estimate(ev, "user_id", ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")

@@ -83,6 +83,14 @@ SCALAR_OK = {
     "orders_market_basket",
     # mixture-weight denominators: crossJoin(broadcast(1-row sums))
     "text_mix_weights",
+    # heavy-hitter threshold: crossJoin(broadcast(1-row total)) read
+    # from the checkpointed MG summary — replaced the operator's
+    # separate count() action over the token stream (r15)
+    "text_heavy_tokens",
+    # global-centroid array: crossJoin(broadcast(1-row collect_list
+    # rollup of the 64 component means)) — replaced the mid-build
+    # collect() that re-derived the per-source aggregate twice (r15)
+    "sim_domain_drift",
 }
 
 _QUERIES = sorted(entrymod.queries().items())
