@@ -130,6 +130,60 @@ def is_regression(
 #: authoritative flag attached (exactly BENCH_r12's failure).
 TRIAGE_PROBE_DRIFT_MAX = 0.20
 
+#: untouched-control drift beyond which the triage refuses a verdict
+#: (r15 verdict #2/#4): the synthetic probes are blind to host states
+#: that only hit real query machinery — the r15 driver capture read
+#: UNTOUCHED queries at 4-6x their stable values (dq_corpus_integrity
+#: 4.44 s vs 0.71-0.75) under the fastest probes of the round. The
+#: gate compares the MEDIAN ratio of co-measured unflagged control
+#: queries against the committed artifact; real queries are noisier
+#: than the probes, so the band is wider than TRIAGE_PROBE_DRIFT_MAX
+#: but far below the 4-6x phantom band it exists to catch.
+TRIAGE_CONTROL_DRIFT_MAX = 0.35
+
+#: controls co-measured per triage run (cost-percentile picks).
+TRIAGE_N_CONTROLS = 3
+
+
+def pick_controls(
+    prior: dict[str, float], flagged: set[str], k: int = TRIAGE_N_CONTROLS
+) -> list[str]:
+    """Deterministic untouched-control picks: the UNFLAGGED prior-
+    artifact queries sitting at the 25th/50th/75th cost percentiles —
+    spread across the cost spectrum so one hot cache line can't make
+    all controls agree, deterministic so two runs of the same round
+    measure the same controls."""
+    cands = sorted((n for n in prior if n not in flagged), key=lambda n: (prior[n], n))
+    if not cands:
+        return []
+    picks: list[str] = []
+    for j in range(k):
+        frac = (j + 1) / (k + 1)
+        name = cands[min(len(cands) - 1, int(frac * len(cands)))]
+        if name not in picks:
+            picks.append(name)
+    return picks
+
+
+def control_drift(
+    prior: dict[str, float], iso_controls: dict[str, float] | None
+) -> float | None:
+    """Median iso/prior ratio over the co-measured controls, or None
+    when fewer than two controls have a prior (median of >=2 is robust
+    to one flaky control; a single control is no evidence)."""
+    if not iso_controls:
+        return None
+    ratios = [
+        iso_controls[n] / prior[n]
+        for n in iso_controls
+        if n in prior and prior[n] and iso_controls[n] is not None
+    ]
+    if len(ratios) < 2:
+        return None
+    import statistics
+
+    return statistics.median(ratios)
+
 
 def triage_verdict(
     prior_sec: float,
@@ -138,6 +192,7 @@ def triage_verdict(
     iso_probe: float | None,
     prior_probe_shuffle: float | None = None,
     iso_probe_shuffle: float | None = None,
+    ctl_ratio: float | None = None,
 ) -> tuple[bool | None, str]:
     """(reproduced, reason) for one flagged query's isolated re-measure.
     ``None`` = indeterminate: EITHER of the isolated session's probes
@@ -149,7 +204,15 @@ def triage_verdict(
     SHUFFLE probe was 2.4x it — exchange-bound queries track the
     shuffle probe, not the compute one (BASELINE.md "known probe blind
     spot"), and an A-B-A re-measure disproved every flag. Within the
-    accepted band the threshold scales by the max of the two ratios."""
+    accepted band the threshold scales by the max of the two ratios.
+
+    r16 (verdict #2): ``ctl_ratio`` — the median drift of co-measured
+    UNTOUCHED control queries (see control_drift) — is a third gate.
+    Probes are synthetic and have missed host states that spike only
+    real query machinery (r15: untouched queries at 4-6x under
+    record-fast probes); when the controls themselves moved more than
+    TRIAGE_CONTROL_DRIFT_MAX, any verdict on the flagged query would
+    attribute host state to code, so the triage refuses."""
     r_c = probe_ratio(iso_probe, prior_probe)
     if iso_probe and prior_probe and abs(r_c - 1.0) > TRIAGE_PROBE_DRIFT_MAX:
         return None, f"indeterminate: isolated probe drifted {r_c:.2f}x vs committed"
@@ -161,6 +224,10 @@ def triage_verdict(
     ):
         return None, (
             f"indeterminate: isolated shuffle probe drifted {r_s:.2f}x vs committed"
+        )
+    if ctl_ratio is not None and abs(ctl_ratio - 1.0) > TRIAGE_CONTROL_DRIFT_MAX:
+        return None, (
+            f"indeterminate: untouched controls drifted {ctl_ratio:.2f}x vs committed"
         )
     rep = is_regression(iso_sec, prior_sec, max(r_c, r_s))
     return rep, ("reproduced in fresh session" if rep else "not reproduced")
@@ -178,18 +245,22 @@ def committed_timing(main_sec: float, iso_sec: float, reproduced: bool | None) -
     return iso_sec if reproduced is True else main_sec
 
 
-def _run_triage(sf_dir: str, names: list[str]) -> dict[str, float]:
+def _run_triage(
+    sf_dir: str, names: list[str], controls: list[str] | None = None
+) -> dict[str, float]:
     """Fresh-subprocess re-measure (tools/bench_triage.py); returns
     {name: isolated_median_sec} plus the isolated session's own
-    machine probe under the reserved key "_probe_sec"; empty on any
-    failure."""
+    machine probe under the reserved key "_probe_sec" (and, when
+    ``controls`` were requested, their medians under "_controls");
+    empty on any failure."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
     try:
         res = subprocess.run(
             [sys.executable, os.path.join(root, "tools", "bench_triage.py"), sf_dir]
-            + names,
+            + names
+            + (["--controls"] + controls if controls else []),
             capture_output=True,
             text=True,
             cwd=root,
@@ -288,9 +359,9 @@ def main() -> None:
 
     from pipe_s_spark.functions import shared as SH
 
-    def _cache_key_names(keys) -> list[str]:
+    def _cache_key_names(events) -> list[str]:
         # drop the applicationId head; keep a compact human label
-        return sorted("/".join(str(p) for p in k[1:]) for k in keys)
+        return sorted("/".join(str(p) for p in k[1:]) for k, _sec in events)
 
     timings: dict[str, float] = {}
     # per-query shared-cache attribution (r8 verdict: a ×1.54 swing on
@@ -306,6 +377,21 @@ def main() -> None:
     # run is net-absent from a snapshot diff (r9 advice) but appears
     # twice in the event log.
     cache_attr: dict[str, dict[str, list[str]]] = {}
+    # r16 (verdict #3): COLD-COST ledger — wall seconds every memoized
+    # family's builder spent, summed per family label across the whole
+    # run (warmup or timed). A query consuming a memo table reports a
+    # WARM median (the build lands in its discarded warmup run), so
+    # without this ledger a cache shift is indistinguishable from a
+    # speedup; cache_build_sec is the number a reader adds back to get
+    # the end-to-end cold cost of each family.
+    cache_build_sec: dict[str, float] = {}
+
+    def _note_builds(events) -> list[str]:
+        for k, sec in events:
+            label = "/".join(str(p) for p in k[1:])
+            cache_build_sec[label] = round(cache_build_sec.get(label, 0.0) + sec, 4)
+        return _cache_key_names(events)
+
     SH.drain_build_log()  # discard table-warmup builds
     for name in sorted(qs):
         samples: list[float] = []
@@ -316,8 +402,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
             if i == 0:
-                built_warmup = _cache_key_names(SH.drain_build_log())
-        built_timed = _cache_key_names(SH.drain_build_log())
+                built_warmup = _note_builds(SH.drain_build_log())
+        built_timed = _note_builds(SH.drain_build_log())
         if built_warmup or built_timed:
             cache_attr[name] = {
                 "built_warmup": built_warmup,
@@ -354,9 +440,12 @@ def main() -> None:
         )[: int(os.environ.get("SPARK_GRAFT_BENCH_TRIAGE_MAX", "20"))]
         if flagged:
             spark.stop()  # quiet host for the isolated session
-            iso = _run_triage(sf_dir, sorted(flagged))
+            controls = pick_controls(prior, set(flagged))
+            iso = _run_triage(sf_dir, sorted(flagged), controls)
             iso_probe = iso.pop("_probe_sec", None)
             iso_probe_shuffle = iso.pop("_probe_shuffle_sec", None)
+            iso_controls = iso.pop("_controls", None)
+            ctl_ratio = control_drift(prior, iso_controls)
             for n in flagged:
                 if n not in iso:
                     continue
@@ -367,6 +456,7 @@ def main() -> None:
                     iso_probe,
                     prior_probe_shuffle,
                     iso_probe_shuffle,
+                    ctl_ratio,
                 )
                 triage[n] = {
                     "prior_sec": prior[n],
@@ -378,6 +468,8 @@ def main() -> None:
                     "isolated_sec": iso[n],
                     "isolated_probe_sec": iso_probe,
                     "isolated_probe_shuffle_sec": iso_probe_shuffle,
+                    "controls": iso_controls,
+                    "control_ratio": ctl_ratio,
                     "reproduced": reproduced,
                     "reason": reason,
                 }
@@ -406,6 +498,8 @@ def main() -> None:
         "probe_sec": probe_sec,
         "probe_shuffle_sec": probe_shuffle_sec,
         "cache_builds": cache_attr,
+        "cache_build_sec": cache_build_sec,
+        "cache_build_total_sec": round(sum(cache_build_sec.values()), 4),
         "triage": triage,
         "sf": sf,
     }

@@ -110,10 +110,21 @@ def dquantiles(
     # REPARTITION_BY_NUM shuffle that keeps the CPU-dense downstream
     # stages at session parallelism (profiled: AQE's byte-based
     # coalescing squeezed the 4 s-CPU window stage onto 6 tasks).
-    from pipe_s_spark.sizing import fan_out
+    from pipe_s_spark.sizing import fan_out, pin_small
 
     src = fan_out(src, by=[*keys, "_bkt"], size_of=raw_src)
     vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
+    # r16: the distinct-value relation feeds TWO branches (the
+    # per-bucket totals `bt` and the within-bucket window), so without
+    # materialization the whole scan+bounds+bucket+distinct subtree is
+    # DUPLICATED in the logical plan — Catalyst optimized both copies
+    # (~738 ms of pure driver gap profiled on stats_median_profile) and
+    # only runtime ReusedExchange saved the second execution. pin_small
+    # checkpoints it once at bench scale and is a no-op at cluster
+    # scale (where ReusedExchange already dedups the physical work and
+    # a forced materialization would cost). Results are byte-identical:
+    # a checkpoint replays the same rows.
+    vc = pin_small(vc, size_of=raw_src)
 
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
     # _base = ranks preceding the bucket, _n = group total. r15 rev 2:

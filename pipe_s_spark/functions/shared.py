@@ -49,12 +49,17 @@ MAX_ENTRIES = 32
 _memo: OrderedDict[tuple, DataFrame] = OrderedDict()
 #: Evicted-but-possibly-still-referenced checkpoints, reclaimed in clear().
 _evicted: list[DataFrame] = []
-#: Append-only log of BUILD events (keys whose builder actually ran),
-#: drained by the bench. Key-snapshot diffs (live_keys before/after)
-#: miss churn: a key built, FIFO-evicted, then REBUILT inside a timed
-#: run is net-absent from the snapshot diff, so the rebuild cost inside
-#: the reported median went unattributed (r9 advice). An event log
-#: counts builds, not net key presence.
+#: Append-only log of BUILD events — ``(full_key, build_seconds)``
+#: pairs for every builder that actually ran — drained by the bench.
+#: Key-snapshot diffs (live_keys before/after) miss churn: a key
+#: built, FIFO-evicted, then REBUILT inside a timed run is net-absent
+#: from the snapshot diff, so the rebuild cost inside the reported
+#: median went unattributed (r9 advice). An event log counts builds,
+#: not net key presence. r16 (verdict #3): each event carries the
+#: BUILD WALL SECONDS so the artifact can publish the cold cost of
+#: every memoized family — a memo-consuming query's median measures a
+#: warm table, and without the build seconds beside it a cache shift
+#: reads as a speedup.
 _build_log: list[tuple] = []
 #: Callbacks invoked by clear() — lets sibling driver-side memos
 #: (e.g. the centroid literal-matrix cache) share this module's
@@ -76,6 +81,9 @@ def materialized(
     if df is not None:
         _memo.move_to_end(full_key)
         return df
+    import time
+
+    t0 = time.perf_counter()
     built = builder()
     # a DRIVER-LOCAL relation (e.g. connected_components' bounded edge
     # fold returns createDataFrame of the resolved labels) has no
@@ -83,7 +91,7 @@ def materialized(
     # it only buys a ~1.7 s first-use codepath warmup (measured) and a
     # pointless 32-task job; downstream consumers broadcast it anyway
     df = built if built.isLocal() else built.localCheckpoint(eager=True)
-    _build_log.append(full_key)
+    _build_log.append((full_key, round(time.perf_counter() - t0, 4)))
     _memo[full_key] = df
     while len(_memo) > MAX_ENTRIES:
         # Deliberately no unpersist here — see MAX_ENTRIES comment:
@@ -110,8 +118,11 @@ def scalar(
     bench attributes the one-off job like any other cache build."""
     full_key = (spark.sparkContext.applicationId, *key)
     if full_key not in _scalars:
+        import time
+
+        t0 = time.perf_counter()
         _scalars[full_key] = builder()
-        _build_log.append(full_key)
+        _build_log.append((full_key, round(time.perf_counter() - t0, 4)))
     return _scalars[full_key]
 
 
@@ -125,10 +136,11 @@ def live_keys() -> set[tuple]:
 
 
 def drain_build_log() -> list[tuple]:
-    """Return and clear the accumulated build events (full keys, in
-    build order, duplicates preserved). Unlike :func:`live_keys`
-    snapshot diffs this attributes REBUILDS after FIFO eviction, so the
-    bench's built_timed field is churn-proof."""
+    """Return and clear the accumulated build events —
+    ``(full_key, build_seconds)`` in build order, duplicates preserved.
+    Unlike :func:`live_keys` snapshot diffs this attributes REBUILDS
+    after FIFO eviction, so the bench's built_timed field is
+    churn-proof."""
     global _build_log
     out, _build_log = _build_log, []
     return out

@@ -94,10 +94,15 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipe_s_spark.queries_llm_shared import _lsh_bucket_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r16 (advice): no broadcast HINT on the bucket table — it is
+    # corpus-sized (one row per vector), so forcing a driver-side build
+    # is the fact-sized-broadcast anti-pattern at scale; the planner
+    # auto-broadcasts it at bench scale (checkpointed size is accurate)
+    # and picks a shuffle join when it outgrows the threshold.
     e = emb.select(
         "vec_id",
         S.as_double_array("embedding").alias("v"),
-    ).join(F.broadcast(_lsh_bucket_cached(spark, sf_dir)), "vec_id")
+    ).join(_lsh_bucket_cached(spark, sf_dir), "vec_id")
     e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
     a = e.alias("a")
     b = e.alias("b")
@@ -147,6 +152,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         assign=_ivf_assign_cached(spark, sf_dir),
         probes=_ivf_probes_cached(spark, sf_dir),
+        probes_depth=3,  # _ivf_probes_cached's nprobe_max default
     ).select("query_id", "neighbor_id", "cos_sim", "rk")
 
 
@@ -509,7 +515,8 @@ def q_sim_lsh_buckets_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # profiled per invocation).
         from pipe_s_spark.queries_llm_shared import _lsh_bucket_cached
 
-        e = e.join(F.broadcast(_lsh_bucket_cached(spark, sf_dir)), "vec_id")
+        # no broadcast hint: corpus-sized table (see q_sim_lsh_buckets)
+        e = e.join(_lsh_bucket_cached(spark, sf_dir), "vec_id")
     else:
         e = e.withColumn("bucket", S.lsh_bucket(F.col("v"), planes=planes))
     e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
@@ -566,9 +573,10 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_topk5_cached(spark, sf_dir)
     from pipe_s_spark.queries_llm_shared import _lsh_bucket_cached
 
+    # no broadcast hint: corpus-sized table (see q_sim_lsh_buckets)
     e = emb.select(
         "vec_id", S.as_double_array("embedding").alias("v")
-    ).join(F.broadcast(_lsh_bucket_cached(spark, sf_dir)), "vec_id")
+    ).join(_lsh_bucket_cached(spark, sf_dir), "vec_id")
     e = D.cap_group_size(e, ["bucket"], SIM_BUCKET_CAP)
     p = e.filter(F.col("vec_id") < 10).alias("p")
     c = e.alias("c")
@@ -1663,8 +1671,10 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: corpus assignment + probe cells consumed as session-
     # materialized tables (the persisted trained-IVF layout) instead of
     # re-analyzing the labels x dim literal trees per invocation.
+    # no broadcast hint on the corpus-sized assignment table (r16
+    # advice): the probe side below stays broadcast — it is bounded.
     corpus = emb.select("vec_id", "embedding").join(
-        F.broadcast(_trained_cells_cached(spark, sf_dir)), "vec_id"
+        _trained_cells_cached(spark, sf_dir), "vec_id"
     )
     probes = (
         emb.filter(F.col("vec_id") < 10)

@@ -491,30 +491,36 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     many of its distinct 5-gram shingles also appear in the held-out
     eval set (docs with doc_id % 10 == 7 stand in for a benchmark).
 
-    Scale shape (r15, one kernel pass): the shingle relation was
-    consumed THREE times (eval distinct, shared join, sizes), and each
-    consumer re-ran the whole tokenizer kernel — profiled as three
-    32-task Python stages (~35 s of task runtime at sf0.1). Same
-    count-window form as text_dup_ngrams: one kernel pass, annotate
-    every shingle row with "any eval doc has this shingle" via a
-    window over the shingle partition, then ONE per-doc aggregate
-    computes both the size and the shared count (row-identical: the
-    window indicator is exactly membership in the old eval distinct
-    set). The score is integer micro-units (exact.davg_int policy: no
-    floats to hash)."""
+    Scale shape (r16, per ADVICE): the r15 count-window form collapsed
+    three kernel passes into one but paid for it by shuffling the
+    ENTIRE train+eval shingle relation by shingle (a corpus-sized
+    exchange the pre-r15 plan never had). Restore the broadcast shape
+    while keeping the kernel-work win: the eval docs and the training
+    docs are DISJOINT, so running the tokenizer kernel once over each
+    side still tokenizes every document exactly once (same total
+    kernel rows as the single pass). The eval side is a benchmark
+    stand-in — bounded in production — so its distinct shingles
+    broadcast, and the training shingles are never shuffled: the only
+    train-side exchange is the map-side-combined per-doc aggregate.
+    Row-identical: a train shingle matches at most one distinct eval
+    shingle, so count(_hit) over the left join IS membership in the
+    eval distinct set. The score is integer micro-units
+    (exact.davg_int policy: no floats to hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, "doc_id", "text", k=5)
-    is_eval = F.col("doc_id") % 10 == 7
-    annotated = sh.withColumn(
-        "_eval_any",
-        F.max(is_eval.cast("int")).over(Window.partitionBy("shingle")),
+    is_eval_doc = F.col("doc_id") % 10 == 7
+    ev = (
+        D.shingles(docs.filter(is_eval_doc), "doc_id", "text", k=5)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    tr = D.shingles(docs.filter(~is_eval_doc), "doc_id", "text", k=5)
     return (
-        annotated.filter(~is_eval)
+        tr.join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.max("n").alias("n_shingles"),
-            F.count(F.when(F.col("_eval_any") == 1, 1)).alias("n_shared"),
+            F.count("_hit").alias("n_shared"),
         )
         .withColumn(
             "contamination_x1m",

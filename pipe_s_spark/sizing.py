@@ -62,6 +62,13 @@ BULK_TARGET_PARTITION_BYTES = int(
 #: would coalesce, but the scheduler still pays per-partition cost).
 BULK_MAX_PARTITIONS = 4096
 
+#: fan_out absolute split ceiling: a scan estimated to split into more
+#: tasks than this has real parallelism of its own, so injecting a
+#: raw-row exchange ahead of it can only cost (r16 advice — the
+#: relative par/2 bound alone would still fan multi-GB inputs on a
+#: many-hundred-core session).
+FAN_OUT_MAX_SPLITS = 8
+
 
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's ANALYZED-plan size estimate in bytes, or None when
@@ -136,13 +143,14 @@ def fan_out(
     31 cores idle.
 
     Fix per the guide: repartition right after the read, but ONLY when
-    the input is provably too small for the scan itself to reach
-    ``defaultParallelism`` splits — estimated plan bytes below
-    parallelism x ``spark.sql.files.maxPartitionBytes``. At cluster
-    scale any real table clears that bar and this is a NO-OP by
-    construction (no exchange is added to a 100 TB plan: its scan
-    already out-parallelizes the session), so the helper cannot pay a
-    data-sized shuffle where the scan is wide.
+    the input is provably too small for the scan itself to parallelize
+    — the estimated scan split count (plan bytes /
+    ``spark.sql.files.maxPartitionBytes``) both well below session
+    parallelism and below a small absolute ceiling
+    (``FAN_OUT_MAX_SPLITS``). At cluster scale any real table clears
+    that bar and this is a NO-OP by construction (no exchange is added
+    to a 100 TB plan: its scan already parallelizes), so the helper
+    cannot pay a data-sized shuffle where the scan is wide.
 
     ``by``: hash-partition on these columns instead of round-robin.
     Preferred when a downstream groupBy/window uses the same leading
@@ -174,15 +182,58 @@ def fan_out(
     par = spark.sparkContext.defaultParallelism
     if max_parts is not None:
         par = max(1, min(par, max_parts))
-    nbytes = plan_size_bytes(size_of if size_of is not None else df)
-    if nbytes is None:
-        return df
-    mpb = _parse_bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
-    if nbytes >= par * mpb:
+    if not _scan_starved(df, par, size_of=size_of):
         return df
     if by:
         return df.repartition(par, *[F.col(c) for c in by])
     return df.repartition(par)
+
+
+def _scan_starved(df: DataFrame, par: int, size_of: DataFrame | None = None) -> bool:
+    """True when the (proxied) input's estimated SCAN SPLIT COUNT says
+    the scan cannot parallelize on its own. r16 (advice): gate on
+    splits, not total bytes — the r15 gate (nbytes >= par * mpb ->
+    no-op) approved a full raw-row exchange for any input up to
+    parallelism x maxPartitionBytes; at mid scale (multi-GB input, many
+    cores) a multi-row-group file of N bytes already yields ~N/mpb scan
+    splits, and fanning it injects a data-sized shuffle ahead of
+    map-side-combining aggregates (the exact regression the reverted
+    A/B sites documented at small scale). Fire only when the scan is
+    genuinely starved: estimated splits both well below session
+    parallelism AND below a small absolute count. Best-effort in the
+    conservative direction: plan stats UNDER-estimate splits for
+    few-row-group files, so a starved single-row-group multi-split
+    estimate can only make this gate refuse a fan-out, never add one
+    to a wide scan."""
+    spark = df.sparkSession
+    nbytes = plan_size_bytes(size_of if size_of is not None else df)
+    if nbytes is None:
+        return False
+    mpb = _parse_bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    splits = math.ceil(nbytes / mpb)
+    return splits < max(2, par // 2) and splits <= FAN_OUT_MAX_SPLITS
+
+
+def pin_small(df: DataFrame, *, size_of: DataFrame | None = None) -> DataFrame:
+    """Scale-gated eager ``localCheckpoint`` for MULTI-CONSUMER
+    relations (r16, guide §3.3/§5: "materialising an intermediate
+    truncates the plan"). A relation consumed by two branches of one
+    query appears TWICE in the logical plan; Catalyst optimizes both
+    copies (planning time grows with the duplication — profiled 738 ms
+    of pure driver gap on stats_median_profile's doubled
+    scan+bounds+distinct subtree) and only runtime ReusedExchange saves
+    the recompute. Checkpointing collapses every consumer to a leaf.
+
+    Gated exactly like ``fan_out`` (estimated scan splits of the
+    ``size_of`` proxy): at cluster scale this returns ``df`` unchanged
+    — no forced materialization of a data-sized intermediate enters a
+    100 TB plan, where ReusedExchange already deduplicates the physical
+    work and plan-prep time is amortized by real execution."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if not _scan_starved(df, par, size_of=size_of):
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def kernel_parts(spark: SparkSession) -> int:

@@ -195,3 +195,66 @@ def test_missing_probes_degrade_to_raw_threshold():
     assert probe_ratio(0.15, None) == 1.0
     rep, _ = triage_verdict(1.0, None, 2.5, 0.15)
     assert rep is True
+
+
+def test_r15_untouched_control_replay_refuses_verdicts():
+    """Pinned replay of the r15 driver capture's blind spot (r15
+    verdict #2/#4): its start-of-session probes were the FASTEST of
+    any r15 capture (compute 0.164 vs the committed 0.178 — well
+    inside the 20% probe band) while UNTOUCHED queries read 4-6x their
+    stable values (dq_corpus_integrity 4.44 s vs 0.71; dedup_cross_
+    corpus 3.43 vs 0.55). With controls co-measured, the median
+    control drift is the evidence the probes missed — every verdict
+    from that session must be refused, not stamped `reproduced`."""
+    from bench import control_drift
+
+    prior = {"dq_corpus_integrity": 0.71, "dedup_cross_corpus": 0.55,
+             "window_lag_lead": 0.25}
+    iso_controls = {"dq_corpus_integrity": 4.44, "dedup_cross_corpus": 3.43,
+                    "window_lag_lead": 0.52}
+    ctl = control_drift(prior, iso_controls)
+    assert ctl is not None and ctl > 2.0
+    # flagged query: customer_pareto read 2.85 vs prior 0.87 in that
+    # capture — a would-be `reproduced: true` under matched probes
+    rep, reason = triage_verdict(0.87, 0.178, 2.85, 0.164, 0.809, 0.718, ctl)
+    assert rep is None
+    assert "controls drifted" in reason
+
+
+def test_control_drift_needs_two_controls_and_tolerates_one_flake():
+    from bench import control_drift
+
+    prior = {"a": 1.0, "b": 1.0, "c": 1.0}
+    # fewer than two matched controls -> no gate (None)
+    assert control_drift(prior, None) is None
+    assert control_drift(prior, {"a": 5.0}) is None
+    assert control_drift(prior, {"zzz": 5.0, "yyy": 5.0}) is None
+    # median of three is robust to ONE flaky control
+    assert control_drift(prior, {"a": 1.05, "b": 0.97, "c": 9.0}) == 1.05
+    # ... and a genuinely drifted session still reads drifted
+    assert control_drift(prior, {"a": 4.0, "b": 5.0, "c": 6.0}) == 5.0
+
+
+def test_control_gate_inert_within_band_and_on_missing_controls():
+    """A real regression on a quiet host (controls near 1.0, probes
+    matched) must still be called reproduced; old-artifact runs with
+    no controls keep the r14 behavior exactly."""
+    rep, _ = triage_verdict(1.0, 0.20, 2.5, 0.20, 0.80, 0.80, 1.05)
+    assert rep is True
+    rep, _ = triage_verdict(1.0, 0.20, 2.5, 0.20, 0.80, 0.80, None)
+    assert rep is True
+
+
+def test_pick_controls_deterministic_unflagged_spread():
+    from bench import pick_controls
+
+    prior = {f"q{i:02d}": 0.1 * (i + 1) for i in range(20)}
+    flagged = {"q05", "q10", "q15"}
+    picks = pick_controls(prior, flagged)
+    assert picks == pick_controls(prior, flagged)  # deterministic
+    assert len(picks) == 3
+    assert not set(picks) & flagged  # never a flagged query
+    # spread: one pick per cost-percentile band, strictly increasing cost
+    costs = [prior[p] for p in picks]
+    assert costs == sorted(costs) and costs[0] < costs[-1]
+    assert pick_controls({}, set()) == []

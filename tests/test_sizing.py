@@ -148,3 +148,18 @@ def test_fan_out_results_identical(spark):
         .collect()
     }
     assert plain == fanned
+
+
+def test_fan_out_midscale_splittable_is_noop(spark, monkeypatch):
+    """r16 (advice): an input whose scan already splits into many tasks
+    (estimated splits >= FAN_OUT_MAX_SPLITS, or >= par/2) must NOT be
+    fanned, even when its TOTAL bytes sit below parallelism x
+    maxPartitionBytes — the r15 byte-only gate approved a data-sized
+    shuffle for exactly this mid-scale shape."""
+    df = spark.range(1000)
+    mpb = 128 * 1024 * 1024
+    monkeypatch.setattr(
+        sizing, "plan_size_bytes", lambda _df: (sizing.FAN_OUT_MAX_SPLITS + 2) * mpb
+    )
+    assert sizing.fan_out(df, by=["id"]) is df
+    assert sizing.fan_out(df) is df

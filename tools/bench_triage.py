@@ -20,7 +20,14 @@ the prior was measured on (r12 verdict #1: the un-normalized protocol
 marked 20 host-drift entries `reproduced: true`). Prints ONE JSON line
 {name: sec, ..., "_probe_sec": sec}.
 
-Usage: python tools/bench_triage.py <sf_dir> <name> [name ...]
+r16 (verdict #2): the caller may append ``--controls c1 c2 ...`` —
+UNTOUCHED queries co-measured with the identical protocol and reported
+under ``"_controls"``. The synthetic probes are blind to host states
+that only hit real query machinery (the r15 driver capture spiked
+untouched queries 4-6x while its probes were the fastest on record);
+controls give the verdict a real-query drift signal.
+
+Usage: python tools/bench_triage.py <sf_dir> <name> [name ...] [--controls c1 c2 ...]
 """
 
 from __future__ import annotations
@@ -36,7 +43,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+    rest = sys.argv[2:]
+    controls: list[str] = []
+    if "--controls" in rest:
+        i = rest.index("--controls")
+        names, controls = rest[:i], rest[i + 1 :]
+    else:
+        names = rest
 
     from pipe_s_spark.session import get_spark
 
@@ -95,13 +108,18 @@ def main() -> None:
         "_probe_sec": probe_sec,
         "_probe_shuffle_sec": probe_shuffle_sec,
     }
-    for name in names:
+    def _measure(name: str) -> float:
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        out[name] = round(statistics.median(samples[1:]), 4)
+        return round(statistics.median(samples[1:]), 4)
+
+    for name in names:
+        out[name] = _measure(name)
+    if controls:
+        out["_controls"] = {c: _measure(c) for c in controls if c in qs}
     spark.stop()
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
