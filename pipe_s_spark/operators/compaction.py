@@ -81,16 +81,31 @@ def compact_changelog(
         if n is not None and n > session_shuffle_partitions(df.sparkSession):
             df = df.repartition(n, *[F.col(k) for k in keys])
 
+    # The net-op rules only ever ask two questions of the op column:
+    # "was the FIRST event an insert?" and "was the LAST event a
+    # delete?". Aggregating the op STRING to answer them
+    # (min_by/max_by(op, seq)) puts a string in the aggregation buffer,
+    # and one non-mutable buffer type forces the WHOLE aggregate down
+    # to SortAggregate — two extra full sorts of the changelog (partial
+    # + final) at any scale, profiled as the dominant CPU of the
+    # cdc_compact/merge_apply result stages. Aggregating the BOOLEAN
+    # answers instead keeps every buffer a fixed-size primitive, so the
+    # compaction plans as HashAggregate with map-side combine (string
+    # payload columns, if a caller compacts any, independently fall
+    # back to SortAggregate exactly as before). Semantics are
+    # identical: min_by/max_by still pick the value at the extremum
+    # seq; only the value carried is the predicate instead of the raw
+    # string.
     aggs = [
-        F.min_by(F.col(op_col), F.col(seq_col)).alias("__first_op"),
-        F.max_by(F.col(op_col), F.col(seq_col)).alias("__last_op"),
+        F.min_by(F.col(op_col) == "insert", F.col(seq_col)).alias("__first_ins"),
+        F.max_by(F.col(op_col) == "delete", F.col(seq_col)).alias("__last_del"),
         F.max(F.col(seq_col)).alias("last_seq"),
         *[F.max_by(F.col(c), F.col(seq_col)).alias(c) for c in payload_cols],
     ]
     g = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
-    first_ins = F.col("__first_op") == "insert"
-    last_del = F.col("__last_op") == "delete"
+    first_ins = F.col("__first_ins")
+    last_del = F.col("__last_del")
     net_op = (
         F.when(first_ins & last_del, F.lit(None).cast("string"))  # annihilate
         .when(first_ins, F.lit("insert"))
