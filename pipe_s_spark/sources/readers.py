@@ -44,6 +44,30 @@ TABLES = (
 )
 
 
+#: Session-scoped DataFrame-HANDLE cache for load_table. Every
+#: ``spark.read.parquet`` call runs a 1-task schema-inference job
+#: (parquet footer read) plus file listing before the caller's query
+#: even exists — profiled at 50-100 ms wall per call, and query
+#: builders call load_table 1-3x per invocation. The cache returns the
+#: SAME immutable DataFrame (an unresolved logical plan — zero rows of
+#: data are held; every action on it still scans the parquet files in
+#: full), which is exactly the metadata reuse ``spark.table()`` gets
+#: from a catalog in production. Keyed by (applicationId, path, file
+#: mtime+size) so a different session, a rewritten fixture file, or a
+#: regenerated testdata dir all take the fresh-read path; set
+#: PIPE_S_NO_TABLE_CACHE=1 to disable outright.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
+
+def _file_stamp(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano timestamps.
 
@@ -65,7 +89,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.environ.get("PIPE_S_NO_TABLE_CACHE") == "1":
+        return _read_table(spark, path, name)
+    key = (spark.sparkContext.applicationId, path, *_file_stamp(path))
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()  # tiny keyspace; clear beats LRU bookkeeping
+        df = _read_table(spark, path, name)
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: nanos epochs (~1.7e18) overflow a
         # double mantissa and float division would corrupt low digits
