@@ -110,21 +110,26 @@ def dquantiles(
     # REPARTITION_BY_NUM shuffle that keeps the CPU-dense downstream
     # stages at session parallelism (profiled: AQE's byte-based
     # coalescing squeezed the 4 s-CPU window stage onto 6 tasks).
-    from pipe_s_spark.sizing import fan_out, pin_small
+    from pipe_s_spark.sizing import fan_out
 
     src = fan_out(src, by=[*keys, "_bkt"], size_of=raw_src)
     vc = src.groupBy(*keys, "_bkt", value_col).agg(F.count(F.lit(1)).alias("_c"))
-    # r16: the distinct-value relation feeds TWO branches (the
-    # per-bucket totals `bt` and the within-bucket window), so without
-    # materialization the whole scan+bounds+bucket+distinct subtree is
-    # DUPLICATED in the logical plan — Catalyst optimized both copies
-    # (~738 ms of pure driver gap profiled on stats_median_profile) and
-    # only runtime ReusedExchange saved the second execution. pin_small
-    # checkpoints it once at bench scale and is a no-op at cluster
-    # scale (where ReusedExchange already dedups the physical work and
-    # a forced materialization would cost). Results are byte-identical:
-    # a checkpoint replays the same rows.
-    vc = pin_small(vc, size_of=raw_src)
+    # r16 rev 2: vc feeds TWO branches (the per-bucket totals `bt` and
+    # the within-bucket window), duplicating the scan+bounds+bucket+
+    # distinct subtree in the logical plan; an eager pin_small
+    # localCheckpoint was tried here to collapse it (r16 session 1) and
+    # REMOVED after a full-timing interleaved A/B (construction +
+    # action, the bench's exact methodology): the checkpoint
+    # materialization job + the post-checkpoint re-exchanges cost MORE
+    # per invocation than the duplicated planning they save
+    # (pin/no-pin medians at sf0.1/32c: stats_median_profile 2.35/2.17,
+    # percentiles 1.86/1.54, winsorized-shape 1.25/1.07; probes
+    # 0.13-0.19). At runtime ReusedExchange already deduplicates the
+    # physical subtree — the exchange below the distinct aggregate is
+    # identical in both branches — so the duplication costs planning
+    # time only, and the checkpoint ALSO lost the REPARTITION_BY_NUM
+    # partitioning, forcing both consumers to re-exchange a relation
+    # the fan_out had already distributed.
 
     # Per-bucket totals -> per-key prefix over <= NUM_BUCKETS rows:
     # _base = ranks preceding the bucket, _n = group total. r15 rev 2:
